@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on local[N]; the same config block is what we would ship
+to a 1000-executor cluster (AQE, skew-join handling, UTC session timezone
+for cross-engine determinism, Arrow for the Pandas-UDF slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "incremental_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS or *]`` locally; on a
+    real cluster callers pass the cluster master / rely on spark-submit.
+    ``shuffle_partitions`` should be ~2-3x total cores on a cluster; locally
+    it defaults to the core count.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cpus == "*" else max(int(cpus), 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # AQE: runtime coalescing, skew-join splitting, dynamic join strategy.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic cross-engine timestamps (DuckDB oracle is UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow batches for the Pandas-UDF slow path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Parquet scans: vectorized reader + aggregate pushdown where legal.
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
