@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incremental_data_pipeline_spark.operators import cdc, relational, scd
 from incremental_data_pipeline_spark.sources.readers import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -94,4 +95,378 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Silver-layer transforms (SURVEY §2.2 P1-P3: projection, split-derived
+# column, guarded division — reference silver_notebook.py:26,34).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "silver_enrich",
+    """
+    SELECT
+      l_orderkey,
+      l_linenumber,
+      l_extendedprice / NULLIF(l_quantity, 0) AS price_per_unit
+    FROM lineitem
+    """,
+)
+def silver_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P3: revenue_per_unit analogue. try_divide = NULL on /0 (matches the
+    # oracle's NULLIF; plain `/` would raise under Spark 4 ANSI mode —
+    # SURVEY §2.9 #11). Single IEEE double op → bit-identical cross-engine.
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), F.col("l_quantity")).alias("price_per_unit"),
+    )
+
+
+@query(
+    "split_category",
+    """
+    SELECT
+      p_partkey,
+      split_part(p_brand, '#', 2) AS brand_num,
+      split_part(p_name, ' ', 1) AS name_category
+    FROM part
+    """,
+)
+def split_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P2: model_category = split(Model_ID,'-')[0] (silver_notebook.py:26).
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.split(F.col("p_brand"), "#").getItem(1).alias("brand_num"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("name_category"),
+    )
+
+
+@query(
+    "silver_agg",
+    """
+    SELECT
+      CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+      o_orderpriority,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY order_year ASC, total_price DESC
+    """,
+)
+def silver_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A1 + O1: groupBy-sum with mixed-direction sort
+    # (silver_notebook.py:47-50: groupBy(Year, BranchName).sum.sort).
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority"
+        )
+        .agg(
+            dec_sum("o_totalprice", "total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("order_year").asc(), F.col("total_price").desc())
+    )
+
+
+@query(
+    "agg_scalar_minmax",
+    """
+    SELECT
+      max(o_orderkey) AS max_key,
+      min(o_orderdate) AS min_date,
+      count(DISTINCT o_custkey) AS n_custs
+    FROM orders
+    """,
+)
+def agg_scalar_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A2/A5: ungrouped scalar aggregates (surrogate-key max probe,
+    # gold_dim_branch.py:127-128; watermark seed min, watermark_table.sql:6).
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC split + watermark range (SURVEY §2.3 J1, §2.2 P5, §2.8 I1).
+# "Existing sink" is simulated as the orders before 1998-01-01 (an earlier
+# batch); the split classifies customers as new vs already-seen.
+# --------------------------------------------------------------------------
+
+_CDC_CUT = "1998-01-01 00:00:00"
+
+
+@query(
+    "cdc_new_rows",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_CDC_CUT}'
+      AND NOT EXISTS (
+        SELECT 1 FROM orders t
+        WHERE t.o_orderdate < TIMESTAMP '{_CDC_CUT}' AND t.o_custkey = o.o_custkey
+      )
+    """,
+)
+def cdc_new_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_CDC_CUT).cast("timestamp")
+    batch = o.filter(F.col("o_orderdate") >= cut)
+    sink = o.filter(F.col("o_orderdate") < cut)
+    return cdc.new_rows(batch, sink, ["o_custkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "cdc_existing_rows",
+    f"""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_CDC_CUT}'
+      AND EXISTS (
+        SELECT 1 FROM orders t
+        WHERE t.o_orderdate < TIMESTAMP '{_CDC_CUT}' AND t.o_custkey = o.o_custkey
+      )
+    """,
+)
+def cdc_existing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cut = F.lit(_CDC_CUT).cast("timestamp")
+    batch = o.filter(F.col("o_orderdate") >= cut)
+    sink = o.filter(F.col("o_orderdate") < cut)
+    return cdc.existing_rows(batch, sink, ["o_custkey"]).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@query(
+    "watermark_range",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def watermark_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I1: the (last_load, current_load] incremental extract window.
+    ev = load_table(spark, sf_dir, "events")
+    return cdc.watermark_range(
+        ev,
+        "ts",
+        F.lit("2024-01-10 00:00:00").cast("timestamp"),
+        F.lit("2024-01-20 00:00:00").cast("timestamp"),
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --------------------------------------------------------------------------
+# Dimension build + surrogate keys + SCD1 upsert (SURVEY §2.5 W1, §2.1 S11).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dim_build_brand",
+    """
+    SELECT
+      row_number() OVER (ORDER BY p_brand) AS dim_brand_key,
+      p_brand
+    FROM (SELECT DISTINCT p_brand FROM part)
+    """,
+)
+def dim_build_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # W1 normalized: dropDuplicates(natural key) + dense row_number from 1
+    # (fixes SURVEY §2.9 #2/#3; reference gold_dim_branch.py:139-146).
+    p = load_table(spark, sf_dir, "part")
+    return scd.build_dim(p, ["p_brand"], [], "dim_brand_key")
+
+
+@query(
+    "dim_build_scalable_keys",
+    """
+    SELECT
+      row_number() OVER (ORDER BY c_custkey) AS dim_customer_key,
+      c_custkey,
+      c_name
+    FROM (SELECT DISTINCT c_custkey, c_name FROM customer)
+    """,
+)
+def dim_build_scalable_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The scalable surrogate-key path (range-partition + partition-offset
+    # prefix sum) must produce the SAME keys as the global row_number oracle
+    # because range partitioning preserves global order.
+    c = load_table(spark, sf_dir, "customer")
+    return scd.build_dim(
+        c, ["c_custkey"], ["c_name"], "dim_customer_key", scalable_keys=True
+    ).select("dim_customer_key", "c_custkey", "c_name")
+
+
+@query(
+    "scd1_upsert",
+    """
+    WITH target AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), source AS (
+      SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    )
+    SELECT * FROM source
+    UNION ALL
+    SELECT t.* FROM target t WHERE NOT EXISTS (
+      SELECT 1 FROM source s WHERE s.o_orderkey = t.o_orderkey
+    )
+    """,
+)
+def scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I4/S11: MERGE update-all/insert-all on the natural key, join-emulated
+    # (reference gold_dim_branch.py:177-184; fixed per SURVEY §2.9 #5).
+    o = load_table(spark, sf_dir, "orders")
+    target = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    source = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit("U").alias("o_orderstatus"), "o_totalprice"
+    )
+    return scd.upsert_scd1(target, source, ["o_orderkey"])
+
+
+# --------------------------------------------------------------------------
+# Star-schema fact build (SURVEY §2.3 J2: multi-way broadcast FK lookup).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "star_join",
+    """
+    SELECT
+      l.l_orderkey,
+      l.l_linenumber,
+      CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      p.p_brand,
+      s.s_name,
+      o.o_orderpriority
+    FROM lineitem l
+    LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gold_fact.py:34-38 4-way left FK join; dims broadcast so the fact
+    # table never shuffles.
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    revenue = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("double")
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey, "left")
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), li.l_suppkey == s.s_suppkey, "left")
+        .join(
+            F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+            li.l_orderkey == o.o_orderkey,
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            revenue.alias("revenue"),
+            "p_brand",
+            "s_name",
+            "o_orderpriority",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Audits, distinct, union, top-k (SURVEY §2.4 A3/A4, §2.6 O2, extensions).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dup_audit",
+    """
+    SELECT l_orderkey, count(*) AS n
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) > 1
+    """,
+)
+def dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return relational.duplicate_audit(li, ["l_orderkey"])
+
+
+@query(
+    "distinct_projection",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return relational.distinct_dim_source(c, ["c_mktsegment", "c_nationkey"])
+
+
+@query(
+    "union_by_name",
+    """
+    SELECT c_custkey AS entity_key, c_name AS entity_name, 'customer' AS entity_kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_name AS entity_name, 'supplier' AS entity_kind
+    FROM supplier
+    """,
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # O2 normalized: by-name union (the reference's positional union relies
+    # on column order surviving upstream reordering — SURVEY §2.6).
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("entity_name"),
+        F.lit("customer").alias("entity_kind"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("entity_name"),
+        F.lit("supplier").alias("entity_kind"),
+    )
+    return c.unionByName(s)
+
+
+@query(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT
+        o_orderpriority,
+        o_orderkey,
+        o_totalprice,
+        row_number() OVER (
+          PARTITION BY o_orderpriority
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+        ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+    return relational.topk_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
     )

@@ -46,6 +46,10 @@ def get_spark(
         # Parquet scans: vectorized reader + aggregate pushdown where legal.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # TIMESTAMP(NANOS) parquet (events.ts) is otherwise unreadable in
+        # Spark 4; readers.load_table converts the raw nanos back to
+        # microsecond TimestampType.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

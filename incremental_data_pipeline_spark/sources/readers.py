@@ -7,9 +7,12 @@ so Catalyst gets pushdown/pruning on every path.
 
 from __future__ import annotations
 
+import glob
 import os
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -25,9 +28,39 @@ TABLES = (
 )
 
 
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as TIMESTAMP(NANOS) parquet — Spark 4 can only read
+    them as raw int64 (spark.sql.legacy.parquet.nanosAsLong)."""
+    f = path
+    if os.path.isdir(path):
+        files = glob.glob(os.path.join(path, "*.parquet"))
+        if not files:
+            return []
+        f = files[0]
+    try:
+        schema = pq.read_schema(f)
+    except Exception:
+        return []
+    import pyarrow as pa
+
+    return [
+        field.name
+        for field in schema
+        if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns"
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table (reference: silver_notebook.py:7-9 parquet scan)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan one fixture table (reference: silver_notebook.py:7-9 parquet scan).
+
+    Nanosecond-precision timestamp columns are read as raw nanos and
+    truncated to Spark's microsecond TimestampType (matching DuckDB's own
+    ns→µs truncation), keeping the public schema engine-agnostic."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
