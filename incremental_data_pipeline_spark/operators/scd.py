@@ -120,15 +120,19 @@ def upsert_scd1(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFr
 
 def build_fact(
     base: DataFrame,
-    dims: dict[str, tuple[DataFrame, list[str]]],
+    dims: dict[str, tuple[DataFrame, dict[str, str]]],
     measures: list[str],
 ) -> DataFrame:
     """Star-schema fact builder (reference: gold_fact.py:34-38 4-way left
-    join). ``dims`` maps surrogate-key column -> (dim_df, natural join keys).
-    Dimensions are broadcast — at 100 TB the fact side never shuffles for
-    FK resolution. Left joins preserve reference behavior: late-arriving
-    dims leave a NULL FK instead of dropping the fact row."""
+    join). ``dims`` maps surrogate-key column -> (dim_df, {base_col:
+    dim_natural_col}). Dimensions are broadcast — at 100 TB the fact side
+    never shuffles for FK resolution. Left joins preserve reference
+    behavior: late-arriving dims leave a NULL FK instead of dropping the
+    fact row."""
     out = base
-    for sk, (dim, nk) in dims.items():
-        out = out.join(F.broadcast(dim.select(sk, *nk)), nk, "left")
+    for sk, (dim, keymap) in dims.items():
+        lookup = dim.select(
+            sk, *[F.col(dim_col).alias(base_col) for base_col, dim_col in keymap.items()]
+        )
+        out = out.join(F.broadcast(lookup), list(keymap.keys()), "left")
     return out.select(*measures, *dims.keys())

@@ -470,3 +470,78 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         3,
     )
+
+
+# --------------------------------------------------------------------------
+# Full medallion pipeline end-to-end (SURVEY §3 E1-E3): two watermark CDC
+# batches into bronze → silver enrich → SCD1 dim built incrementally across
+# both batches → star fact. The pipeline is deterministic, so the final
+# gold fact state has an exact SQL twin — including the two-phase surrogate
+# key assignment (batch-1 members keyed first, batch-2 additions after).
+# --------------------------------------------------------------------------
+
+_E2E_CUT = "2024-01-15 00:00:00"
+
+
+@query(
+    "medallion_e2e",
+    f"""
+    WITH b1 AS (
+      SELECT DISTINCT user_id FROM events WHERE ts <= TIMESTAMP '{_E2E_CUT}'
+    ), b2 AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE user_id NOT IN (SELECT user_id FROM b1)
+    ), dim_user AS (
+      SELECT row_number() OVER (ORDER BY user_id) AS dim_user_key, user_id FROM b1
+      UNION ALL
+      SELECT (SELECT count(*) FROM b1) + row_number() OVER (ORDER BY user_id), user_id FROM b2
+    ), t1 AS (
+      SELECT DISTINCT event_type FROM events WHERE ts <= TIMESTAMP '{_E2E_CUT}'
+    ), t2 AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE event_type NOT IN (SELECT event_type FROM t1)
+    ), dim_event_type AS (
+      SELECT row_number() OVER (ORDER BY event_type) AS dim_event_type_key, event_type FROM t1
+      UNION ALL
+      SELECT (SELECT count(*) FROM t1) + row_number() OVER (ORDER BY event_type), event_type FROM t2
+    )
+    SELECT e.event_id, e.value, u.dim_user_key, t.dim_event_type_key
+    FROM events e
+    LEFT JOIN dim_user u ON e.user_id = u.user_id
+    LEFT JOIN dim_event_type t ON e.event_type = t.event_type
+    """,
+)
+def medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the real stateful pipeline (watermark store on disk, replay-safe
+    bronze sink, SCD1 dims across two incremental batches, broadcast fact
+    build) and returns the gold fact."""
+    import datetime
+    import tempfile
+
+    from incremental_data_pipeline_spark.plans.medallion import MedallionPipeline
+
+    base = tempfile.mkdtemp(prefix="medallion_e2e_")
+    pipe = MedallionPipeline(spark, base)
+    events = load_table(spark, sf_dir, "events")
+
+    seed = datetime.datetime(2023, 1, 1)
+    cut = datetime.datetime.fromisoformat(_E2E_CUT)
+    for current in (cut, None):  # batch 1: (seed, cut]; batch 2: (cut, max(ts)]
+        pipe.ingest_bronze(events, "events", "ts", ["event_id"], seed, current)
+        silver = pipe.build_silver("events", lambda df: df)
+        pipe.build_gold_dim("dim_user", silver, ["user_id"], [], "dim_user_key")
+        pipe.build_gold_dim("dim_event_type", silver, ["event_type"], [], "dim_event_type_key")
+
+    fact = pipe.build_gold_fact(
+        "fact_events",
+        pipe.read("silver", "events"),
+        {
+            "dim_user_key": (pipe.read("gold", "dim_user"), {"user_id": "user_id"}),
+            "dim_event_type_key": (
+                pipe.read("gold", "dim_event_type"),
+                {"event_type": "event_type"},
+            ),
+        },
+        ["event_id", "value"],
+    )
+    return fact
