@@ -1,0 +1,101 @@
+"""Text analysis operators for training-data pipelines.
+
+Beyond the reference's surface (north-star extension): language ID
+(stopword-hit heuristic), quality scoring (length / uniqueness / stopword
+ratios), token counting, and document fingerprinting. Everything is
+built-in-function Spark (JVM codegen, no UDFs) so it runs at corpus scale —
+tokenization is one `split`, ratios are single IEEE ops, fingerprints are
+`md5`. Where the DuckDB oracle needs the same semantics, the scalar
+expressions are written in dialect-common SQL (see LANG_STOPWORDS /
+quality-score formula) so both engines evaluate the identical tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Small per-language stopword sets for the n-gram/stopword-hit heuristic.
+# Fixed priority order for deterministic argmax tie-breaking.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "is", "in"),
+    "de": ("der", "die", "und", "das", "ist", "ein"),
+    "es": ("el", "la", "de", "que", "los", "una"),
+    "fr": ("le", "les", "et", "des", "une", "est"),
+    "zh": ("的", "是", "了", "在"),
+}
+LANG_ORDER = tuple(LANG_STOPWORDS)
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization (single split — the hot-path tokenizer; a
+    BPE-ish regex variant is `tokens_regex`)."""
+    return F.split(F.col(col), " ")
+
+
+def tokens_regex(col: str = "text") -> Column:
+    """BPE-ish tokenization: words / numbers / single punctuation, matching
+    the common pre-tokenizer shape."""
+    return F.expr(rf"regexp_extract_all({col}, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+
+
+def with_token_stats(df: DataFrame, col: str = "text") -> DataFrame:
+    """n_tokens, n_chars, avg token length, unique-token ratio."""
+    t = tokens(col)
+    return (
+        df.withColumn("n_tokens", F.size(t))
+        .withColumn("n_chars", F.length(F.col(col)))
+        .withColumn(
+            "avg_token_len",
+            F.length(F.replace(F.col(col), F.lit(" "), F.lit(""))) / F.size(t),
+        )
+        .withColumn("unique_ratio", F.size(F.array_distinct(t)) / F.size(t))
+    )
+
+
+def stopword_hits(col_tokens: Column, stopwords: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) in the stopword set."""
+    return F.size(F.filter(col_tokens, lambda x: x.isin(*stopwords)))
+
+
+def with_lang_scores(df: DataFrame, col: str = "text") -> DataFrame:
+    t = tokens(col)
+    for lang, sw in LANG_STOPWORDS.items():
+        df = df.withColumn(f"score_{lang}", stopword_hits(t, sw))
+    return df
+
+
+def lang_id(df: DataFrame, col: str = "text", out: str = "pred_lang") -> DataFrame:
+    """Predicted language = argmax stopword hits, ties broken by the fixed
+    LANG_ORDER priority (deterministic, oracle-parity)."""
+    scored = with_lang_scores(df, col)
+    expr = None
+    for lang in LANG_ORDER:
+        cond = None
+        for other in LANG_ORDER:
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return scored.withColumn(out, expr)
+
+
+def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> DataFrame:
+    """Composite quality score in [0,1]:
+    0.4*unique_ratio + 0.3*stopword_ratio_en + 0.3*min(n_tokens/100, 1).
+    Fixed-order double arithmetic — the oracle evaluates the same tree."""
+    t = tokens(col)
+    stats = with_token_stats(df, col)
+    sw_ratio = stopword_hits(t, LANG_STOPWORDS["en"]) / F.size(t)
+    return stats.withColumn("stopword_ratio", sw_ratio).withColumn(
+        out,
+        F.lit(0.4) * F.col("unique_ratio")
+        + F.lit(0.3) * F.col("stopword_ratio")
+        + F.lit(0.3) * F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0)),
+    )
+
+
+def fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """64-bit-equivalent content fingerprint: md5 of the lowercased text,
+    truncated to 16 hex chars. Content-defined, order-independent — the
+    join key for exact dedup across shards."""
+    return df.withColumn(out, F.substring(F.md5(F.lower(F.col(col))), 1, 16))

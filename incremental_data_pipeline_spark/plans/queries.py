@@ -545,3 +545,181 @@ def medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_id", "value"],
     )
     return fact
+
+
+# --------------------------------------------------------------------------
+# Text analysis + deduplication (north-star LLM-pipeline extensions, over
+# the `documents` table). Oracle SQL for lang-id and SimHash is generated
+# from the same constants the Spark operators use, so the two engines
+# evaluate identical expression trees.
+# --------------------------------------------------------------------------
+
+from incremental_data_pipeline_spark.operators import dedup as _dedup  # noqa: E402
+from incremental_data_pipeline_spark.operators import text as _text  # noqa: E402
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.exact_dedup_groups(docs, "text", "doc_id")
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+      CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      length(replace(text,' ','')) / len(string_split(text,' ')) AS avg_token_len,
+      len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')) AS unique_ratio
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = _text.with_token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "avg_token_len",
+        "unique_ratio",
+    )
+
+
+def _lang_oracle() -> str:
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> x IN ({}))) AS score_{}".format(
+            ", ".join(f"'{w}'" for w in sw), lang
+        )
+        for lang, sw in _text.LANG_STOPWORDS.items()
+    )
+    case = "CASE"
+    for lang in _text.LANG_ORDER:
+        conds = " AND ".join(
+            f"score_{lang} >= score_{other}" for other in _text.LANG_ORDER
+        )
+        case += f" WHEN {conds} THEN '{lang}'"
+    case += " END"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+    s AS (SELECT doc_id, lang, {score_cols} FROM t)
+    SELECT doc_id, lang, {case} AS pred_lang FROM s
+    """
+
+
+@query("text_lang_id", _lang_oracle())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.lang_id(docs).select("doc_id", "lang", "pred_lang")
+
+
+@query(
+    "text_quality",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        len(string_split(text,' ')) AS n_tokens,
+        len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')) AS unique_ratio,
+        len(list_filter(string_split(text,' '),
+            x -> x IN ('the','a','and','of','to','is','in'))) / len(string_split(text,' ')) AS stopword_ratio
+      FROM documents)
+    SELECT doc_id, unique_ratio, stopword_ratio,
+      0.4*unique_ratio + 0.3*stopword_ratio + 0.3*least(n_tokens/100.0, 1.0) AS quality
+    FROM s
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.quality_score(docs).select(
+        "doc_id", "unique_ratio", "stopword_ratio", "quality"
+    )
+
+
+@query(
+    "doc_fingerprint",
+    "SELECT doc_id, substr(md5(lower(text)), 1, 16) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])
+             ELSE [array_to_string(t, ' ')] END) AS shingle
+      FROM toks)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i / (sa.sz + sb.sz - i) >= 0.6
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.6)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
+      FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, (seed // 3) AS band,
+             string_agg(minhash, '|' ORDER BY minhash) AS band_sig
+      FROM mh GROUP BY doc_id, (seed // 3))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.lsh_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+
+
+def _simhash_oracle() -> str:
+    terms = _dedup.simhash_bit_terms()
+    sums = ", ".join(f"SUM({t}) AS s{b}" for b, t in enumerate(terms))
+    assemble = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32)
+    )
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+    hashed AS (SELECT doc_id, md5(token) AS h FROM tok),
+    s AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM s
+    """
+
+
+@query("text_simhash", _simhash_oracle())
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.simhash(docs, "doc_id", "text")

@@ -1,0 +1,50 @@
+"""Semantic checks on dedup operators beyond oracle parity: LSH candidate
+recall vs exact Jaccard, and dedup corpus shape."""
+
+from __future__ import annotations
+
+from incremental_data_pipeline_spark.operators import dedup
+from incremental_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_DIR
+
+
+def test_lsh_recall_of_high_jaccard_pairs(spark):
+    """Every true near-dup (J >= 0.9) must be an LSH candidate: with 4 bands
+    of 3 rows, P(candidate | J=0.9) = 1-(1-0.9^3)^4 ≈ 0.97, and the planted
+    fixture dups are near-identical, so recall should be total here."""
+    docs = load_table(spark, SF_DIR, "documents")
+    true_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.9).collect()
+    }
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(docs, "doc_id", "text", 12, 3, 3).collect()
+    }
+    assert true_pairs, "fixture should contain planted near-dups"
+    missed = true_pairs - cands
+    assert not missed, f"LSH missed true near-dups: {missed}"
+
+
+def test_exact_dedup_keeps_one_row_per_content(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    deduped = dedup.exact_dedup(docs, "text", "doc_id")
+    n_distinct = docs.select("text").distinct().count()
+    assert deduped.count() == n_distinct
+    assert deduped.select("text").distinct().count() == n_distinct
+
+
+def test_simhash_near_dups_have_close_hashes(spark):
+    """Near-identical docs should agree on most SimHash bits (Hamming < 8
+    of 32); this is the property the fingerprint exists for."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.9)
+    sh = dedup.simhash(docs, "doc_id", "text")
+    a = sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "sh_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "sh_b")
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    ham = joined.select(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("d"))
+    assert ham.count() > 0
+    assert ham.agg(F.max("d")).first()[0] < 8
