@@ -1,0 +1,112 @@
+"""Similarity search over embedding columns.
+
+Two strategies (north-star extension):
+
+- ``brute_force_topk``: exact top-k by cosine — broadcast the (small) query
+  set against the corpus, score every pair, keep k per query via a
+  partitioned window (WindowGroupLimit: only k rows per query survive each
+  shuffle stage). The baseline, and the verifier for the ANN path.
+
+- ``lsh_topk``: random-hyperplane LSH — each vector gets a B-bit bucket
+  (sign of its dot product with B fixed pseudo-random ±1 planes); search
+  touches only the query's bucket. The 100 TB path: bucketing is a single
+  narrow projection, and the candidate join is an equi-join on the bucket
+  string, so cost scales with bucket occupancy instead of corpus size.
+  Planes are derived deterministically from md5 so the DuckDB oracle can
+  reproduce bucket assignment exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from incremental_data_pipeline_spark.functions.vector import cosine_q, quantize
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes: sign(j,i) = parity of the first md5
+    nibble of "j:i". Pure data — both engines consume them as literals."""
+    planes = []
+    for j in range(num_planes):
+        row = []
+        for i in range(dim):
+            nib = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16)
+            row.append(1 if nib % 2 else -1)
+        planes.append(row)
+    return planes
+
+
+def _bucket(qcol: Column, planes: list[list[int]]) -> Column:
+    """B-char '0'/'1' bucket id from integer-exact plane sign bits."""
+    bits = []
+    for row in planes:
+        plane = F.array(*[F.lit(v) for v in row])
+        s = F.aggregate(
+            F.zip_with(plane, qcol, lambda p, x: p * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query (self-matches excluded)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket."""
+    planes = hyperplanes(num_planes, dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
+    ).withColumn("bucket", _bucket(F.col("qv"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
+    ).withColumn("bucket", _bucket(F.col("cv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

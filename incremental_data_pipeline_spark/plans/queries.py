@@ -723,3 +723,115 @@ def _simhash_oracle() -> str:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.simhash(docs, "doc_id", "text")
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings + multimodal binary plumbing
+# (north-star extensions). Oracle parity comes from integer-quantized
+# vector math (exact, order-independent) — see functions/vector.py.
+# --------------------------------------------------------------------------
+
+from incremental_data_pipeline_spark.operators import multimodal as _mm  # noqa: E402
+from incremental_data_pipeline_spark.operators import similarity as _sim  # noqa: E402
+
+_QV = "list_transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+def _dot(a: str, b: str) -> str:
+    return f"list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
+
+
+@query(
+    "embedding_norms",
+    f"""
+    SELECT vec_id, label,
+      sqrt(CAST({_dot('v', 'v')} AS DOUBLE)) / 1000000 AS l2_norm
+    FROM (SELECT vec_id, label, {_QV} AS v FROM embeddings)
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from incremental_data_pipeline_spark.functions.vector import SCALE, norm_q, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        (norm_q(quantize("embedding")) / F.lit(SCALE)).alias("l2_norm"),
+    )
+
+
+_COSINE_SQL = (
+    f"CAST({_dot('qv', 'cv')} AS DOUBLE) / "
+    f"(sqrt(CAST({_dot('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)))"
+)
+
+
+@query(
+    "knn_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, {_QV} AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, {_QV} AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, {_COSINE_SQL} AS cosine
+      FROM c CROSS JOIN q WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= 5
+    """,
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
+def _ann_oracle() -> str:
+    planes = _sim.hyperplanes(8, 64)
+    sign_exprs = []
+    for row in planes:
+        lit = "[" + ", ".join(str(v) for v in row) + "]"
+        sign_exprs.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), i -> ({lit})[i] * v[i])) > 0"
+            " THEN '1' ELSE '0' END"
+        )
+    bucket = "concat(" + ", ".join(sign_exprs) + ")"
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id, {_COSINE_SQL} AS cosine
+      FROM bucketed c JOIN q USING (bucket)
+      CROSS JOIN LATERAL (SELECT c.v AS cv) t
+      WHERE c.vec_id != query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """
+
+
+@query("ann_lsh_topk", _ann_oracle())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, num_planes=8, dim=64)
+
+
+@query(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      ascii(substr(text, 1, 1)) AS first_byte,
+      md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Binary-column round-trip: text -> utf-8 payload -> Arrow-batched
+    # mapInPandas metadata extraction (the stubbed multimodal decode path).
+    docs = load_table(spark, sf_dir, "documents")
+    with_bin = _mm.attach_binary(docs)
+    return _mm.decode_binary_metadata(with_bin)
