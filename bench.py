@@ -1,0 +1,84 @@
+"""Benchmark harness: times the engine's headline queries at one scale
+factor and emits ONE JSON line the driver records as BENCH_r{N}.json.
+
+Methodology:
+- each query is forced end-to-end with the `noop` sink (full execution,
+  zero driver-side collect cost — measures the plan, not Py4J transfer);
+- one untimed warm-up pass of the first query absorbs JVM/codegen JIT;
+- `metric` is the total wall seconds across all headline queries, with the
+  per-query breakdown under `queries`.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from incremental_data_pipeline_spark.plans.queries import QUERIES
+from incremental_data_pipeline_spark.session import get_spark
+
+# Headline set: every subsystem has a representative — relational core,
+# star join, CDC/medallion, dedup family, text analysis, vector search.
+HEADLINE = [
+    "pricing_summary",
+    "silver_agg",
+    "star_join",
+    "topk_per_group",
+    "watermark_range",
+    "scd1_upsert",
+    "medallion_e2e",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "knn_cosine_topk",
+    "ann_lsh_topk",
+]
+
+
+def _force(df) -> None:
+    """Run the full plan through the noop sink (no rows to the driver)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    _force(QUERIES[HEADLINE[0]](spark, sf_dir))  # warm-up, untimed
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

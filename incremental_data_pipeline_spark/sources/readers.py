@@ -57,8 +57,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncated to Spark's microsecond TimestampType (matching DuckDB's own
     ns→µs truncation), keeping the public schema engine-agnostic."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_ts_columns(path)
+    if nanos_cols:
+        # Runtime-settable; required even on sessions not built by
+        # session.get_spark (e.g. the verify driver's bare SparkSession).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    for c in _nanos_ts_columns(path):
+    for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
