@@ -16,6 +16,7 @@ Cross-engine determinism rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -835,3 +836,136 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     with_bin = _mm.attach_binary(docs)
     return _mm.decode_binary_metadata(with_bin)
+
+
+# --------------------------------------------------------------------------
+# Structured Streaming (SURVEY §2.8: the reference's rerun-driven CDC as real
+# streams). Bounded fixture + processAllAvailable makes these deterministic:
+# the file source consumes every available file in the first micro-batch, so
+# stream results equal their batch twins and the DuckDB oracles apply. The
+# streaming-only guarantees (watermark state eviction, checkpointed offsets)
+# are exercised in tests/test_streaming.py.
+# --------------------------------------------------------------------------
+
+from incremental_data_pipeline_spark.streaming import pipeline as _stream  # noqa: E402
+
+
+@query(
+    "stream_window_agg",
+    """
+    SELECT
+      CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+      CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY AS window_end,
+      event_type,
+      count(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day event-time windows over the events stream, per type:
+    readStream -> withWatermark -> window agg -> memory sink (complete)."""
+    stream = _stream.read_stream(spark, sf_dir, "events")
+    agg = _stream.tumbling_window_agg(
+        stream,
+        "ts",
+        "1 day",
+        ["event_type"],
+        [F.count("*").alias("n_events"), dec_sum("value", "sum_value", 4)],
+    )
+    return _stream.run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_session_windows",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w > INTERVAL 6 HOUR THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+        SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 6 HOUR AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows (6h inactivity gap) via built-in
+    F.session_window — incremental state merge, vs. the oracle's batch
+    gaps-and-islands self-window."""
+    stream = _stream.read_stream(spark, sf_dir, "events")
+    agg = _stream.session_window_agg(
+        stream, "ts", "6 hours", ["user_id"], [F.count("*").alias("n_events")]
+    )
+    return _stream.run_to_memory(agg, "complete")
+
+
+@query(
+    "stream_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup on (user_id, event_type); delay
+    exceeds the fixture's 30-day span so the result is exactly DISTINCT."""
+    stream = _stream.read_stream(spark, sf_dir, "events")
+    return _stream.run_to_memory(
+        _stream.streaming_dedup(stream, ["user_id", "event_type"], "ts", "35 days"),
+        "append",
+    )
+
+
+@query(
+    "stream_scd1_dim",
+    """
+    SELECT row_number() OVER (ORDER BY user_id) AS dim_user_key, user_id
+    FROM (SELECT DISTINCT user_id FROM events)
+    """,
+)
+def stream_scd1_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch bridge: each micro-batch flows through the SAME batch
+    build_dim/atomic-overwrite path (one upsert implementation, both
+    execution modes). Checkpoint gives at-least-once delivery; the
+    key-stable SCD1 upsert makes replay a no-op (effectively-once)."""
+    import tempfile
+
+    from incremental_data_pipeline_spark.operators.scd import build_dim
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    base = tempfile.mkdtemp(prefix="stream_scd1_")
+    dim_path = os.path.join(base, "dim_user")
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        existing = (
+            spark.read.parquet(dim_path) if os.path.exists(dim_path) else None
+        )
+        dim = build_dim(batch, ["user_id"], [], "dim_user_key", existing)
+        atomic_overwrite(dim, dim_path)
+
+    stream = _stream.read_stream(spark, sf_dir, "events").select("user_id", "ts")
+    _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+    return spark.read.parquet(dim_path)
+
+
+@query(
+    "stream_running_user_stats",
+    """
+    SELECT user_id, count(*) AS n_events, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    (count, max) in Arrow-batched Python state; single-batch source makes
+    the final update equal the batch groupBy."""
+    stream = _stream.read_stream(spark, sf_dir, "events").select("user_id", "value", "ts")
+    return _stream.run_to_memory(_stream.running_user_stats(stream), "update")

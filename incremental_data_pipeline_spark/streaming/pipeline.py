@@ -1,0 +1,206 @@
+"""Structured Streaming layer: the reference's micro-batch-by-rerun CDC
+(watermark table + ADF re-trigger, SURVEY §2.8 I1) re-expressed as real
+Spark streams.
+
+Design notes (100 TB posture):
+- The file source + checkpointLocation subsumes the reference's 1-row
+  watermark control table (watermark_table.sql:1-9, stored_procedure.sql:1-12):
+  offset tracking IS the high-water mark, and it is transactional with the
+  sink via the checkpoint — no lost/duplicated batches on failure, which the
+  reference's update-after-copy ordering cannot guarantee.
+- Event-time watermarks (`withWatermark`) bound state for late data — the
+  reference has no late-data story at all (SURVEY §2.8 I5).
+- All aggregations here are built-in windowed aggs (tumbling via
+  ``F.window``, session via ``F.session_window``) so they run JVM-side with
+  partial aggregation; the one custom stateful operator uses
+  ``applyInPandasWithState`` (Arrow-batched), the sanctioned slow path.
+- The memory sink used by the test/oracle harness collects to the driver and
+  is test-only; production callers hand ``start_*`` a parquet/Kafka sink or
+  use ``foreach_batch_scd1`` which reuses the batch SCD1 upsert unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_data_pipeline_spark.sources.readers import load_table
+
+
+def read_stream(spark: SparkSession, sf_dir: str, name: str, ts_col: str = "ts") -> DataFrame:
+    """File-source readStream over one fixture table.
+
+    Streaming sources need an explicit schema; we take it from a batch scan
+    of the same path (self-describing parquet). Nanosecond timestamps arrive
+    as raw int64 (nanosAsLong, set by load_table) and are converted to
+    microsecond TimestampType exactly as the batch reader does, so batch and
+    stream plans see one schema.
+    """
+    batch = load_table(spark, sf_dir, name)  # also sets nanosAsLong conf
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema  # pre-conversion schema
+    # FileStreamSource forces basePath = the source path unless the path is
+    # a glob; a single-file fixture then fails ("basePath must be a
+    # directory"). An exact-match {name} glob sidesteps the override and
+    # leaves basePath at the parent directory.
+    stream_path = path if os.path.isdir(path) else f"{os.path.dirname(path)}/{{{os.path.basename(path)}}}"
+    stream = spark.readStream.schema(raw_schema).parquet(stream_path)
+    for field in raw_schema:
+        if field.name == ts_col and field.dataType.typeName() == "long":
+            stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    return stream.select(*[f.name for f in batch.schema])
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Drain a bounded stream into a memory sink and return the result.
+
+    Synchronous: processAllAvailable() blocks until every available input
+    file is consumed and all resulting state transitions have been emitted.
+    Test-only sink — see module docstring.
+    """
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def tumbling_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window_duration: str,
+    group_cols: list[str],
+    aggs: list,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Tumbling event-time window aggregation with a late-data watermark.
+
+    Windows are epoch-aligned (Spark `F.window` semantics), so the DuckDB
+    oracle is `date_trunc`. Partial aggregation happens map-side before the
+    shuffle on (window, group_cols) — the same plan shape as a batch
+    groupBy, with state bounded by the watermark.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration), *group_cols)
+        .agg(*aggs)
+        .withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+    )
+
+
+def session_window_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str,
+    group_cols: list[str],
+    aggs: list,
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Session windows: events within ``gap`` of each other merge into one
+    session per group (built-in ``F.session_window``, state merged
+    incrementally — no gaps-and-islands self-join as a batch engine needs).
+    """
+    return (
+        stream.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.session_window(ts_col, gap), *group_cols)
+        .agg(*aggs)
+        .withColumn("session_start", F.col("session_window.start"))
+        .withColumn("session_end", F.col("session_window.end"))
+        .drop("session_window")
+    )
+
+
+def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str, delay: str) -> DataFrame:
+    """First-arrival-per-key projection of a stream. State is bounded by the
+    event-time watermark (``dropDuplicatesWithinWatermark``): a key's dedup
+    entry is evicted once the watermark passes it, so state is O(keys per
+    delay window), not O(all keys ever) — the property that lets this run
+    forever on an unbounded stream. Duplicates farther apart than ``delay``
+    re-emit by design (pick delay >= the real out-of-orderness bound)."""
+    deduped = stream.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return deduped.select(*keys)
+
+
+def foreach_batch_scd1(
+    stream: DataFrame,
+    apply_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> None:
+    """Drive the batch SCD1/upsert path from a stream: each micro-batch is a
+    normal DataFrame handed to the same ``build_dim``/upsert code the batch
+    pipeline uses (one implementation, two execution modes). The checkpoint
+    makes delivery at-least-once; the idempotent upsert makes the composed
+    system effectively-once."""
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
+def running_user_stats(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count and running max(value), emitted (update mode) once per
+    micro-batch that touches the user. Arrow-batched; state is one small
+    tuple per user, evicted by processing-time timeout.
+
+    This is the escape hatch for semantics built-ins can't express —
+    here deliberately simple so the oracle (final batch == groupBy result
+    when the source arrives in one micro-batch) stays checkable.
+    """
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("max_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("mx", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, mx = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, mx))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

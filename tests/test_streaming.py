@@ -1,0 +1,137 @@
+"""Structured Streaming tests: oracle parity at sf0.001 plus the
+streaming-only guarantees the batch oracle can't express — incremental
+multi-batch arrival, checkpointed replay idempotence, watermark-bounded
+dedup state."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_query_matches_oracle
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "stream_window_agg",
+        "stream_session_windows",
+        "stream_dedup",
+        "stream_scd1_dim",
+        "stream_running_user_stats",
+    ],
+)
+def test_streaming_oracle(spark, duck, name):
+    assert_query_matches_oracle(spark, duck, name)
+
+
+def _copy_split(src: str, dest_dir: str, df, ts_col: str, cut) -> tuple[str, str]:
+    """Write df split at `cut` as two plain files directly in dest_dir (the
+    file stream source lists a directory's immediate files, not subdirs)."""
+    import glob
+
+    out = []
+    for tag, pred in (("early", F.col(ts_col) <= F.lit(cut)), ("late", F.col(ts_col) > F.lit(cut))):
+        tmp = os.path.join(dest_dir, f"__{tag}__")
+        df.filter(pred).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        final = os.path.join(dest_dir, f"{tag}.parquet")
+        os.rename(part, final)
+        shutil.rmtree(tmp)
+        out.append(final)
+    return tuple(out)
+
+
+def test_multi_batch_scd1_keys_stable(spark):
+    """Streaming SCD1 over two micro-batches assigns each user exactly one
+    surrogate key, and batch-2 arrivals extend (never rewrite) batch-1 keys."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators.scd import build_dim
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_multibatch_")
+    try:
+        events = load_table(spark, SF_DIR, "events")
+        cut = datetime.datetime(2024, 1, 15)
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        _copy_split(SF_DIR, src_dir, events.select("user_id", "ts"), "ts", cut)
+
+        dim_path = os.path.join(base, "dim_user")
+
+        def apply_batch(batch, _epoch):
+            existing = spark.read.parquet(dim_path) if os.path.exists(dim_path) else None
+            atomic_overwrite(build_dim(batch, ["user_id"], [], "k", existing), dim_path)
+
+        # maxFilesPerTrigger=1 forces two micro-batches through foreachBatch.
+        schema = events.select("user_id", "ts").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        sp.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+
+        dim = spark.read.parquet(dim_path)
+        n_users = events.select("user_id").distinct().count()
+        assert dim.count() == n_users
+        assert dim.select("k").distinct().count() == n_users
+        # batch-1 users got the low key range, assigned before batch 2 arrived
+        batch1_users = {
+            r[0] for r in events.filter(F.col("ts") <= F.lit(cut)).select("user_id").distinct().collect()
+        }
+        low_keys = {r["user_id"] for r in dim.orderBy("k").limit(len(batch1_users)).collect()}
+        assert low_keys == batch1_users
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_foreach_batch_replay_is_noop(spark):
+    """Re-running the stream with the same checkpoint replays nothing: the
+    committed offsets make delivery effectively-once, so the dim is
+    byte-identical after a second drain."""
+    from incremental_data_pipeline_spark.operators.scd import build_dim
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_replay_")
+    try:
+        events = load_table(spark, SF_DIR, "events")
+        dim_path = os.path.join(base, "dim_user")
+        ckpt = os.path.join(base, "ckpt")
+
+        def apply_batch(batch, _epoch):
+            existing = spark.read.parquet(dim_path) if os.path.exists(dim_path) else None
+            atomic_overwrite(build_dim(batch, ["user_id"], [], "k", existing), dim_path)
+
+        def drain():
+            stream = sp.read_stream(spark, SF_DIR, "events").select("user_id", "ts")
+            sp.foreach_batch_scd1(stream, apply_batch, ckpt)
+            return sorted(
+                (r["user_id"], r["k"]) for r in spark.read.parquet(dim_path).collect()
+            )
+
+        first = drain()
+        second = drain()
+        assert first == second
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_dedup_bounded_state_schema(spark):
+    """dropDuplicatesWithinWatermark plan carries the event-time watermark
+    (state eviction is wired in), and output has no duplicate keys."""
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    stream = sp.read_stream(spark, SF_DIR, "events")
+    deduped = sp.streaming_dedup(stream, ["user_id", "event_type"], "ts", "35 days")
+    out = sp.run_to_memory(deduped, "append")
+    assert out.count() == out.distinct().count()
