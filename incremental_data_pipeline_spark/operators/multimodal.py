@@ -60,3 +60,79 @@ def decode_image(df: DataFrame, bin_col: str = "content") -> DataFrame:
         "image codecs not available in this environment; "
         "plug a decoder into decode_binary_metadata's extract loop"
     )
+
+
+FEATURE_DIM = 16
+FEATURES_SCHEMA = "doc_id long, feature array<double>"
+FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_bytes long, frame_md5 string"
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content") -> DataFrame:
+    """Feature extraction over binary payloads: Arrow-batched mapInPandas
+    producing a fixed-dim array<double> per payload.
+
+    The featurizer is a deterministic stand-in (L1-normalized 16-bin byte
+    histogram) for a real image/audio encoder — swap `_featurize` for a
+    model call; the Spark contract (schema, batch shape, narrow no-shuffle
+    map) is the production one. Output feeds the similarity operators
+    (brute_force_topk / lsh_topk / ivf_topk) unchanged.
+    """
+    import numpy as np
+
+    def _featurize(payload: bytes) -> list[float]:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        if arr.size == 0:
+            return [0.0] * FEATURE_DIM
+        hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float64")
+        return (hist / hist.sum()).tolist()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "feature": pdf[bin_col].map(_featurize),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample(
+    df: DataFrame, n_frames: int = 4, id_col: str = "doc_id", bin_col: str = "content"
+) -> DataFrame:
+    """Frame sampling over binary payloads: emit ``n_frames`` evenly spaced
+    chunks per payload (offset + length + content hash), the plumbing shape
+    of video keyframe extraction. One input row fans out to n output rows
+    inside the Arrow batch — still a narrow map, no shuffle.
+
+    A real codec would decode at each offset; byte-slicing is the
+    deterministic stand-in (codec libraries absent in this container).
+    """
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, offs, lens, md5s = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                size = len(payload)
+                step = max(size // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, size)
+                    chunk = bytes(payload[off : off + step])
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_offset": pd.Series(offs, dtype="int64"),
+                    "frame_bytes": pd.Series(lens, dtype="int64"),
+                    "frame_md5": md5s,
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -110,3 +110,114 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from a shared LSH
+    bucket, confirmed by exact cosine >= threshold. Returns (left_id,
+    right_id, cosine) with left_id < right_id.
+
+    Scale shape: bucketing is a narrow per-row projection; the candidate
+    self-join is an equi-join on the bucket key, so the quadratic blow-up is
+    confined to single buckets (same trick as MinHash LSH text dedup, but in
+    embedding space). Pair-level recall is tunable via num_planes.
+    """
+    planes = hyperplanes(num_planes, dim)
+    b = corpus.select(
+        F.col(id_col).alias("vid"), quantize(vec_col).alias("v")
+    ).withColumn("bucket", _bucket(F.col("v"), planes))
+    left = b.select(
+        F.col("vid").alias("left_id"), F.col("v").alias("lv"), "bucket"
+    )
+    right = b.select(
+        F.col("vid").alias("right_id"), F.col("v").alias("rv"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", cosine_q(F.col("lv"), F.col("rv")))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat approximate top-k with a fixed centroid codebook.
+
+    ``centroids`` is a small driver-side list of (centroid_id, quantized
+    vector) — in production the output of a sampling/k-means job, here a
+    deterministic prefix of the corpus so the oracle can reproduce it.
+
+    Scale shape: cell assignment is a PER-ROW argmax over centroid literals
+    (zero shuffle, whole-stage codegen; the codebook rides into every task
+    as a constant, the vector analogue of a broadcast dim). Search probes
+    only ``nprobe`` cells per query, so the candidate equi-join on cell id
+    scales with cell occupancy, not corpus size.
+    """
+
+    def cell_scores(vcol: Column) -> Column:
+        # array<struct<cosine double, neg_id int>>, sorted desc by struct
+        # comparison => best cell first, ties to the lowest centroid id.
+        entries = [
+            F.struct(
+                # lit().cast("long"): int literals default to 32-bit and the
+                # quantized dot product overflows int32.
+                cosine_q(vcol, F.array(*[F.lit(x).cast("long") for x in cvec])).alias("cos"),
+                F.lit(-cid).alias("neg_id"),
+            )
+            for cid, cvec in centroids
+        ]
+        return F.reverse(F.array_sort(F.array(*entries)))
+
+    def top_cells(vcol: Column, n: int) -> Column:
+        return F.transform(F.slice(cell_scores(vcol), 1, n), lambda s: -s["neg_id"])
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
+    ).withColumn("cell", top_cells(F.col("cv"), 1).getItem(0))
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv"))
+        .withColumn("cell", F.explode(top_cells(F.col("qv"), nprobe)))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def centroid_codebook(
+    corpus: DataFrame, nlist: int, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> list[tuple[int, list[int]]]:
+    """Deterministic codebook: the nlist lowest-id vectors, quantized. A
+    tiny driver-side collect (nlist rows), same pattern as the reference's
+    scalar max(key) lookup (gold_dim_branch.py:127-128)."""
+    rows = (
+        corpus.select(F.col(id_col), quantize(vec_col).alias("v"))
+        .filter(F.col(id_col) < nlist)
+        .collect()
+    )
+    return sorted((r[0], list(r["v"])) for r in rows)

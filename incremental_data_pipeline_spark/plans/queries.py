@@ -969,3 +969,125 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final update equal the batch groupBy."""
     stream = _stream.read_stream(spark, sf_dir, "events").select("user_id", "value", "ts")
     return _stream.run_to_memory(_stream.running_user_stats(stream), "update")
+
+
+# --------------------------------------------------------------------------
+# Embedding-space near-dup + IVF ANN (north-star similarity extensions).
+# --------------------------------------------------------------------------
+
+_QV2 = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+def _near_dup_oracle(threshold: float, num_planes: int = 8) -> str:
+    planes = _sim.hyperplanes(num_planes, 64)
+    sign_exprs = []
+    for row in planes:
+        lit = "[" + ", ".join(str(v) for v in row) + "]"
+        sign_exprs.append(
+            f"CASE WHEN list_sum(list_transform(range(1, 65), i -> ({lit})[i] * v[i])) > 0"
+            " THEN '1' ELSE '0' END"
+        )
+    bucket = "concat(" + ", ".join(sign_exprs) + ")"
+    cos = (
+        f"CAST({_dot('lv', 'rv')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('lv', 'lv')} AS DOUBLE)) * sqrt(CAST({_dot('rv', 'rv')} AS DOUBLE)))"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
+    b AS (SELECT vec_id, v, {bucket} AS bucket FROM vecs),
+    pairs AS (
+      SELECT l.vec_id AS left_id, r.vec_id AS right_id, l.v AS lv, r.v AS rv
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+    SELECT left_id, right_id, {cos} AS cosine
+    FROM pairs WHERE {cos} >= {threshold}
+    """
+
+
+@query("embedding_near_dup", _near_dup_oracle(0.3))
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection in embedding space: LSH-bucket candidate
+    pairs confirmed by exact cosine >= 0.3 (fixture has no true dups; the
+    threshold sits at the tail of its similarity distribution)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.embedding_near_dup(emb, threshold=0.3)
+
+
+def _ivf_oracle(nlist: int, nprobe: int, k: int) -> str:
+    cos_cv = (
+        f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+    )
+    cos_qc = (
+        f"CAST({_dot('qv', 'ce')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs WHERE vec_id < {nlist}),
+    assign AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cv} DESC, cid ASC) AS rnk
+      FROM vecs CROSS JOIN cents),
+    cells AS (SELECT neighbor_id, cv, cid AS cell FROM assign WHERE rnk = 1),
+    qassign AS (
+      SELECT vec_id AS query_id, v AS qv, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY {cos_qc} DESC, cid ASC) AS rnk
+      FROM (SELECT * FROM vecs WHERE vec_id >= 20 AND vec_id < 40) CROSS JOIN cents),
+    probes AS (SELECT query_id, qv, cid AS cell FROM qassign WHERE rnk <= {nprobe}),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST({_dot('qv', 'cv')} AS DOUBLE) /
+        (sqrt(CAST({_dot('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE))) AS cosine
+      FROM cells JOIN probes USING (cell)
+      WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_ivf_topk", _ivf_oracle(nlist=8, nprobe=2, k=3))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: 8-cell deterministic codebook, queries probe their 2
+    best cells; per-row codegen'd cell assignment, no shuffle on the corpus
+    side beyond the final candidate equi-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _sim.centroid_codebook(emb, nlist=8)
+    queries_df = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    return _sim.ivf_topk(emb, queries_df, codebook, k=3, nprobe=2)
+
+
+@query(
+    "multimodal_frames",
+    """
+    WITH sized AS (
+      SELECT doc_id, text, length(text) AS size,
+             greatest(length(text) // 4, 1) AS step
+      FROM documents)
+    SELECT doc_id,
+      CAST(i AS INTEGER) AS frame_idx,
+      CAST(least(i * step, size) AS BIGINT) AS frame_offset,
+      CAST(length(substring(text, least(i * step, size) + 1, step)) AS BIGINT) AS frame_bytes,
+      md5(substring(text, least(i * step, size) + 1, step)) AS frame_md5
+    FROM sized CROSS JOIN range(0, 4) r(i)
+    """,
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-keyframe-shaped plumbing: 4 evenly spaced byte-slice 'frames'
+    per binary payload via Arrow-batched mapInPandas (1 row -> 4 rows inside
+    the batch, no shuffle). Oracle is exact because the fixture text is pure
+    ASCII (byte slice == char slice)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _mm.frame_sample(_mm.attach_binary(docs), n_frames=4)
+
+
+@query("multimodal_features")  # rows-only: per-byte histogram isn't ANSI-SQL
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-featurizer stand-in for an image/audio encoder: 16-bin byte
+    histogram as array<double>, the exact schema the similarity operators
+    consume. Driver records a rows-only check (per __spark_entry__ contract
+    for non-SQL-expressible ops)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _mm.extract_features(_mm.attach_binary(docs))

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 
 from incremental_data_pipeline_spark.operators import similarity
 from incremental_data_pipeline_spark.sources.readers import load_table
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_query_matches_oracle
 
 
 def test_ann_scores_match_brute_force_for_shared_pairs(spark):
@@ -56,3 +56,54 @@ def test_multimodal_decode_batch_shape(spark):
         "first_byte",
         "content_md5",
     ]
+
+
+def test_embedding_near_dup_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "embedding_near_dup")
+
+
+def test_ann_ivf_topk_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "ann_ivf_topk")
+
+
+def test_ivf_recall_vs_exact(spark):
+    """IVF with nprobe=nlist degenerates to exact search: recall == 1."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import similarity as sim
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    codebook = sim.centroid_codebook(emb, nlist=4)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, q, k=3).collect()
+    }
+    ivf_all = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk(emb, q, codebook, k=3, nprobe=4).collect()
+    }
+    assert ivf_all == exact
+
+
+def test_multimodal_frames_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "multimodal_frames")
+
+
+def test_multimodal_features_shape(spark):
+    """Feature stub: fixed dim, L1-normalized, one row per doc."""
+    import math
+
+    from incremental_data_pipeline_spark.operators import multimodal as mm
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = mm.extract_features(mm.attach_binary(docs))
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    for r in rows[:20]:
+        assert len(r["feature"]) == mm.FEATURE_DIM
+        assert math.isclose(sum(r["feature"]), 1.0, rel_tol=1e-9)
