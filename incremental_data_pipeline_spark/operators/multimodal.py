@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from incremental_data_pipeline_spark.functions.util import fan_out
+
 DECODED_SCHEMA = "doc_id long, n_bytes long, first_byte int, content_md5 string"
 
 
@@ -51,7 +53,7 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str =
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(extract, DECODED_SCHEMA)
+    return fan_out(df).select(id_col, bin_col).mapInPandas(extract, DECODED_SCHEMA)
 
 
 def decode_image(df: DataFrame, bin_col: str = "content") -> DataFrame:
@@ -95,7 +97,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "cont
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, FEATURES_SCHEMA)
+    return fan_out(df).select(id_col, bin_col).mapInPandas(run, FEATURES_SCHEMA)
 
 
 def frame_sample(
@@ -135,4 +137,4 @@ def frame_sample(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)
+    return fan_out(df).select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)

@@ -23,6 +23,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from incremental_data_pipeline_spark.functions.util import fan_out
 from incremental_data_pipeline_spark.functions.vector import cosine_q, quantize
 
 
@@ -64,7 +65,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
+    c = fan_out(corpus).select(F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -94,7 +95,7 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
     ).withColumn("bucket", _bucket(F.col("qv"), planes))
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
     ).withColumn("bucket", _bucket(F.col("cv"), planes))
     scored = (
@@ -130,7 +131,7 @@ def embedding_near_dup(
     embedding space). Pair-level recall is tunable via num_planes.
     """
     planes = hyperplanes(num_planes, dim)
-    b = corpus.select(
+    b = fan_out(corpus).select(
         F.col(id_col).alias("vid"), quantize(vec_col).alias("v")
     ).withColumn("bucket", _bucket(F.col("v"), planes))
     left = b.select(
@@ -187,7 +188,7 @@ def ivf_topk(
     def top_cells(vcol: Column, n: int) -> Column:
         return F.transform(F.slice(cell_scores(vcol), 1, n), lambda s: -s["neg_id"])
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
     ).withColumn("cell", top_cells(F.col("cv"), 1).getItem(0))
     q = (

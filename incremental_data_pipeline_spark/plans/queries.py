@@ -686,24 +686,39 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    f"""
-    WITH {_SHINGLES_CTE},
-    mh AS (
-      SELECT doc_id, seed, min(md5(concat(CAST(seed AS VARCHAR), ':', shingle))) AS minhash
-      FROM sh CROSS JOIN (SELECT unnest(range(12)) AS seed)
-      GROUP BY doc_id, seed),
-    bands AS (
-      SELECT doc_id, (seed // 3) AS band,
-             string_agg(minhash, '|' ORDER BY minhash) AS band_sig
-      FROM mh GROUP BY doc_id, (seed // 3))
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
-    """,
+    None,  # oracle injected below (generated from the same hash constants)
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.lsh_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+
+
+def _minhash_oracle(num_hashes: int = 12, rows_per_band: int = 3) -> str:
+    coeffs = _dedup.minhash_coeffs(num_hashes)
+    mins = ", ".join(
+        f"min(({a} * xv + {b}) % {_dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    n_bands = num_hashes // rows_per_band
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, concat({cols}) AS band_sig FROM mh".format(
+            j=j,
+            cols=", '|', ".join(f"mh{j * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for j in range(n_bands)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    x AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS xv FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM x GROUP BY doc_id),
+    bands AS ({band_rows})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+    """
+
+
+ORACLE["dedup_minhash_lsh"] = _minhash_oracle()
 
 
 def _simhash_oracle() -> str:
