@@ -38,9 +38,13 @@ HEADLINE = [
     "medallion_e2e",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "embedding_near_dup",
     "text_quality",
     "knn_cosine_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
+    "stream_window_agg",
+    "multimodal_frames",
 ]
 
 

@@ -171,19 +171,26 @@ def ivf_topk(
     scales with cell occupancy, not corpus size.
     """
 
+    # The codebook enters the plan as ONE nested-array literal (not nlist×dim
+    # scalar Literal nodes): per-plan analysis/codegen stays O(1) in codebook
+    # size, which is what keeps re-planning cheap as nlist grows.
+    matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
+    ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+
     def cell_scores(vcol: Column) -> Column:
         # array<struct<cosine double, neg_id int>>, sorted desc by struct
         # comparison => best cell first, ties to the lowest centroid id.
-        entries = [
-            F.struct(
-                # lit().cast("long"): int literals default to 32-bit and the
-                # quantized dot product overflows int32.
-                cosine_q(vcol, F.array(*[F.lit(x).cast("long") for x in cvec])).alias("cos"),
-                F.lit(-cid).alias("neg_id"),
+        return F.reverse(
+            F.array_sort(
+                F.transform(
+                    matrix,
+                    lambda c, i: F.struct(
+                        cosine_q(vcol, c).alias("cos"),
+                        (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
+                    ),
+                )
             )
-            for cid, cvec in centroids
-        ]
-        return F.reverse(F.array_sort(F.array(*entries)))
+        )
 
     def top_cells(vcol: Column, n: int) -> Column:
         return F.transform(F.slice(cell_scores(vcol), 1, n), lambda s: -s["neg_id"])

@@ -54,6 +54,7 @@ class MedallionPipeline:
         keys: list[str],
         initial_watermark: Any,
         current_load: Any | None = None,
+        count_rows: bool = True,
     ) -> int:
         """One watermark batch into bronze. Replay-safe: the sink dedups on
         ``keys``, so at-least-once delivery cannot duplicate the layer
@@ -66,7 +67,7 @@ class MedallionPipeline:
         def sink(batch: DataFrame) -> None:
             idempotent_append(self.spark, batch, sink_path, keys)
 
-        return run_incremental_batch(source, ts_col, store, sink, current_load)
+        return run_incremental_batch(source, ts_col, store, sink, current_load, count_rows)
 
     # -- silver: declarative transform --
 

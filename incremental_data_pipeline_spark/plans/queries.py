@@ -528,7 +528,9 @@ def medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = datetime.datetime(2023, 1, 1)
     cut = datetime.datetime.fromisoformat(_E2E_CUT)
     for current in (cut, None):  # batch 1: (seed, cut]; batch 2: (cut, max(ts)]
-        pipe.ingest_bronze(events, "events", "ts", ["event_id"], seed, current)
+        pipe.ingest_bronze(
+            events, "events", "ts", ["event_id"], seed, current, count_rows=False
+        )
         silver = pipe.build_silver("events", lambda df: df)
         pipe.build_gold_dim("dim_user", silver, ["user_id"], [], "dim_user_key")
         pipe.build_gold_dim("dim_event_type", silver, ["event_type"], [], "dim_event_type_key")

@@ -53,6 +53,7 @@ def run_incremental_batch(
     store: WatermarkStore,
     sink: Callable[[DataFrame], None],
     current_load: Any | None = None,
+    count_rows: bool = True,
 ) -> int:
     """One incremental load: extract ``(last_load, current_load]``, deliver
     to the sink, then advance the watermark. Returns rows delivered.
@@ -68,9 +69,10 @@ def run_incremental_batch(
         if current_load is None:
             return 0
     batch = watermark_range(source, ts_col, last, current_load)
-    # Spark actions are lazy: the sink callable triggers the write; count
-    # afterwards reads the delivered batch boundary from the same window.
+    # Spark actions are lazy: the sink callable triggers the write; the
+    # count (an extra scan of the window) is skippable when the caller
+    # doesn't consume it.
     sink(batch)
-    n = batch.count()
+    n = batch.count() if count_rows else -1
     store.advance(current_load)
     return n
