@@ -32,3 +32,65 @@ def distinct_dim_source(df: DataFrame, cols: list[str]) -> DataFrame:
     """DISTINCT projection used to source a dimension (reference:
     gold_dim_model.py:35-40 — the one notebook that deduplicated)."""
     return df.select(*cols).distinct()
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the left side gets a deterministic salt in
+    [0, n_salts) and the right side is replicated once per salt, so a hot
+    key's rows spread across ``n_salts`` reducers instead of one straggler
+    task. Result set is identical to the plain join (salt only changes the
+    physical partitioning). Use when a key's frequency is pathological and
+    AQE's skew-join splitting isn't available/enough; cost is an n_salts×
+    replication of the (smaller) right side."""
+    salt = F.pmod(F.xxhash64(*[F.col(k) for k in left.columns]), F.lit(n_salts))
+    l = left.withColumn("__salt", salt.cast("int"))
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, [*keys, "__salt"], how).drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+) -> DataFrame:
+    """Backward as-of join: each left row picks up the payload of the
+    latest right row with ``right_ts <= left_ts`` for the same key.
+
+    Spark has no ASOF primitive; the naive theta-join (key equal AND ts <=)
+    explodes quadratically per key. This is the scalable formulation: tag
+    and union both sides, one shuffle on the key, and a running
+    last(ignorenulls) over (ts, right-before-left) order — linear in
+    rows, no per-key fan-out. Right side must be unique per (key, ts) for
+    deterministic payloads (pre-aggregate if not).
+    """
+    l = left.withColumn("__is_r", F.lit(0))
+    r = right.select(
+        *keys, F.col(right_ts).alias(left_ts), *payload
+    ).withColumn("__is_r", F.lit(1))
+    left_extra = [c for c in left.columns if c not in {*keys, left_ts}]
+    for c in payload:
+        l = l.withColumn(c, F.lit(None).cast(dict(right.dtypes)[c]))
+    for c in left_extra:
+        r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    cols = [*keys, left_ts, "__is_r", *left_extra, *payload]
+    u = l.select(*cols).unionByName(r.select(*cols))
+    # right rows sort before left rows at equal ts => ties count as matches
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(left_ts).asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in payload:
+        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return u.filter(F.col("__is_r") == 0).drop("__is_r")

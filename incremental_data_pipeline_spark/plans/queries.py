@@ -1108,3 +1108,149 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     for non-SQL-expressible ops)."""
     docs = load_table(spark, sf_dir, "documents")
     return _mm.extract_features(_mm.attach_binary(docs))
+
+
+# --------------------------------------------------------------------------
+# Extended relational surface: multi-level aggregation, analytic windows,
+# set ops, skew-safe and as-of joins. Free wins on Spark (SURVEY §2.4/§2.6
+# "all 1-liners if we choose to expose them") — exposed with oracles.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "agg_rollup",
+    """
+    SELECT
+      CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+      o_orderpriority,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      count(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals (year, priority) -> (year) -> (grand): one pass,
+    Catalyst Expand + partial agg — no N-query union."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup(
+        F.year("o_orderdate").cast("int").alias("order_year"), "o_orderpriority"
+    ).agg(dec_sum("o_totalprice", "total_price"), F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "agg_cube",
+    """
+    SELECT
+      o_orderstatus,
+      o_orderpriority,
+      count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (1, 2)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "window_lag_gap",
+    """
+    SELECT o_custkey, o_orderkey,
+      date_diff('day',
+        lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer inter-order gap via lag(): analytic window, order made
+    total by (date, key) so ties can't flip cross-engine."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w)).alias(
+            "days_since_prev"
+        ),
+    )
+
+
+@query(
+    "except_lapsed_custs",
+    """
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+    """,
+)
+def except_lapsed_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers active in 1997 who placed nothing in 1998."""
+    o = load_table(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.subtract(y98)
+
+
+@query(
+    "salted_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      count(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-safe join: deterministic salt on the probe side, replicated
+    build side — result identical to the plain join (the oracle IS the
+    plain join), only the shuffle layout changes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = relational.salted_join(
+        li.select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"),
+        o,
+        ["o_orderkey"],
+        n_salts=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        dec_sum("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@query(
+    "asof_join_last_order",
+    """
+    WITH ev AS (SELECT event_id, user_id, ts FROM events),
+    o AS (
+      SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ots,
+             max(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY 1, 2)
+    SELECT ev.event_id, ev.user_id, ev.ts, o.last_orderkey
+    FROM ev ASOF LEFT JOIN o ON ev.user_id = o.user_id AND ev.ts >= o.ots
+    """,
+)
+def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the canonical time-series lookup Spark lacks as a
+    primitive): each event picks up the latest order at-or-before its
+    timestamp — union + single key shuffle + running last(), never a
+    per-key quadratic theta-join. Oracle: DuckDB's native ASOF JOIN."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp").alias("ots"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    return relational.asof_join(
+        ev, o, ["user_id"], "ts", "ots", ["last_orderkey"]
+    )
