@@ -1254,3 +1254,26 @@ def asof_join_last_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.asof_join(
         ev, o, ["user_id"], "ts", "ots", ["last_orderkey"]
     )
+
+
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+      count(*) AS n_events,
+      CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+      max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: typed from_json parse (stays in
+    Tungsten, no string re-parse per access) then a plain agg."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("p.k").cast("bigint").alias("sum_k"),
+        F.max("p.k").alias("max_k"),
+    )

@@ -63,3 +63,24 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_keys: list[str], num_buckets: int = 16
+) -> None:
+    """Persist as a bucketed managed table: rows are hash-partitioned into
+    ``num_buckets`` files per partition BY KEY AT WRITE TIME, so any later
+    equi-join or agg on the bucket keys skips its Exchange entirely — the
+    pre-shuffle is amortized across every downstream consumer. This is the
+    co-located-join design for repeatedly joined 100 TB fact tables.
+
+    Uses the session catalog (in-memory or Hive); bucketing metadata lives
+    with the table, Catalyst picks it up automatically.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_keys)
+        .sortBy(*bucket_keys)
+        .saveAsTable(table)
+    )

@@ -50,3 +50,37 @@ def test_asof_join_tie_and_miss_semantics(spark):
     )
     out = {r["tag"]: r["v"] for r in asof_join(left, right, ["k"], "ts", "rts", ["v"]).collect()}
     assert out == {"a": 100, "b": 150, "c": None}
+
+
+def test_json_props_stats_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "json_props_stats")
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Joining two tables bucketed on the join key runs with ZERO Exchange
+    operators — the write-time hash partitioning is reused by Catalyst.
+    This is the co-located-join path for repeatedly joined big tables."""
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import write_bucketed
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    write_bucketed(li, "bkt_lineitem", ["l_orderkey"], num_buckets=8)
+    write_bucketed(o, "bkt_orders", ["l_orderkey"], num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path (broadcast would win on fixture-sized
+        # tables and hide the bucketing effect this test demonstrates)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_lineitem").join(spark.table("bkt_orders"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        # and the result is still the plain join
+        assert joined.count() == li.join(o, "l_orderkey").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
