@@ -77,3 +77,34 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     (reference: gold_dim_branch.py:32-37 `SELECT ... FROM PARQUET.path`)."""
     for n, df in load_tables(spark, sf_dir, *names).items():
         df.createOrReplaceTempView(n)
+
+
+def read_csv_source(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV ingestion source (reference S1: ADF Copy of SalesData.csv into the
+    SQL landing table — docs/copy.PNG, create_table_query.sql:1-15).
+
+    Handles the dirty-data traits of the reference corpus (SURVEY §1.3):
+    quoted fields with embedded commas, a BOM on the header row (Spark's
+    UTF-8 reader strips it when ``encoding`` is default), and explicit
+    schemas instead of inference — at 100 TB, inferSchema is an extra full
+    scan, and a drifting inferred type silently corrupts downstream tables.
+    Malformed rows are quarantined in ``_corrupt_record`` (PERMISSIVE) so
+    ingestion never drops data silently.
+    """
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")  # small/dev files only
+    return reader.csv(path)

@@ -1,0 +1,94 @@
+"""Property-based tests (hypothesis): operator invariants that must hold on
+ANY input, not just the fixtures. Spark sessions are expensive, so examples
+are capped small and deadlines disabled."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SMALL = {
+    "max_examples": 15,
+    "deadline": None,
+    "suppress_health_check": [HealthCheck.function_scoped_fixture],
+}
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # key
+        st.integers(min_value=0, max_value=100),  # ts
+        st.integers(min_value=0, max_value=999),  # payload
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=rows_strategy, right=rows_strategy)
+@settings(**SMALL)
+def test_asof_join_matches_python_reference(spark, left, right):
+    """asof_join == the obvious per-row Python maximum-prior lookup."""
+    from incremental_data_pipeline_spark.operators.relational import asof_join
+
+    # dedup right per (key, ts) keeping max payload => deterministic
+    rmap = {}
+    for k, t, v in right:
+        rmap[(k, t)] = max(rmap.get((k, t), -1), v)
+    rdata = [(k, t, v) for (k, t), v in rmap.items()]
+
+    ldf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t, _) in enumerate(left)] or [(None, None, None)],
+        "row_id int, k int, ts int",
+    ).filter("row_id IS NOT NULL")
+    rdf = spark.createDataFrame(
+        rdata or [(None, None, None)], "k int, rts int, v int"
+    ).filter("k IS NOT NULL")
+
+    got = {
+        r["row_id"]: r["v"]
+        for r in asof_join(ldf, rdf, ["k"], "ts", "rts", ["v"]).collect()
+    }
+    for i, (k, t, _) in enumerate(left):
+        # reference: payload of the row with the greatest ts <= t (unique per ts)
+        best_ts = max((tt for kk, tt, vv in rdata if kk == k and tt <= t), default=None)
+        expect = rmap.get((k, best_ts)) if best_ts is not None else None
+        assert got.get(i) == expect, (i, k, t, got.get(i), expect)
+
+
+@given(
+    keys=st.lists(st.text(alphabet="abcde", min_size=1, max_size=3), min_size=0, max_size=30)
+)
+@settings(**SMALL)
+def test_surrogate_keys_dense_unique_from_base(spark, keys):
+    """Keys are dense 1..N over distinct natural keys, for both the global
+    and the scalable generator (SURVEY §2.9 #3 normalization)."""
+    from incremental_data_pipeline_spark.operators.scd import assign_surrogate_keys
+
+    df = spark.createDataFrame([(k,) for k in keys] or [(None,)], "nk string").filter(
+        "nk IS NOT NULL"
+    ).distinct()
+    n = df.count()
+    for scalable in (False, True):
+        out = assign_surrogate_keys(df, "sk", ["nk"], base=0, scalable=scalable)
+        got = sorted(r["sk"] for r in out.collect())
+        assert got == list(range(1, n + 1)), (scalable, got)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc d", min_size=0, max_size=20), min_size=1, max_size=10
+    )
+)
+@settings(**SMALL)
+def test_exact_dedup_partitions_corpus(spark, texts):
+    """Every doc belongs to exactly one content group; group sizes sum to
+    the corpus size; canonical ids are members of their own group."""
+    from incremental_data_pipeline_spark.operators.dedup import exact_dedup_groups
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    groups = exact_dedup_groups(df, "text", "doc_id").collect()
+    assert sum(g["n_copies"] for g in groups) == len(texts)
+    ids = [g["keep_id"] for g in groups]
+    assert len(set(ids)) == len(ids)

@@ -1,0 +1,64 @@
+"""Sources: CSV ingestion (dirty-data traits), layer catalog, sinks."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_csv_source_quoted_commas_and_bom(spark, tmp_path):
+    """Reference corpus traits (SURVEY §1.3): BOM on header, embedded commas
+    in quoted names — both must parse losslessly with an explicit schema."""
+    from incremental_data_pipeline_spark.sources.readers import read_csv_source
+
+    p = tmp_path / "sales.csv"
+    p.write_bytes(
+        "﻿Branch_ID,BranchName,Revenue\n"
+        'BR1,"AMC, Inc",100\n'
+        'BR2,"Austin ""South"" Lot",200\n'.encode()
+    )
+    df = read_csv_source(
+        spark, str(p), "Branch_ID string, BranchName string, Revenue bigint"
+    )
+    rows = {r["Branch_ID"]: r for r in df.collect()}
+    assert rows["BR1"]["BranchName"] == "AMC, Inc"
+    assert rows["BR2"]["BranchName"] == 'Austin "South" Lot'
+    assert rows["BR1"]["Revenue"] == 100
+
+
+def test_csv_source_quarantines_malformed(spark, tmp_path):
+    from incremental_data_pipeline_spark.sources.readers import read_csv_source
+
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b\n1,2\nnot_an_int,3\n")
+    df = read_csv_source(
+        spark, str(p), "a bigint, b bigint, _corrupt_record string"
+    ).cache()
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull())
+        bad = df.filter(F.col("_corrupt_record").isNotNull())
+        assert good.count() == 1 and bad.count() == 1
+        assert bad.first()["_corrupt_record"].startswith("not_an_int")
+    finally:
+        df.unpersist()
+
+
+def test_layer_catalog_roundtrip_and_exists_gate(spark, tmp_path):
+    """S7/S12/S13: layered namespaces, tableExists bootstrap gate, external
+    path-based tables (reference S10 overwrite+path+saveAsTable)."""
+    from incremental_data_pipeline_spark.sources.catalog import LayerCatalog
+
+    cat = LayerCatalog(spark)
+    try:
+        assert not cat.exists("gold", "dim_demo")
+        src = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+        cat.write(src, "gold", "dim_demo", path=str(tmp_path / "dim_demo"))
+        assert cat.exists("gold", "dim_demo")
+        assert sorted(tuple(r) for r in cat.read("gold", "dim_demo").collect()) == [
+            (1, "a"),
+            (2, "b"),
+        ]
+        assert os.path.exists(tmp_path / "dim_demo")  # external location
+    finally:
+        cat.drop("gold", "dim_demo")
