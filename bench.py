@@ -62,7 +62,13 @@ def main() -> None:
     spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
     spark.sparkContext.setLogLevel("ERROR")
 
-    _force(QUERIES[HEADLINE[0]](spark, sf_dir))  # warm-up, untimed
+    # Warm-up, untimed: JVM/codegen JIT via the first query, plus one tiny
+    # Arrow/Pandas-UDF round to spin up the Python worker pool (so queries
+    # that use mapInPandas measure compute, not interpreter fork time).
+    _force(QUERIES[HEADLINE[0]](spark, sf_dir))
+    spark.range(64).repartition(int(cpus)).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1277,3 +1277,25 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p.k").cast("bigint").alias("sum_k"),
         F.max("p.k").alias("max_k"),
     )
+
+
+@query(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT)
+        AS n_bpe_tokens,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways: whitespace split (hot path) and the BPE-ish
+    pre-tokenizer regex (words | numbers | single punctuation) — the
+    LLM-pipeline token-budget estimator."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_text.tokens_regex("text")).cast("long").alias("n_bpe_tokens"),
+        F.size(_text.tokens("text")).cast("long").alias("n_ws_tokens"),
+    )
