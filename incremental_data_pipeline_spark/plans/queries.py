@@ -1299,3 +1299,35 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(_text.tokens_regex("text")).cast("long").alias("n_bpe_tokens"),
         F.size(_text.tokens("text")).cast("long").alias("n_ws_tokens"),
     )
+
+
+@query(
+    "window_running_total",
+    """
+    SELECT o_custkey, o_orderkey,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame spec (rowsBetween): per-customer cumulative spend.
+    Total order (date, key) + decimal partial sums keep it bit-stable."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )

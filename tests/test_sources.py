@@ -62,3 +62,30 @@ def test_layer_catalog_roundtrip_and_exists_gate(spark, tmp_path):
         assert os.path.exists(tmp_path / "dim_demo")  # external location
     finally:
         cat.drop("gold", "dim_demo")
+
+
+def test_partitioned_write_prunes_on_read(spark, tmp_path):
+    """Dynamic-partition-overwrite layout + predicate on the partition
+    column => the scan lists only matching directories (PartitionFilters in
+    the plan, not a post-scan filter). The partition-pruning path that makes
+    time-partitioned 100 TB tables readable per-batch."""
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import overwrite_partitions
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_day")
+    overwrite_partitions(ev, path, ["day"])
+
+    got = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan, plan
+    expect = ev.filter(F.col("day") == "2024-01-05").count()
+    assert got.count() == expect
+
+    # idempotence: re-writing one day's slice touches only that partition
+    one_day = ev.filter(F.col("day") == "2024-01-05")
+    overwrite_partitions(one_day, path, ["day"])
+    assert spark.read.parquet(path).count() == ev.count()
