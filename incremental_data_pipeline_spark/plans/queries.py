@@ -1331,3 +1331,20 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("running_spend"),
     )
+
+
+@query("sketch_stats")  # rows-only: HLL/quantile sketches are impl-specific
+def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct count
+    and approximate percentiles — one pass, fixed memory, mergeable partial
+    states (vs. exact count-distinct's full shuffle of the key universe).
+    Values are engine-specific by nature => rows-only driver check; the
+    5%-of-exact accuracy bound is asserted in tests/test_relational_ext.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

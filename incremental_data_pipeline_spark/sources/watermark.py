@@ -23,11 +23,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from incremental_data_pipeline_spark.operators.cdc import watermark_range
-from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
 
 
 class WatermarkStore:
-    """1-row state table holding the last successfully loaded watermark."""
+    """1-row state table holding the last successfully loaded watermark.
+
+    Control-plane state, not data: reads/writes go through driver-side
+    pyarrow (same parquet-directory layout a Spark scan reads), so a batch
+    spends zero Spark jobs on its bookkeeping — at one job every few
+    hundred ms of scheduler overhead, the control plane would otherwise
+    cost as much as small batches themselves.
+    """
 
     def __init__(self, spark: SparkSession, path: str, initial: Any):
         self.spark = spark
@@ -38,13 +44,34 @@ class WatermarkStore:
         """Reference: ADF Lookup of last_load (watermark_table.sql:1-4)."""
         if not os.path.exists(self.path):
             return self.initial
-        return self.spark.read.parquet(self.path).first()["last_load"]
+        import pyarrow.parquet as pq
+
+        value = pq.read_table(self.path).column("last_load")[0].as_py()
+        return value
 
     def advance(self, value: Any) -> None:
         """Reference: UpdateWatermarkTable sproc (stored_procedure.sql:1-12),
-        minus its missing-COMMIT bug — the swap is atomic."""
-        df = self.spark.createDataFrame([(value,)], ["last_load"])
-        atomic_overwrite(df, self.path)
+        minus its missing-COMMIT bug — the swap is atomic (write a fresh
+        directory, rename over the old one)."""
+        import shutil
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tmp = f"{self.path}.__tmp__{uuid.uuid4().hex[:8]}"
+        old = f"{self.path}.__old__{uuid.uuid4().hex[:8]}"
+        os.makedirs(tmp)
+        pq.write_table(
+            pa.table({"last_load": [value]}), os.path.join(tmp, "part-0.parquet")
+        )
+        try:
+            if os.path.exists(self.path):
+                os.rename(self.path, old)
+            os.rename(tmp, self.path)
+        finally:
+            shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_incremental_batch(

@@ -84,3 +84,16 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
+
+
+def test_sketch_stats_accuracy(spark):
+    """HLL distinct within 5% of exact; approx p50 within 5% of exact p50."""
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    row = QUERIES["sketch_stats"](spark, SF_DIR).first()
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact_orders = li.select("l_orderkey").distinct().count()
+    assert abs(row["approx_orders"] - exact_orders) / exact_orders < 0.05
+    exact_p50 = li.selectExpr("percentile(l_extendedprice, 0.5) AS p").first()["p"]
+    assert abs(row["price_quantiles"][0] - exact_p50) / exact_p50 < 0.05
