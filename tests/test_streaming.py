@@ -135,3 +135,56 @@ def test_streaming_dedup_bounded_state_schema(spark):
     deduped = sp.streaming_dedup(stream, ["user_id", "event_type"], "ts", "35 days")
     out = sp.run_to_memory(deduped, "append")
     assert out.count() == out.distinct().count()
+
+
+def test_window_agg_drops_data_later_than_watermark(spark):
+    """Append-mode windowed agg: an event arriving in a later micro-batch
+    whose event time is older than the advanced watermark is DROPPED (its
+    window already finalized). This is the bounded-state contract that lets
+    the agg run forever — and exactly what the reference lacks (SURVEY §2.8
+    I5: no late/out-of-order story)."""
+    import glob as _glob
+
+    base = tempfile.mkdtemp(prefix="stream_late_")
+    try:
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+
+        def write_file(tag, rows):
+            tmp = os.path.join(base, f"__{tag}__")
+            spark.createDataFrame(rows, "k string, ts timestamp").coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(src, f"{tag}.parquet"))
+            shutil.rmtree(tmp)
+
+        import datetime
+
+        T = datetime.datetime(2024, 1, 1)
+        H = datetime.timedelta(hours=1)
+        # batch 1: events through hour 10 => watermark advances to 10:00-1h
+        write_file("b1", [("a", T), ("a", T + H), ("a", T + 10 * H)])
+        # batch 2: an hour-0 straggler (far below watermark 09:00) + fresh row
+        write_file("b2", [("late", T), ("a", T + 11 * H)])
+
+        schema = "k string, ts timestamp"
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        from pyspark.sql import functions as F2
+
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F2.window("ts", "1 hour"))
+            .agg(F2.count(F2.lit(1)).alias("n"))
+            .select(F2.col("window.start").alias("ws"), "n")
+        )
+        from incremental_data_pipeline_spark.streaming.pipeline import run_to_memory
+
+        out = run_to_memory(agg, "append")
+        finalized = {(r["ws"], r["n"]) for r in out.collect()}
+        # hour-0 window finalized with ONLY the two on-time rows; the
+        # batch-2 straggler for hour 0 was dropped, not re-emitted.
+        assert (T, 2) in finalized, finalized
+        assert (T, 3) not in finalized, finalized
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
