@@ -1348,3 +1348,55 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@query(
+    "pivot_orders_by_priority",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+      count(*) FILTER (o_orderpriority = '1-URGENT') AS "1-URGENT",
+      count(*) FILTER (o_orderpriority = '2-HIGH') AS "2-HIGH",
+      count(*) FILTER (o_orderpriority = '3-MEDIUM') AS "3-MEDIUM",
+      count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+      count(*) FILTER (o_orderpriority = '5-LOW') AS "5-LOW"
+    FROM orders GROUP BY 1
+    """,
+)
+def pivot_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long->wide): explicit value list so the plan is a single
+    groupBy with conditional aggregates — no extra distinct-scan job, stable
+    column set at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .pivot("o_orderpriority", list(_PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "order_year", *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(p) for p in _PRIORITIES]
+    )
+
+
+@query(
+    "revenue_percentiles",
+    """
+    SELECT l_returnflag,
+      quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles,
+      count(*) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group: both engines use the same
+    linear interpolation on sorted doubles, so even this is bit-stable.
+    (The sketch variant for 100 TB is `sketch_stats`.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+        ).alias("price_quartiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
