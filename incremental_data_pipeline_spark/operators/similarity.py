@@ -14,6 +14,13 @@ Two strategies (north-star extension):
   string, so cost scales with bucket occupancy instead of corpus size.
   Planes are derived deterministically from md5 so the DuckDB oracle can
   reproduce bucket assignment exactly.
+
+Implementation note: scoring stays in JVM higher-order functions
+(zip_with/aggregate) rather than a Pandas UDF — measured at sf0.1, an
+Arrow-batched numpy cosine is ~5x SLOWER end-to-end (vector serialization
+dominates), while the HOF path runs the candidate set in ~0.5s warm. The
+one-shot bench cost of these queries is Catalyst analysis/codegen of the
+plane expressions, not execution.
 """
 
 from __future__ import annotations
