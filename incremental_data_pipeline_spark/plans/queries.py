@@ -982,10 +982,15 @@ def stream_scd1_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
-    (count, max) in Arrow-batched Python state; single-batch source makes
-    the final update equal the batch groupBy."""
+    (count, max) in Arrow-batched Python state. Update mode emits one row
+    per touched user per micro-batch; the running values are monotone, so a
+    max over emissions = the final state regardless of how the source was
+    split into batches (batch-count-invariant, hence oracle-stable)."""
     stream = _stream.read_stream(spark, sf_dir, "events").select("user_id", "value", "ts")
-    return _stream.run_to_memory(_stream.running_user_stats(stream), "update")
+    updates = _stream.run_to_memory(_stream.running_user_stats(stream), "update")
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
+    )
 
 
 # --------------------------------------------------------------------------
