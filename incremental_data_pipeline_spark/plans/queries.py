@@ -1405,3 +1405,27 @@ def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("price_quartiles"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+_TOP_CUSTOMERS_SQL = """
+SELECT c.c_custkey, c.c_name,
+  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value,
+  count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY lifetime_value DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+@query("sql_api_top_customers", _TOP_CUSTOMERS_SQL)
+def sql_api_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface (reference S6: spark.sql over registered views,
+    gold_dim_branch.py:32-37): the SAME SQL text the DuckDB oracle runs,
+    executed by Spark on temp views. The global ORDER BY + LIMIT compiles
+    to TakeOrderedAndProject (per-partition top-k, k-row merge on the
+    driver — no global sort)."""
+    from incremental_data_pipeline_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
+    return spark.sql(_TOP_CUSTOMERS_SQL)
