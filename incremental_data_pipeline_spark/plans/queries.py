@@ -1429,3 +1429,31 @@ def sql_api_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders", "customer")
     return spark.sql(_TOP_CUSTOMERS_SQL)
+
+
+def _simhash_near_dup_oracle(max_hamming: int = 3) -> str:
+    n_blocks = max_hamming + 1
+    width = 32 // n_blocks
+    blocks = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {j} AS blk, "
+        f"(simhash // {1 << (j * width)}) % {1 << width} AS blk_val FROM sh"
+        for j in range(n_blocks)
+    )
+    return f"""
+    WITH sim AS ({_simhash_oracle().strip()}),
+    sh AS (SELECT doc_id, simhash FROM sim),
+    banded AS ({blocks})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.blk = b.blk AND a.blk_val = b.blk_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@query("dedup_simhash_hamming", _simhash_near_dup_oracle(3))
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 3) with block-pigeonhole candidate
+    generation — equi-joins on fingerprint blocks, never all-pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)

@@ -48,3 +48,42 @@ def test_simhash_near_dups_have_close_hashes(spark):
     ham = joined.select(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("d"))
     assert ham.count() > 0
     assert ham.agg(F.max("d")).first()[0] < 8
+
+
+def test_dedup_simhash_hamming_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "dedup_simhash_hamming")
+
+
+def test_simhash_pigeonhole_catches_all_close_pairs(spark):
+    """Block-pigeonhole candidates are EXHAUSTIVE for hamming <= 3: compare
+    against the brute-force all-pairs filter on a sample."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators.dedup import (
+        simhash,
+        simhash_near_dup_pairs,
+    )
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(120)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_pairs(docs, "doc_id", "text", 3).collect()
+    }
+    sh = simhash(docs, "doc_id", "text")
+    a, b = sh.alias("a"), sh.alias("b")
+    brute = {
+        (r["doc_a"], r["doc_b"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert got == brute
