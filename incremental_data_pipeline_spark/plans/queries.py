@@ -1457,3 +1457,34 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation — equi-joins on fingerprint blocks, never all-pairs."""
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@query(
+    "intersect_retained_custs",
+    """
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1998
+    """,
+)
+def intersect_retained_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers active in both 1997 and 1998."""
+    o = load_table(spark, sf_dir, "orders")
+    y97 = o.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    y98 = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return y97.intersect(y98)
+
+
+@query(
+    "dedup_exact_corpus",
+    """
+    SELECT d.doc_id, d.text FROM documents d
+    JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)) k
+      USING (doc_id)
+    """,
+)
+def dedup_exact_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus itself (not just the groups): canonical
+    min-id row per content hash, materialized via left-semi join."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _dedup.exact_dedup(docs, "text", "doc_id")
