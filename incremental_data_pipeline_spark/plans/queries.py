@@ -1105,14 +1105,35 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _mm.frame_sample(_mm.attach_binary(docs), n_frames=4)
 
 
-@query("multimodal_features")  # rows-only: per-byte histogram isn't ANSI-SQL
+@query(
+    "multimodal_features",
+    """
+    WITH chars AS (
+      SELECT doc_id, ascii(unnest(string_split(text, ''))) // 16 AS bin FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, bin, count(*) AS cnt FROM chars GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, sum(cnt) AS total FROM counts GROUP BY 1)
+    SELECT d.doc_id, CAST(b.i AS INTEGER) AS bin,
+      CAST(coalesce(c.cnt, 0) AS DOUBLE) / t.total AS weight
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    CROSS JOIN range(0, 16) b(i)
+    LEFT JOIN counts c ON c.doc_id = d.doc_id AND c.bin = b.i
+    JOIN tot t ON t.doc_id = d.doc_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake-featurizer stand-in for an image/audio encoder: 16-bin byte
-    histogram as array<double>, the exact schema the similarity operators
-    consume. Driver records a rows-only check (per __spark_entry__ contract
-    for non-SQL-expressible ops)."""
+    histogram per payload, exploded to flat (doc_id, bin, weight) rows so
+    every cell is a hashable scalar. The array<double> form the similarity
+    operators consume stays available via ``operators.multimodal
+    .extract_features``; the oracle is exact because the fixture text is
+    pure ASCII (char histogram == byte histogram) and both engines compute
+    weight as the same IEEE double division count/total."""
     docs = load_table(spark, sf_dir, "documents")
-    return _mm.extract_features(_mm.attach_binary(docs))
+    feats = _mm.extract_features(_mm.attach_binary(docs))
+    return feats.select("doc_id", F.posexplode("feature").alias("bin", "weight"))
 
 
 # --------------------------------------------------------------------------
@@ -1346,12 +1367,21 @@ def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values are engine-specific by nature => rows-only driver check; the
     5%-of-exact accuracy bound is asserted in tests/test_relational_ext.py."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
-        ),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        li.agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("_q"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        # Flat scalar columns, not array<double>: tabular consumers (and the
+        # driver's pandas canonicalizer) need hashable cells.
+        .select(
+            "approx_orders",
+            F.col("_q")[0].alias("price_p50"),
+            F.col("_q")[1].alias("price_p95"),
+            F.col("_q")[2].alias("price_p99"),
+            "n_rows",
+        )
     )
 
 
@@ -1389,7 +1419,9 @@ def pivot_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_percentiles",
     """
     SELECT l_returnflag,
-      quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS price_quartiles,
+      quantile_cont(l_extendedprice, 0.25) AS price_p25,
+      quantile_cont(l_extendedprice, 0.5) AS price_p50,
+      quantile_cont(l_extendedprice, 0.75) AS price_p75,
       count(*) AS n
     FROM lineitem GROUP BY 1
     """,
@@ -1397,13 +1429,22 @@ def pivot_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per group: both engines use the same
     linear interpolation on sorted doubles, so even this is bit-stable.
+    Quartiles are projected as three scalar double columns (not an
+    array<double>) so downstream tabular consumers — including the driver's
+    pandas canonicalizer — get hashable flat columns.
     (The sketch variant for 100 TB is `sketch_stats`.)"""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
-        ).alias("price_quartiles"),
-        F.count(F.lit(1)).alias("n"),
+    q = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(q.alias("_q"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "l_returnflag",
+            F.col("_q")[0].alias("price_p25"),
+            F.col("_q")[1].alias("price_p50"),
+            F.col("_q")[2].alias("price_p75"),
+            "n",
+        )
     )
 
 

@@ -96,4 +96,4 @@ def test_sketch_stats_accuracy(spark):
     exact_orders = li.select("l_orderkey").distinct().count()
     assert abs(row["approx_orders"] - exact_orders) / exact_orders < 0.05
     exact_p50 = li.selectExpr("percentile(l_extendedprice, 0.5) AS p").first()["p"]
-    assert abs(row["price_quantiles"][0] - exact_p50) / exact_p50 < 0.05
+    assert abs(row["price_p50"] - exact_p50) / exact_p50 < 0.05
