@@ -44,10 +44,18 @@ def salted_join(
     """Skew-safe equi-join: the left side gets a deterministic salt in
     [0, n_salts) and the right side is replicated once per salt, so a hot
     key's rows spread across ``n_salts`` reducers instead of one straggler
-    task. Result set is identical to the plain join (salt only changes the
-    physical partitioning). Use when a key's frequency is pathological and
-    AQE's skew-join splitting isn't available/enough; cost is an n_salts×
+    task. For inner/left joins the result set is identical to the plain
+    join (salt only changes the physical partitioning); right/full outer
+    would emit each unmatched right row once PER SALT, so those modes are
+    rejected. Use when a key's frequency is pathological and AQE's
+    skew-join splitting isn't available/enough; cost is an n_salts×
     replication of the (smaller) right side."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left'); got {how!r} — "
+            "replicating the right side per salt would duplicate unmatched "
+            "right rows in right/full outer joins"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(k) for k in left.columns]), F.lit(n_salts))
     l = left.withColumn("__salt", salt.cast("int"))
     r = right.withColumn(

@@ -516,12 +516,17 @@ def medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the real stateful pipeline (watermark store on disk, replay-safe
     bronze sink, SCD1 dims across two incremental batches, broadcast fact
     build) and returns the gold fact."""
+    import atexit
     import datetime
+    import shutil
     import tempfile
 
     from incremental_data_pipeline_spark.plans.medallion import MedallionPipeline
 
     base = tempfile.mkdtemp(prefix="medallion_e2e_")
+    # The returned DataFrame scans files under `base` lazily, so removal
+    # must wait until after the caller materializes it: clean at exit.
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     pipe = MedallionPipeline(spark, base)
     events = load_table(spark, sf_dir, "events")
 
@@ -952,13 +957,25 @@ def stream_scd1_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """foreachBatch bridge: each micro-batch flows through the SAME batch
     build_dim/atomic-overwrite path (one upsert implementation, both
     execution modes). Checkpoint gives at-least-once delivery; the
-    key-stable SCD1 upsert makes replay a no-op (effectively-once)."""
+    key-stable SCD1 upsert makes replay a no-op (effectively-once).
+
+    The STORED dim's surrogate keys follow arrival order (inherent to
+    incremental key assignment; multi-batch stability is asserted in
+    tests/test_streaming.py::test_multi_batch_scd1_keys_stable). The
+    RETURNED projection re-ranks over the natural key so the result is
+    invariant to how the source splits into micro-batches — the oracle
+    match holds for any trigger/file split, not just the 1-file fixture."""
+    import atexit
+    import shutil
     import tempfile
+
+    from pyspark.sql import Window
 
     from incremental_data_pipeline_spark.operators.scd import build_dim
     from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
 
     base = tempfile.mkdtemp(prefix="stream_scd1_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     dim_path = os.path.join(base, "dim_user")
 
     def apply_batch(batch: DataFrame, _epoch: int) -> None:
@@ -970,7 +987,11 @@ def stream_scd1_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = _stream.read_stream(spark, sf_dir, "events").select("user_id", "ts")
     _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
-    return spark.read.parquet(dim_path)
+    dim = spark.read.parquet(dim_path)
+    return dim.select(
+        F.row_number().over(Window.orderBy("user_id")).alias("dim_user_key"),
+        "user_id",
+    )
 
 
 @query(

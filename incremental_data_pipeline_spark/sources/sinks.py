@@ -25,18 +25,43 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def recover_interrupted_swap(path: str) -> bool:
+    """Repair a swap that crashed between its two renames: if ``path`` is
+    missing but the stable backup exists, restore the backup. Returns True
+    if a recovery happened. Call at startup on any atomically-swapped path."""
+    old = f"{path}.__old__"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+        return True
+    return False
+
+
 def atomic_overwrite(df: DataFrame, path: str) -> None:
-    """Write ``df`` as the new content of ``path`` via temp-dir + swap."""
+    """Write ``df`` as the new content of ``path`` via temp-dir + swap.
+
+    Failure-safe ordering: the previous version is only deleted AFTER the
+    forward rename lands; a failure between the two renames leaves the old
+    version under the stable ``path.__old__`` name, which
+    ``recover_interrupted_swap`` (or the rollback below) restores — no
+    window where both versions are gone.
+    """
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
-    old = f"{path}.__old__{uuid.uuid4().hex[:8]}"
+    old = f"{path}.__old__"  # stable name => interrupted swaps are detectable
     df.write.mode("overwrite").parquet(tmp)  # fully materialized before swap
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    moved = False
     try:
         if os.path.exists(path):
             os.rename(path, old)
+            moved = True
         os.rename(tmp, path)
-    finally:
-        shutil.rmtree(old, ignore_errors=True)
+    except BaseException:
+        if moved and not os.path.exists(path):
+            os.rename(old, path)  # roll back: restore the previous version
         shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def idempotent_append(spark: SparkSession, df: DataFrame, path: str, keys: list[str]) -> None:
@@ -46,6 +71,7 @@ def idempotent_append(spark: SparkSession, df: DataFrame, path: str, keys: list[
     time-keyed layers prefer partitioned tables + dynamic partition
     overwrite, which skips the read entirely.
     """
+    df = df.dropDuplicates(keys)  # collapse intra-batch duplicates too
     if os.path.exists(path):
         existing = spark.read.parquet(path).select(*keys)
         fresh = df.join(existing, keys, "left_anti")
@@ -63,6 +89,63 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
         .partitionBy(*partition_cols)
         .parquet(path)
     )
+
+
+_VERSION_PTR = "_CURRENT"
+
+
+def _current_version(path: str) -> int:
+    ptr = os.path.join(path, _VERSION_PTR)
+    if not os.path.exists(ptr):
+        return 0
+    with open(ptr) as f:
+        return int(f.read().strip())
+
+
+def list_versions(path: str) -> list[int]:
+    """Versions still readable under ``path`` (ascending)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def versioned_overwrite(df: DataFrame, path: str, keep: int = 3) -> int:
+    """Overwrite that RETAINS history: Delta-style time travel's observable
+    read semantics without delta-spark (reference gold_dim_branch.py:178
+    ``DeltaTable.forPath`` + ``versionAsOf``).
+
+    Each call writes a fresh ``v{N}`` directory, then atomically flips the
+    ``_CURRENT`` pointer file (write-temp + ``os.replace``). Readers that
+    resolved the pointer before the flip keep reading their (immutable)
+    version dir — writers never mutate a published version, the same
+    snapshot-isolation contract Delta gives. The ``keep`` most recent
+    versions survive pruning. Returns the new version number.
+    """
+    cur = _current_version(path)
+    nxt = cur + 1
+    os.makedirs(path, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(path, f"v{nxt:08d}"))
+    ptr, tmp = os.path.join(path, _VERSION_PTR), os.path.join(path, f".{_VERSION_PTR}.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(nxt))
+    os.replace(tmp, ptr)  # atomic pointer flip
+    for v in list_versions(path)[:-keep] if keep > 0 else []:
+        shutil.rmtree(os.path.join(path, f"v{v:08d}"), ignore_errors=True)
+    return nxt
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: ``version=None`` reads the current pointer,
+    otherwise the requested retained version (Delta's ``versionAsOf``)."""
+    v = _current_version(path) if version is None else version
+    vdir = os.path.join(path, f"v{v:08d}")
+    if v == 0 or not os.path.isdir(vdir):
+        raise FileNotFoundError(f"version {v} not retained at {path}")
+    return spark.read.parquet(vdir)
 
 
 def write_bucketed(

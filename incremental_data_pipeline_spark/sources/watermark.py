@@ -60,18 +60,27 @@ class WatermarkStore:
         import pyarrow.parquet as pq
 
         tmp = f"{self.path}.__tmp__{uuid.uuid4().hex[:8]}"
-        old = f"{self.path}.__old__{uuid.uuid4().hex[:8]}"
+        old = f"{self.path}.__old__"  # stable name: interrupted swaps recoverable
         os.makedirs(tmp)
         pq.write_table(
             pa.table({"last_load": [value]}), os.path.join(tmp, "part-0.parquet")
         )
+        # Delete the previous state only AFTER the forward rename lands; on a
+        # mid-swap failure the old state is restored, never destroyed.
+        shutil.rmtree(old, ignore_errors=True)
+        moved = False
         try:
             if os.path.exists(self.path):
                 os.rename(self.path, old)
+                moved = True
             os.rename(tmp, self.path)
-        finally:
-            shutil.rmtree(old, ignore_errors=True)
+        except BaseException:
+            if moved and not os.path.exists(self.path):
+                os.rename(old, self.path)
             shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def run_incremental_batch(
@@ -96,10 +105,16 @@ def run_incremental_batch(
         if current_load is None:
             return 0
     batch = watermark_range(source, ts_col, last, current_load)
-    # Spark actions are lazy: the sink callable triggers the write; the
-    # count (an extra scan of the window) is skippable when the caller
-    # doesn't consume it.
+    # Count via an Observation piggybacked on the sink's own action: zero
+    # extra scans, and the number reported is what the sink actually saw
+    # (a re-scan after the write could diverge if the source gained rows).
+    obs = None
+    if count_rows:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
     sink(batch)
-    n = batch.count() if count_rows else -1
+    n = obs.get["n"] if obs is not None else -1
     store.advance(current_load)
     return n

@@ -1,0 +1,79 @@
+"""Sink robustness: crash-safe atomic swap, version-retaining overwrite
+(Delta-time-travel emulation), replay-safe append with intra-batch dedup,
+and the salted-join mode restriction."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from incremental_data_pipeline_spark.sources import sinks
+
+
+def _mkdf(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], ["x"])
+
+
+def test_atomic_overwrite_replaces_and_cleans(spark, tmp_path):
+    path = str(tmp_path / "t")
+    sinks.atomic_overwrite(_mkdf(spark, [1, 2]), path)
+    sinks.atomic_overwrite(_mkdf(spark, [3, 4, 5]), path)
+    assert spark.read.parquet(path).count() == 3
+    # no stray tmp/backup dirs left behind
+    leftovers = [d for d in os.listdir(tmp_path) if d != "t"]
+    assert leftovers == []
+
+
+def test_interrupted_swap_is_recoverable(spark, tmp_path):
+    """Simulate a crash between the two renames: path gone, backup present.
+    recover_interrupted_swap restores the previous version — the old data
+    is never destroyed before the new version lands."""
+    path = str(tmp_path / "t")
+    sinks.atomic_overwrite(_mkdf(spark, [1, 2]), path)
+    os.rename(path, path + ".__old__")  # the state mid-swap after rename #1
+    assert sinks.recover_interrupted_swap(path)
+    assert sorted(r["x"] for r in spark.read.parquet(path).collect()) == [1, 2]
+    assert not sinks.recover_interrupted_swap(path)  # no-op when healthy
+
+
+def test_versioned_overwrite_time_travel(spark, tmp_path):
+    """Read-after-two-overwrites returns each retained version (the
+    observable contract of Delta's versionAsOf)."""
+    path = str(tmp_path / "t")
+    assert sinks.versioned_overwrite(_mkdf(spark, [1]), path) == 1
+    assert sinks.versioned_overwrite(_mkdf(spark, [1, 2]), path) == 2
+    assert sinks.versioned_overwrite(_mkdf(spark, [1, 2, 3]), path) == 3
+    assert sinks.read_version(spark, path).count() == 3  # current
+    assert sinks.read_version(spark, path, 2).count() == 2
+    assert sinks.read_version(spark, path, 1).count() == 1
+    # keep=3: writing a 4th version prunes v1
+    assert sinks.versioned_overwrite(_mkdf(spark, [1, 2, 3, 4]), path) == 4
+    assert sinks.list_versions(path) == [2, 3, 4]
+    with pytest.raises(FileNotFoundError):
+        sinks.read_version(spark, path, 1)
+
+
+def test_idempotent_append_intra_batch_dedup(spark, tmp_path):
+    """A first batch containing duplicate keys writes each key once; a
+    replayed batch adds nothing."""
+    path = str(tmp_path / "t")
+    batch = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], ["k", "v"])
+    sinks.idempotent_append(spark, batch, path, ["k"])
+    assert spark.read.parquet(path).count() == 2
+    sinks.idempotent_append(spark, batch, path, ["k"])
+    assert spark.read.parquet(path).count() == 2
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    from incremental_data_pipeline_spark.operators.relational import salted_join
+
+    l = spark.range(4).withColumnRenamed("id", "k")
+    r = spark.range(2).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(l, r, ["k"], how="full")
+    # left join: unmatched left rows appear exactly once
+    out = salted_join(l, r.withColumn("v", F.lit(1)), ["k"], how="left")
+    assert out.count() == 4

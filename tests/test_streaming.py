@@ -188,3 +188,58 @@ def test_window_agg_drops_data_later_than_watermark(spark):
         assert (T, 3) not in finalized, finalized
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+def test_scd1_dim_output_invariant_to_batch_split(spark):
+    """The registered stream_scd1_dim result (re-ranked over the natural
+    key) is identical whether the source arrives as one micro-batch or two
+    — the oracle match doesn't depend on the fixture being a single file."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators.scd import build_dim
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+    from pyspark.sql import Window
+
+    base = tempfile.mkdtemp(prefix="stream_scd1_split_")
+    try:
+        events = load_table(spark, SF_DIR, "events")
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        _copy_split(
+            SF_DIR, src_dir, events.select("user_id", "ts"), "ts",
+            datetime.datetime(2024, 1, 15),
+        )
+        dim_path = os.path.join(base, "dim_user")
+
+        def apply_batch(batch, _epoch):
+            existing = spark.read.parquet(dim_path) if os.path.exists(dim_path) else None
+            atomic_overwrite(
+                build_dim(batch, ["user_id"], [], "dim_user_key", existing), dim_path
+            )
+
+        schema = events.select("user_id", "ts").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        sp.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+
+        reranked = (
+            spark.read.parquet(dim_path)
+            .select(
+                F.row_number().over(Window.orderBy("user_id")).alias("dim_user_key"),
+                "user_id",
+            )
+        )
+        expected = (
+            events.select("user_id").distinct()
+            .select(
+                F.row_number().over(Window.orderBy("user_id")).alias("dim_user_key"),
+                "user_id",
+            )
+        )
+        assert sorted(map(tuple, reranked.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
