@@ -214,20 +214,23 @@ def lsh_candidate_pairs(
 # SimHash (dialect-common bit arithmetic)
 # ---------------------------------------------------------------------------
 
-_HEX = "0123456789abcdef"
-
-
 def simhash_bit_terms() -> list[str]:
     """32 per-token ±1 contributions, one per bit, as dialect-common SQL
-    over a column `h` = md5(token). Bit b lives in hex char k=b//4+1 at
-    weight 2^(b%4); extracted with instr/substr/% only — valid verbatim in
-    both Spark SQL and DuckDB, which is how the oracle matches bit-for-bit.
+    over a column ``hv`` = the first 8 hex chars of md5(token) as a BIGINT
+    (each engine stages that integer its own way; the terms themselves run
+    verbatim in both Spark SQL and DuckDB, which is how the oracle matches
+    bit-for-bit). Fingerprint bit b maps to value-bit p of ``hv`` so the
+    output is byte-identical to the original per-hex-char formulation; a
+    term is two integer ops (% and >=) — staging one integer instead of 32
+    instr/substr string probes cut both plan-compile and per-token cost.
     """
     terms = []
     for b in range(32):
         k, j = b // 4 + 1, b % 4
-        v = f"(instr('{_HEX}', substr(h, {k}, 1)) - 1)"
-        terms.append(f"(CASE WHEN ({v} % {2 ** (j + 1)}) >= {2**j} THEN 1 ELSE -1 END)")
+        p = 4 * (8 - k) + j  # value-bit of hv holding fingerprint bit b
+        terms.append(
+            f"(CASE WHEN (hv % {2 ** (p + 1)}) >= {2**p} THEN 1 ELSE -1 END)"
+        )
     return terms
 
 
@@ -235,7 +238,9 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """32-bit TF-weighted SimHash: tokens vote ±1 per bit via their md5;
     bit b of the fingerprint is set iff the vote sum is positive."""
     tok = df.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("token"))
-    hashed = tok.withColumn("h", F.md5(F.col("token")))
+    hashed = tok.withColumn(
+        "hv", F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
+    )
     terms = simhash_bit_terms()
     agg = hashed.groupBy(id_col).agg(
         *[F.sum(F.expr(t)).alias(f"s{b}") for b, t in enumerate(terms)]

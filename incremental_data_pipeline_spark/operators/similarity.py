@@ -48,17 +48,25 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
 
 
 def _bucket(qcol: Column, planes: list[list[int]]) -> Column:
-    """B-char '0'/'1' bucket id from integer-exact plane sign bits."""
-    bits = []
-    for row in planes:
-        plane = F.array(*[F.lit(v) for v in row])
-        s = F.aggregate(
-            F.zip_with(plane, qcol, lambda p, x: p * x),
+    """B-char '0'/'1' bucket id from integer-exact plane sign bits.
+
+    The plane matrix enters the plan as ONE nested-array literal and the
+    per-plane sign bits come from a single transform over it — analysis
+    and codegen stay O(1) in num_planes×dim (B×d scalar Literal nodes
+    previously dominated these queries' one-shot plan-compile time; same
+    fix as the IVF codebook literal)."""
+    m = F.lit(planes).cast("array<array<int>>")
+    sums = F.transform(
+        m,
+        lambda row: F.aggregate(
+            F.zip_with(row, qcol, lambda p, x: p * x),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
-        )
-        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        ),
+    )
+    return F.array_join(
+        F.transform(sums, lambda s: F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))), ""
+    )
 
 
 def brute_force_topk(

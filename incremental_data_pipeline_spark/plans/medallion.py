@@ -23,7 +23,11 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 from incremental_data_pipeline_spark.operators.scd import build_dim, build_fact
-from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite, idempotent_append
+from incremental_data_pipeline_spark.sources.sinks import (
+    atomic_overwrite,
+    idempotent_append,
+    idempotent_overwrite_day_partitions,
+)
 from incremental_data_pipeline_spark.sources.watermark import WatermarkStore, run_incremental_batch
 
 
@@ -55,17 +59,43 @@ class MedallionPipeline:
         initial_watermark: Any,
         current_load: Any | None = None,
         count_rows: bool = True,
+        partition_daily: bool = False,
+        partition_granularity: str = "day",
     ) -> int:
         """One watermark batch into bronze. Replay-safe: the sink dedups on
         ``keys``, so at-least-once delivery cannot duplicate the layer
-        (fixes the reference's append-only silver, SURVEY §2.9 #7)."""
+        (fixes the reference's append-only silver, SURVEY §2.9 #7).
+
+        ``partition_daily=True`` is the at-scale layout: bronze is
+        partitioned by day and each batch dynamically overwrites only the
+        day partitions its watermark window touches — the replay guard's
+        sink re-read is partition-pruned to those days instead of scanning
+        the whole layer."""
         store = WatermarkStore(
             self.spark, self.path("state", f"{table}_watermark"), initial_watermark
         )
         sink_path = self.path("bronze", table)
 
-        def sink(batch: DataFrame) -> None:
-            idempotent_append(self.spark, batch, sink_path, keys)
+        if partition_daily:
+            from pyspark.sql import functions as F
+
+            if current_load is None:
+                current_load = source.agg(F.max(ts_col)).first()[0]
+                if current_load is None:
+                    return 0
+            last = store.read()
+            lo = last.date() if hasattr(last, "date") else None
+            hi = current_load.date() if hasattr(current_load, "date") else None
+
+            def sink(batch: DataFrame) -> None:
+                idempotent_overwrite_day_partitions(
+                    self.spark, batch, sink_path, keys, ts_col,
+                    lo=lo, hi=hi, granularity=partition_granularity,
+                )
+        else:
+
+            def sink(batch: DataFrame) -> None:
+                idempotent_append(self.spark, batch, sink_path, keys)
 
         return run_incremental_batch(source, ts_col, store, sink, current_load, count_rows)
 

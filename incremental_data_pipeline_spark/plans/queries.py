@@ -532,9 +532,14 @@ def medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seed = datetime.datetime(2023, 1, 1)
     cut = datetime.datetime.fromisoformat(_E2E_CUT)
+    # Bronze is time-partitioned with dynamic partition overwrite: the
+    # replay guard re-reads only the partitions the window touches, not
+    # the whole layer. Month granularity fits the fixture's volume; 'day'
+    # is the production setting (see idempotent_overwrite_day_partitions).
     for current in (cut, None):  # batch 1: (seed, cut]; batch 2: (cut, max(ts)]
         pipe.ingest_bronze(
-            events, "events", "ts", ["event_id"], seed, current, count_rows=False
+            events, "events", "ts", ["event_id"], seed, current,
+            count_rows=False, partition_daily=True, partition_granularity="month",
         )
         silver = pipe.build_silver("events", lambda df: df)
         pipe.build_gold_dim("dim_user", silver, ["user_id"], [], "dim_user_key")
@@ -741,7 +746,7 @@ def _simhash_oracle() -> str:
     )
     return f"""
     WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
-    hashed AS (SELECT doc_id, md5(token) AS h FROM tok),
+    hashed AS (SELECT doc_id, ('0x' || substring(md5(token), 1, 8))::BIGINT AS hv FROM tok),
     s AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
     SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash FROM s
     """

@@ -38,6 +38,17 @@ class LayerCatalog:
     def write(self, df: DataFrame, layer: str, table: str, path: str | None = None) -> None:
         """Managed table (warehouse-dir) or external table at ``path``
         (reference S10: overwrite + option('path') + saveAsTable)."""
+        if path is None and not self.exists(layer, table):
+            # An in-memory session catalog forgets tables at process exit
+            # but their warehouse directories survive; saveAsTable then
+            # fails with LOCATION_ALREADY_EXISTS. Clear the orphaned
+            # location — it belongs to no live table.
+            import os
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
+            shutil.rmtree(os.path.join(wh, f"{layer}.db", table), ignore_errors=True)
         writer = df.write.mode("overwrite").format("parquet")
         if path is not None:
             writer = writer.option("path", path)

@@ -23,6 +23,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def recover_interrupted_swap(path: str) -> bool:
@@ -78,6 +79,54 @@ def idempotent_append(spark: SparkSession, df: DataFrame, path: str, keys: list[
     else:
         fresh = df
     fresh.write.mode("append").parquet(path)
+
+
+def idempotent_overwrite_day_partitions(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    day_col: str = "__day",
+    lo=None,
+    hi=None,
+    granularity: str = "day",
+) -> None:
+    """Replay-safe DAY-PARTITIONED bronze sink — the 100 TB shape of
+    ``idempotent_append``.
+
+    The plain append sink re-reads the ENTIRE sink for its anti-join every
+    batch; here the re-read is pruned to the day partitions the batch's
+    watermark window touches (``lo``/``hi`` are the window's date bounds —
+    known driver-side, zero extra jobs), the batch is unioned in, deduped
+    by key, and exactly those day partitions are dynamically overwritten.
+    Correct for windows that split a day (the partial day's existing rows
+    ride along in the pruned read) and for replays (rewriting the same
+    partitions from the same union is idempotent). One shuffle on the day
+    column keeps one writer task per day — bounded file counts at any
+    scale.
+
+    ``granularity`` sizes partitions to the data: 'day' at production
+    volume (aim for 100 MB–1 GB per partition), 'month' when daily slices
+    would be pathologically small (tiny fixtures, low-rate sources) —
+    over-partitioning trades scan pruning for per-directory overhead.
+    """
+    trunc = {"day": F.to_date(F.col(ts_col)), "month": F.trunc(F.col(ts_col), "month")}[
+        granularity
+    ]
+    if lo is not None and granularity == "month":
+        lo = lo.replace(day=1)  # floor to the partition value, or pruning over-prunes
+    batch = df.withColumn(day_col, trunc).dropDuplicates(keys)
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        if lo is not None:
+            existing = existing.filter(F.col(day_col) >= F.lit(lo))
+        if hi is not None:
+            existing = existing.filter(F.col(day_col) <= F.lit(hi))
+        merged = existing.select(*batch.columns).unionByName(batch).dropDuplicates(keys)
+    else:
+        merged = batch
+    overwrite_partitions(merged.repartition(F.col(day_col)), path, [day_col])
 
 
 def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
