@@ -34,14 +34,18 @@ from incremental_data_pipeline_spark.functions.util import fan_out
 from incremental_data_pipeline_spark.functions.vector import cosine_q, quantize
 
 
-def hyperplanes(num_planes: int, dim: int) -> list[list[int]]:
+def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign(j,i) = parity of the first md5
-    nibble of "j:i". Pure data — both engines consume them as literals."""
+    nibble of "j:i". Pure data — both engines consume them as literals.
+    ``table`` > 0 derives an independent plane set (for OR-amplification)
+    from keys "t{table}:{j}:{i}"; table 0 keeps the original keys so every
+    existing oracle reproduces bucket assignment unchanged."""
     planes = []
+    prefix = "" if table == 0 else f"t{table}:"
     for j in range(num_planes):
         row = []
         for i in range(dim):
-            nib = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0], 16)
+            nib = int(hashlib.md5(f"{prefix}{j}:{i}".encode()).hexdigest()[0], 16)
             row.append(1 if nib % 2 else -1)
         planes.append(row)
     return planes
@@ -135,6 +139,7 @@ def embedding_near_dup(
     threshold: float = 0.9,
     num_planes: int = 8,
     dim: int = 64,
+    num_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from a shared LSH
     bucket, confirmed by exact cosine >= threshold. Returns (left_id,
@@ -143,22 +148,53 @@ def embedding_near_dup(
     Scale shape: bucketing is a narrow per-row projection; the candidate
     self-join is an equi-join on the bucket key, so the quadratic blow-up is
     confined to single buckets (same trick as MinHash LSH text dedup, but in
-    embedding space). Pair-level recall is tunable via num_planes.
+    embedding space).
+
+    Tuning ``num_planes`` (B) to corpus size N: mean bucket occupancy for
+    spread-out directions is ~N/2^B and within-bucket work is ~occupancy²
+    per bucket, so pick **B ≈ log2(N/m)** for a target occupancy m in the
+    hundreds-to-thousands (m² comparisons per bucket stays a trivial task).
+    N=1e6 → B≈10; N=1e9 → B≈20. The default B=8 (256 buckets) fits the
+    test fixtures only — at 100 TB it MUST be raised or buckets go
+    quadratic. The cost of raising B is per-pair recall: a pair at angle θ
+    shares a bucket with probability (1-θ/π)^B. Recover recall without
+    shrinking B by OR-amplification: ``num_tables`` = T independent plane
+    sets, candidates unioned across tables (recall 1-(1-p)^T for per-table
+    probability p), at T× the bucketing/join cost. num_tables=1 keeps the
+    original bucket assignment so existing oracles match unchanged.
     """
-    planes = hyperplanes(num_planes, dim)
-    b = fan_out(corpus).select(
-        F.col(id_col).alias("vid"), quantize(vec_col).alias("v")
-    ).withColumn("bucket", _bucket(F.col("v"), planes))
+    b = fan_out(corpus).select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
+    if num_tables == 1:
+        b = b.withColumn("bucket", _bucket(F.col("v"), hyperplanes(num_planes, dim)))
+    else:
+        # Prefix the table index so equal bit-strings from different plane
+        # sets never collide into one bucket.
+        b = b.withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(F.lit(f"{t}:"), _bucket(F.col("v"), hyperplanes(num_planes, dim, t)))
+                        for t in range(num_tables)
+                    ]
+                )
+            ),
+        )
     left = b.select(
         F.col("vid").alias("left_id"), F.col("v").alias("lv"), "bucket"
     )
     right = b.select(
         F.col("vid").alias("right_id"), F.col("v").alias("rv"), "bucket"
     )
-    return (
+    pairs = (
         left.join(right, "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
-        .withColumn("cosine", cosine_q(F.col("lv"), F.col("rv")))
+    )
+    if num_tables > 1:
+        # A pair can collide in several tables; confirm each pair once.
+        pairs = pairs.dropDuplicates(["left_id", "right_id"])
+    return (
+        pairs.withColumn("cosine", cosine_q(F.col("lv"), F.col("rv")))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
@@ -184,6 +220,15 @@ def ivf_topk(
     as a constant, the vector analogue of a broadcast dim). Search probes
     only ``nprobe`` cells per query, so the candidate equi-join on cell id
     scales with cell occupancy, not corpus size.
+
+    Known upstream interaction (Spark 4.1, AQE on): running
+    ``brute_force_topk`` and then ``ivf_topk`` over the SAME parent
+    DataFrame objects in one session can fail with
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND — a cross-plan attribute-reuse bug
+    in adaptive planning, not an error in either operator (each passes
+    alone, and with AQE off the sequence passes). Workaround: re-read the
+    corpus per strategy (fresh attribute ids), which is the natural shape
+    anyway — every registered query loads its own inputs.
     """
 
     # The codebook enters the plan as ONE nested-array literal (not nlist×dim
@@ -237,10 +282,44 @@ def centroid_codebook(
 ) -> list[tuple[int, list[int]]]:
     """Deterministic codebook: the nlist lowest-id vectors, quantized. A
     tiny driver-side collect (nlist rows), same pattern as the reference's
-    scalar max(key) lookup (gold_dim_branch.py:127-128)."""
+    scalar max(key) lookup (gold_dim_branch.py:127-128). Oracle-friendly
+    (DuckDB can re-derive it); for search quality prefer
+    ``kmeans_codebook``."""
     rows = (
         corpus.select(F.col(id_col), quantize(vec_col).alias("v"))
         .filter(F.col(id_col) < nlist)
         .collect()
     )
     return sorted((r[0], list(r["v"])) for r in rows)
+
+
+def kmeans_codebook(
+    corpus: DataFrame,
+    nlist: int,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> list[tuple[int, list[int]]]:
+    """Trained codebook: MLlib KMeans centroids (fixed seed), quantized to
+    the same integer domain as the vectors so ``ivf_topk`` scores cells
+    with the identical exact math. The quality path where an oracle isn't
+    required — data-adapted cells cut the top-cell miss rate vs the
+    deterministic prefix codebook (asserted in
+    tests/test_similarity.py::test_kmeans_codebook_recall).
+
+    Scale shape: one distributed KMeans fit (Lloyd iterations are
+    map-reduce: assign = narrow argmax per row, update = one shuffle per
+    iteration), then nlist driver-side vectors — the codebook stays a plan
+    literal exactly like the prefix variant, so search cost is unchanged.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=nlist, seed=seed, maxIter=max_iter).fit(feats)
+    return [
+        (cid, [int(round(x * 1_000_000)) for x in center])
+        for cid, center in enumerate(model.clusterCenters())
+    ]

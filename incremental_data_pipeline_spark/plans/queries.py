@@ -1112,6 +1112,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_topk(emb, queries_df, codebook, k=3, nprobe=2)
 
 
+@query("ann_ivf_kmeans_topk")  # rows-only: MLlib-trained centroids are
+# impl-specific — no SQL engine reproduces the codebook. Search recall vs
+# the prefix codebook is asserted in tests/test_similarity.py.
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN over a TRAINED codebook (deterministic-seed MLlib
+    KMeans): the quality path. Same plan shape as ann_ivf_topk — the
+    trained centroids still enter as one nested-array literal."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _sim.kmeans_codebook(emb, nlist=8)
+    queries_df = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    return _sim.ivf_topk(emb, queries_df, codebook, k=3, nprobe=2)
+
+
 @query(
     "multimodal_frames",
     """

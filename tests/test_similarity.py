@@ -107,3 +107,65 @@ def test_multimodal_features_shape(spark):
     for r in rows[:20]:
         assert len(r["feature"]) == mm.FEATURE_DIM
         assert math.isclose(sum(r["feature"]), 1.0, rel_tol=1e-9)
+
+
+def test_near_dup_recall_across_plane_counts(spark):
+    """Tuning contract of embedding_near_dup (B = num_planes):
+
+    - every emitted pair is exhaustive-correct at ANY B (exact-cosine
+      confirm => precision 1.0; only recall varies),
+    - recall decays as B grows (bigger B = smaller buckets = more pruning),
+    - OR-amplification (num_tables) recovers recall at fixed B.
+
+    Exhaustive ground truth comes from the operator itself at B=0: zero
+    planes put the whole corpus in one bucket = all-pairs exact scoring.
+    """
+    emb = load_table(spark, SF_DIR, "embeddings")
+    t = 0.25  # fixture max pairwise cosine ~0.5 — threshold must sit low
+
+    def pairs(**kw):
+        return {
+            (r["left_id"], r["right_id"])
+            for r in similarity.embedding_near_dup(emb, threshold=t, **kw).collect()
+        }
+
+    exhaustive = pairs(num_planes=0)
+    assert len(exhaustive) > 0
+    got = {b: pairs(num_planes=b) for b in (4, 12)}
+    for b, p in got.items():
+        assert p <= exhaustive, f"B={b} emitted a non-pair"  # precision 1.0
+    assert len(got[4]) >= len(got[12])  # more planes prune harder
+    assert len(got[4]) > 0
+    amplified = pairs(num_planes=12, num_tables=4)
+    assert amplified <= exhaustive
+    assert len(amplified) >= len(got[12])  # OR across tables recovers recall
+
+
+def test_kmeans_codebook_recall(spark):
+    """Trained (KMeans) cells must match or beat the deterministic prefix
+    codebook on top-k recall vs brute force, at identical nlist/nprobe.
+
+    Each strategy re-reads the corpus: brute-force then IVF over the SAME
+    DataFrame objects trips a Spark 4.1 AQE attribute-reuse bug (see
+    ivf_topk docstring)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 30), k=3
+        ).collect()
+    }
+
+    def recall(codebook):
+        corpus = load_table(spark, SF_DIR, "embeddings")
+        q = corpus.filter(F.col("vec_id") < 30)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(corpus, q, codebook, k=3, nprobe=2).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_prefix = recall(similarity.centroid_codebook(emb, nlist=8))
+    r_kmeans = recall(similarity.kmeans_codebook(emb, nlist=8))
+    assert r_kmeans >= r_prefix
+    assert r_kmeans > 0.5
