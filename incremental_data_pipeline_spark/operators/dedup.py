@@ -211,6 +211,104 @@ def lsh_candidate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected pair list: returns
+    (node, cluster_id) where cluster_id is the component's minimum node id.
+    The standard final step of corpus dedup — near-dup PAIRS (from MinHash
+    LSH, SimHash, or exact hashing) become duplicate CLUSTERS, from which
+    one canonical document per cluster survives.
+
+    Algorithm: min-label propagation with pointer jumping. Each round,
+    every node takes the min of its own label and its neighbors' labels
+    (one shuffle), then compresses one indirection step
+    label := label(label) (second shuffle) — the jump makes label chains
+    halve each round, so convergence is O(log n) rounds for the chain
+    graphs that defeat plain propagation, and 1-2 rounds for the
+    small/dense clusters real duplicate graphs are made of.
+
+    Scale notes: the driver loop is inherent (iterative fixpoint — same
+    shape GraphX/GraphFrames use); per-round cost is two equi-joins on node
+    ids, nothing quadratic. Each round's result is localCheckpoint()ed:
+    iterative self-joins otherwise double the lineage every round until
+    analysis dominates (on a cluster with a configured checkpoint dir,
+    ``DataFrame.checkpoint`` is the durable equivalent). The convergence
+    probe is a count per round — a driver-side scalar, same barrier as the
+    reference's max-key lookup.
+    """
+    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    bidir = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            bidir.join(
+                labels.select(F.col("node").alias("v"), "label"), "v"
+            )
+            .groupBy("u")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        prop = labels.join(
+            nbr.select(F.col("u").alias("node"), "nbr_label"), "node", "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        jump = (
+            prop.alias("p")
+            .join(
+                prop.select(
+                    F.col("node").alias("plabel_node"),
+                    F.col("label").alias("plabel"),
+                ),
+                F.col("p.label") == F.col("plabel_node"),
+                "left",
+            )
+            .select("node", F.coalesce("plabel", F.col("p.label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            jump.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = jump
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters(
+    corpus: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, cluster_id) covering the WHOLE corpus: documents in some
+    near-dup component get the component's min doc id, isolated documents
+    are their own cluster. Downstream, `cluster_id == doc_id` selects the
+    canonical survivor per cluster (min-id policy, matching exact_dedup)."""
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return corpus.join(
+        cc.select(F.col("node").alias(id_col), "cluster_id"), id_col, "left"
+    ).select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash (dialect-common bit arithmetic)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,92 @@
+"""Deterministic sampling operators for training-data mix construction.
+
+A training corpus is assembled as a MIX: per-source / per-language rates
+(stratified Bernoulli sampling) and per-group quotas (top-k by a quality
+score). Both must be DETERMINISTIC — re-running the pipeline on the same
+corpus must select the same rows (reproducible data recipes, replay-safe
+incremental builds) — so selection is keyed on a content hash, never on
+`rand()`.
+
+Scale shape: hash sampling is a narrow per-row filter (no shuffle, no
+state; survives any repartitioning because the decision is a pure function
+of the row's key). Quota sampling is one shuffle on the group key with a
+rank-k window — Spark's WindowGroupLimit pushes the k-limit into each
+shuffle side, so only k rows per group survive any stage. For a stratum so
+hot it overwhelms one reducer, pre-filter with `hash_sample` at a rate
+that bounds the stratum (two-phase sampling), then take the quota.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_key(key_cols: list[str], salt: str = "") -> Column:
+    """Uniform bucket in [0, SAMPLE_BUCKETS) from md5 of the salted key —
+    the same integer DuckDB derives with ('0x'||substr(md5(...),1,8)) %
+    buckets, which is what makes sampling decisions oracle-checkable.
+    ``salt`` decorrelates independent sampling passes over the same keys."""
+    concat = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in key_cols])
+    return (
+        F.conv(F.substring(F.md5(concat), 1, 8), 16, 10).cast("long")
+        % SAMPLE_BUCKETS
+    )
+
+
+def hash_sample(
+    df: DataFrame, key_cols: list[str], rate: float, salt: str = ""
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff its hash bucket falls
+    under ``rate``. Same row set on every run and under any partitioning —
+    the reproducible replacement for df.sample()."""
+    return df.filter(sample_key(key_cols, salt) < int(rate * SAMPLE_BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    key_cols: list[str],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic rates — the training-mix primitive
+    ("keep 50% of English, 20% of everything else"). The rate table enters
+    the plan as a CASE expression (tiny, constant-folded); strata missing
+    from ``rates`` fall back to ``default_rate``."""
+    threshold = None
+    for value, rate in sorted(rates.items()):
+        cond = F.col(stratum_col) == F.lit(value)
+        t = F.lit(int(rate * SAMPLE_BUCKETS))
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    threshold = (
+        F.lit(int(default_rate * SAMPLE_BUCKETS))
+        if threshold is None
+        else threshold.otherwise(F.lit(int(default_rate * SAMPLE_BUCKETS)))
+    )
+    return df.filter(sample_key(key_cols, salt) < threshold)
+
+
+def quota_by_score(
+    df: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    k: int,
+    tie_col: str,
+) -> DataFrame:
+    """Exact top-k rows per group by score (desc), ties broken by
+    ``tie_col`` asc for determinism. One shuffle on the group key;
+    WindowGroupLimit keeps only k rows per group alive per stage. With
+    ``score_col`` set to a hash bucket this is a deterministic fixed-size
+    uniform sample per group (reservoir-equivalent, but reproducible)."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(tie_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -94,6 +94,86 @@ def quality_score(df: DataFrame, col: str = "text", out: str = "quality") -> Dat
     )
 
 
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (public Rae et al. 2021
+    quality rules, adapted to word n-grams):
+
+    - ``dup_token_frac``: 1 - distinct/total tokens (word-level repetition),
+    - ``top_2gram_char_frac`` / ``top_3gram_char_frac``: fraction of the
+      document's characters covered by its single most frequent word
+      2-/3-gram (count × gram length / n_chars).
+
+    Scale shape: the fractions are two explode → (doc, gram) count →
+    per-doc max aggregations — both map-side combinable, keyed by doc id,
+    joined back on doc id. No UDFs, no quadratic step; gram cardinality is
+    bounded by corpus token count, exactly like the shingle relation the
+    dedup family already shuffles.
+    """
+    from incremental_data_pipeline_spark.functions.util import fan_out
+    from incremental_data_pipeline_spark.operators.dedup import shingles
+
+    t = tokens(text_col)
+    base = fan_out(df).select(
+        id_col,
+        F.length(F.col(text_col)).alias("n_chars"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(t)).cast("double") / F.size(t)
+        ).alias("dup_token_frac"),
+        F.col(text_col),
+    )
+
+    def top_gram_chars(n: int, out: str) -> DataFrame:
+        g = base.select(id_col, F.explode(shingles(text_col, n)).alias("g"))
+        return (
+            g.groupBy(id_col, "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .groupBy(id_col)
+            .agg(F.max(F.col("cnt") * F.length("g")).alias(out))
+        )
+
+    return (
+        base.drop(text_col)
+        .join(top_gram_chars(2, "top2_chars"), id_col, "left")
+        .join(top_gram_chars(3, "top3_chars"), id_col, "left")
+        .select(
+            id_col,
+            "n_chars",
+            "dup_token_frac",
+            (F.col("top2_chars").cast("double") / F.col("n_chars")).alias(
+                "top_2gram_char_frac"
+            ),
+            (F.col("top3_chars").cast("double") / F.col("n_chars")).alias(
+                "top_3gram_char_frac"
+            ),
+        )
+    )
+
+
+def gopher_repetition_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_dup_token_frac: float = 0.6,
+    max_top2_frac: float = 0.20,
+    max_top3_frac: float = 0.18,
+) -> DataFrame:
+    """repetition_stats + the Gopher keep/drop verdict (thresholds from the
+    published rules: top-2-gram char fraction <= 0.20, top-3-gram <= 0.18;
+    the word-repetition cap stands in for the line-dedup rules on corpora
+    without line structure). Returns every doc with a ``keep`` boolean so
+    downstream can filter OR audit the drop reasons."""
+    s = repetition_stats(df, id_col, text_col)
+    return s.withColumn(
+        "keep",
+        (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.col("top_2gram_char_frac") <= max_top2_frac)
+        & (F.col("top_3gram_char_frac") <= max_top3_frac),
+    )
+
+
 def fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> DataFrame:
     """64-bit-equivalent content fingerprint: md5 of the lowercased text,
     truncated to 16 hex chars. Content-defined, order-independent — the

@@ -738,6 +738,113 @@ def _minhash_oracle(num_hashes: int = 12, rows_per_band: int = 3) -> str:
 ORACLE["dedup_minhash_lsh"] = _minhash_oracle()
 
 
+@query(
+    "dedup_clusters",
+    None,  # oracle injected below (recursive CTE over the same pair SQL)
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering end-to-end: MinHash-LSH candidate pairs →
+    connected components (min-label + pointer jumping) → every document
+    labeled with its cluster's min doc_id (isolated docs label themselves).
+    The corpus-dedup final step: `cluster_id == doc_id` picks survivors."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.lsh_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    return _dedup.duplicate_clusters(docs.select("doc_id"), pairs, "doc_id").select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+def _clusters_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m
+    )
+    SELECT node AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+ORACLE["dedup_clusters"] = _clusters_oracle()
+
+
+@query(
+    "corpus_curation",
+    None,  # oracle injected below (composes the stage oracles as CTEs)
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-corpus curation pipeline end-to-end, every stage one of this
+    engine's operators: language filter (stored lang) → quality-score
+    floor → Gopher repetition filter → exact dedup (md5 canonical) →
+    MinHash-LSH near-dup clustering (connected components, min-id
+    canonical) → per-source corpus stats. One declarative Catalyst plan up
+    to the CC fixpoint; every stage is shuffle-bounded (hash/bucket joins,
+    no quadratic step), which is the whole point at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = _text.quality_score(docs).select("doc_id", "quality")
+    rep = _text.gopher_repetition_filter(docs).select("doc_id", "keep")
+    surv = (
+        docs.filter(F.col("lang") == "en")
+        .join(quality.filter(F.col("quality") >= 0.36).select("doc_id"), "doc_id", "left_semi")
+        .join(rep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+    )
+    exact_surv = _dedup.exact_dedup(surv, "text", "doc_id")
+    pairs = _dedup.lsh_candidate_pairs(exact_surv, "doc_id", "text", 12, 3, 3)
+    clusters = _dedup.duplicate_clusters(exact_surv.select("doc_id"), pairs, "doc_id")
+    canonical = exact_surv.join(
+        clusters.filter(F.col("cluster_id") == F.col("doc_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return (
+        canonical.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).alias("total_tokens"),
+        )
+        .select("source", "n_docs", F.col("total_tokens").cast("long").alias("total_tokens"))
+    )
+
+
+def _curation_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    q AS (SELECT doc_id, quality FROM ({ORACLE["text_quality"]})),
+    rep AS (SELECT doc_id, keep FROM ({ORACLE["text_repetition_filter"]})),
+    surv AS (
+      SELECT d.doc_id, d.text, d.source FROM documents d
+      JOIN q USING (doc_id) JOIN rep USING (doc_id)
+      WHERE d.lang = 'en' AND q.quality >= 0.36 AND rep.keep),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM surv GROUP BY md5(text)),
+    es AS (SELECT s.* FROM surv s JOIN exact_keep USING (doc_id)),
+    pairs0 AS ({_minhash_oracle()}),
+    pairs AS (
+      SELECT doc_a, doc_b FROM pairs0
+      WHERE doc_a IN (SELECT doc_id FROM es)
+        AND doc_b IN (SELECT doc_id FROM es)),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, m) AS (
+      SELECT doc_id, doc_id FROM es
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m),
+    cc AS (SELECT node AS doc_id, min(m) AS cluster_id FROM reach GROUP BY node),
+    canonical AS (
+      SELECT es.* FROM es JOIN cc USING (doc_id) WHERE cc.cluster_id = es.doc_id)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM canonical GROUP BY source
+    """
+
+
 def _simhash_oracle() -> str:
     terms = _dedup.simhash_bit_terms()
     sums = ", ".join(f"SUM({t}) AS s{b}" for b, t in enumerate(terms))
@@ -756,6 +863,96 @@ def _simhash_oracle() -> str:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "sample_stratified_docs",
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE ('0x' || substring(md5('mix1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000
+      < CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 300000 ELSE 150000 END
+    """,
+)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified training-mix sample: 50% of English, 30% of
+    Chinese, 15% of everything else, keyed on md5(doc_id) — same selection
+    on every run and any partitioning (no rand())."""
+    from incremental_data_pipeline_spark.operators import sampling as _sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.stratified_sample(
+        docs, "lang", {"en": 0.5, "zh": 0.3}, ["doc_id"], default_rate=0.15, salt="mix1"
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "sample_quota_longest",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents)
+    WHERE rk <= 5
+    """,
+)
+def sample_quota_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum quota: the 5 longest documents per language (score-desc
+    quota sampling; with a hash score this same operator is a deterministic
+    fixed-size uniform sample per group)."""
+    from incremental_data_pipeline_spark.operators import sampling as _sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.quota_by_score(docs, ["lang"], "n_chars", 5, "doc_id").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "text_repetition_filter",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text,' ') AS t, length(text) AS n_chars
+      FROM documents),
+    base AS (
+      SELECT doc_id, n_chars,
+        1.0 - CAST(len(list_distinct(t)) AS DOUBLE)/len(t) AS dup_token_frac
+      FROM toks),
+    g2 AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 2
+             THEN list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])
+             ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks),
+    c2 AS (SELECT doc_id, max(cnt*length(g)) AS top2 FROM
+           (SELECT doc_id, g, count(*) AS cnt FROM g2 GROUP BY doc_id, g)
+           GROUP BY doc_id),
+    g3 AS (
+      SELECT doc_id, unnest(
+        CASE WHEN len(t) >= 3
+             THEN list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])
+             ELSE [array_to_string(t, ' ')] END) AS g
+      FROM toks),
+    c3 AS (SELECT doc_id, max(cnt*length(g)) AS top3 FROM
+           (SELECT doc_id, g, count(*) AS cnt FROM g3 GROUP BY doc_id, g)
+           GROUP BY doc_id)
+    SELECT b.doc_id,
+      b.n_chars,
+      b.dup_token_frac,
+      CAST(c2.top2 AS DOUBLE)/b.n_chars AS top_2gram_char_frac,
+      CAST(c3.top3 AS DOUBLE)/b.n_chars AS top_3gram_char_frac,
+      (b.dup_token_frac <= 0.6
+       AND CAST(c2.top2 AS DOUBLE)/b.n_chars <= 0.20
+       AND CAST(c3.top3 AS DOUBLE)/b.n_chars <= 0.18) AS keep
+    FROM base b JOIN c2 USING(doc_id) JOIN c3 USING(doc_id)
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality rules (top n-gram char fraction,
+    word repetition) with a keep/drop verdict per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.gopher_repetition_filter(docs, "doc_id", "text")
 
 
 # --------------------------------------------------------------------------
@@ -1704,3 +1901,8 @@ def schema_probe_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema_only = o.filter("1=0")  # P6: empty, schema-carrying bootstrap
     hits = o.filter("o_totalprice > 100000.0 AND o_orderpriority = '1-URGENT'")  # P7
     return schema_only.unionByName(hits)
+
+
+# corpus_curation's oracle composes stage oracles registered above, so it is
+# injected once the whole registry exists (module bottom, import-order-safe).
+ORACLE["corpus_curation"] = _curation_oracle()

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from incremental_data_pipeline_spark.operators import dedup
 from incremental_data_pipeline_spark.sources.readers import load_table
-from tests.conftest import SF_DIR
+from tests.conftest import SF_DIR, assert_query_matches_oracle
 
 
 def test_lsh_recall_of_high_jaccard_pairs(spark):
@@ -118,3 +118,25 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingles(spark):
     from pyspark.sql import functions as F
     dfreq = s.groupBy("shingle").count()
     assert dfreq.filter(F.col("count") > 2).count() > 0  # hot shingle exists
+
+
+def test_connected_components_chain_and_clusters(spark):
+    """Worst-case chain graph (defeats plain propagation in < n rounds —
+    pointer jumping must kick in), plus a triangle and an isolated pair."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # chain 1-7
+             (10, 11), (11, 12), (10, 12),                    # triangle
+             (20, 21)]                                        # pair
+    e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r["node"]: r["cluster_id"] for r in dedup.connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    corpus = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 20, 21, 99]], ["doc_id"])
+    labeled = {r["doc_id"]: r["cluster_id"]
+               for r in dedup.duplicate_clusters(corpus, e).collect()}
+    assert labeled[99] == 99  # isolated doc labels itself
+    assert labeled[7] == 1 and labeled[12] == 10
+
+
+def test_dedup_clusters_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_clusters")

@@ -37,3 +37,61 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_text_repetition_filter_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "text_repetition_filter")
+
+
+def test_repetition_filter_discriminates(spark):
+    """The keep flag must actually split a corpus: a clean doc passes, a
+    degenerate repeated-token doc fails."""
+    from incremental_data_pipeline_spark.operators import text as text_ops
+
+    clean = (
+        "the quick brown fox jumps over a lazy dog near the old riverbank today "
+        "while seven wild geese wander across frozen meadows seeking better "
+        "grain and the farmer watches from his porch with quiet amusement as "
+        "evening light settles gently over every distant rolling hill"
+    )
+    df = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["keep"] for r in text_ops.gopher_repetition_filter(df).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_sample_stratified_docs_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sample_stratified_docs")
+
+
+def test_sample_quota_longest_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "sample_quota_longest")
+
+
+def test_hash_sample_determinism_and_rate(spark):
+    """Same selection under repartitioning; empirical rate near nominal;
+    salts decorrelate."""
+    from incremental_data_pipeline_spark.operators import sampling
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    a = {r["doc_id"] for r in sampling.hash_sample(docs, ["doc_id"], 0.4).collect()}
+    b = {
+        r["doc_id"]
+        for r in sampling.hash_sample(docs.repartition(13), ["doc_id"], 0.4).collect()
+    }
+    assert a == b  # partitioning-invariant
+    n = docs.count()
+    assert 0.3 * n < len(a) < 0.5 * n  # rate is honored statistically
+    c = {r["doc_id"] for r in sampling.hash_sample(docs, ["doc_id"], 0.4, salt="s2").collect()}
+    assert c != a  # independent pass selects a different set
+
+
+def test_corpus_curation_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_curation")
