@@ -1814,6 +1814,123 @@ def csv_ingest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jsonl_ingest_docs",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion source: document metadata is round-tripped
+    through a JSONL file (the standard raw-drop format for training data)
+    and ingested via read_jsonl_source with an explicit schema, then
+    aggregated per language. Oracle reads the original parquet: a lossless
+    ingest means identical aggregates."""
+    import atexit
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    jsonl_path = os.path.join(base, "docs.jsonl")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
+    ).to_pylist()
+    with open(jsonl_path, "w", encoding="utf-8") as f:
+        for row in tbl:
+            f.write(_json.dumps(row) + "\n")
+
+    from incremental_data_pipeline_spark.sources.readers import read_jsonl_source
+
+    docs = read_jsonl_source(
+        spark, jsonl_path, schema="doc_id BIGINT, lang STRING, n_chars INT"
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@query(
+    "time_travel_versions",
+    """
+    SELECT CAST(0 AS INT) AS versions_back, CAST(count(*) AS BIGINT) AS n_rows FROM nation
+    UNION ALL
+    SELECT 1, count(*) FROM nation WHERE n_nationkey < 20
+    UNION ALL
+    SELECT 2, count(*) FROM nation WHERE n_nationkey < 10
+    """,
+)
+def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 versioned-table emulation made driver-visible (reference:
+    DeltaTable.forPath / version-pinned reads, gold_dim_branch.py:178):
+    three successive versioned overwrites of a table, then read-by-version
+    — current, one back, two back — proving old versions stay readable
+    without delta-spark."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from incremental_data_pipeline_spark.sources.sinks import (
+        read_version,
+        versioned_overwrite,
+    )
+
+    base = tempfile.mkdtemp(prefix="time_travel_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "nation_versions")
+    nation = load_table(spark, sf_dir, "nation")
+    cur = 0
+    for cap in (10, 20, None):  # v1: <10, v2: <20, v3: all
+        ver = nation if cap is None else nation.filter(F.col("n_nationkey") < cap)
+        cur = versioned_overwrite(ver, path, keep=3)
+    out = None
+    for back in (0, 1, 2):
+        cnt = (
+            read_version(spark, path, version=cur - back)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(F.lit(back).cast("int").alias("versions_back"), "n_rows")
+        )
+        out = cnt if out is None else out.unionByName(cnt)
+    return out
+
+
+@query(
+    "stream_click_purchase_join",
+    """
+    SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    GROUP BY c.user_id
+    """,
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (funnel analysis): every click paired
+    with the same user's purchases within the following hour, as two
+    watermarked streams over the events source; pairs counted per user
+    after the drain. Inner interval joins emit as soon as both sides
+    arrive, so the result is micro-batch-split-invariant."""
+    ev = _stream.read_stream(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = _stream.stream_interval_join(
+        clicks, purchases, "user_id", "ts", "p_ts", within="1 hour"
+    )
+    pairs = _stream.run_to_memory(joined, "append")
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@query(
     "catalog_roundtrip_dim",
     """
     SELECT row_number() OVER (ORDER BY segment) AS dim_segment_key, segment

@@ -79,6 +79,30 @@ def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
         df.createOrReplaceTempView(n)
 
 
+def read_jsonl_source(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+) -> DataFrame:
+    """JSON-lines ingestion source — the lingua franca of raw training-data
+    drops (one JSON object per line, splittable, appendable).
+
+    Same discipline as the CSV source: explicit schema (at 100 TB schema
+    inference is an extra full scan and a silent-drift hazard), PERMISSIVE
+    mode with malformed rows quarantined in ``_corrupt_record`` so
+    ingestion never silently drops data. JSON scans get column pruning from
+    Catalyst (only the projected fields are parsed); for hot pipelines land
+    the bronze copy as parquet so later stages get real pushdown.
+    """
+    reader = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def read_csv_source(
     spark: SparkSession,
     path: str,

@@ -135,6 +135,40 @@ def streaming_dedup(stream: DataFrame, keys: list[str], ts_col: str, delay: str)
     return deduped.select(*keys)
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    delay: str = "35 days",
+) -> DataFrame:
+    """Stream-stream inner interval join: pair a left event with every
+    right event of the same key whose timestamp lands in
+    [left_ts, left_ts + within]. The funnel-analysis primitive
+    (click → purchase within the hour).
+
+    Both sides carry an event-time watermark and the join condition bounds
+    the time range, so Spark evicts buffered rows once the watermark passes
+    left_ts + within — state is O(events per delay window) per key, never
+    unbounded, which is what lets the join run forever on unbounded
+    streams. Inner results emit as soon as both sides arrive (append mode);
+    the watermark only governs state cleanup and late-drop.
+    """
+    l = left.withWatermark(left_ts, delay)
+    r = right.withWatermark(right_ts, delay).select(
+        F.col(key).alias("__rkey"), F.col(right_ts).alias(right_ts)
+    )
+    return l.join(
+        r,
+        (F.col(key) == F.col("__rkey"))
+        & (F.col(right_ts) >= F.col(left_ts))
+        & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {within}")),
+        "inner",
+    ).drop("__rkey")
+
+
 def foreach_batch_scd1(
     stream: DataFrame,
     apply_batch: Callable[[DataFrame, int], None],

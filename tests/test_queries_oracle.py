@@ -95,3 +95,15 @@ def test_hash_sample_determinism_and_rate(spark):
 
 def test_corpus_curation_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "corpus_curation")
+
+
+def test_jsonl_ingest_docs_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "jsonl_ingest_docs")
+
+
+def test_time_travel_versions_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "time_travel_versions")
+
+
+def test_stream_click_purchase_join_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "stream_click_purchase_join")
