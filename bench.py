@@ -45,6 +45,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "stream_window_agg",
     "multimodal_frames",
+    "dedup_clusters",
+    "corpus_curation",
 ]
 
 

@@ -245,7 +245,12 @@ def connected_components(
     reference's max-key lookup.
     """
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    bidir = und.union(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Materialize the edge set ONCE: every iteration joins against it, and
+    # without the checkpoint each round would re-execute the upstream
+    # pair-generation pipeline (minhash/simhash/LSH) from scratch.
+    bidir = und.union(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
     labels = (
         bidir.select(F.col("u").alias("node"))
         .distinct()

@@ -179,3 +179,97 @@ def fingerprint(df: DataFrame, col: str = "text", out: str = "fingerprint") -> D
     truncated to 16 hex chars. Content-defined, order-independent — the
     join key for exact dedup across shards."""
     return df.withColumn(out, F.substring(F.md5(F.lower(F.col(col))), 1, 16))
+
+
+def corpus_vocab_topk(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus-level vocabulary frequencies, top-k (freq desc, token asc for
+    a deterministic total order). One explode + one shuffle with map-side
+    partial counts; the final top-k is a TakeOrdered, not a full sort —
+    scales with vocabulary size, not corpus size."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 56,
+) -> DataFrame:
+    """Split documents into fixed-size token chunks with overlap
+    (chunk_tokens - stride), the context-window prep step for training and
+    retrieval indexing. Chunk i covers tokens [i*stride, i*stride +
+    chunk_tokens); the last chunk clamps at the document end.
+
+    All array built-ins over the tokenized column — a narrow map with one
+    explode, no shuffle, no UDF; chunk identity is an md5 over the joined
+    slice so downstream dedup can run per-chunk."""
+    from incremental_data_pipeline_spark.functions.util import fan_out
+
+    t = tokens(text_col)
+    n_chunks_m1 = F.floor((F.size(t) - F.lit(1)) / F.lit(stride)).cast("int")
+    base = fan_out(df).select(
+        id_col, t.alias("__t"), F.explode(F.sequence(F.lit(0), n_chunks_m1)).alias("ci")
+    )
+    chunk = F.slice(F.col("__t"), F.col("ci") * stride + F.lit(1), chunk_tokens)
+    return base.select(
+        id_col,
+        F.col("ci").alias("chunk_idx"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def pack_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 256,
+) -> DataFrame:
+    """Offset-based sequence packing (concatenate-then-split — how training
+    corpora are actually packed): documents are laid end-to-end in id
+    order and the token stream is cut into fixed ``seq_len`` sequences;
+    each document gets its global ``start_offset`` and the ``seq_id`` its
+    first token falls into.
+
+    The global prefix sum uses the same scalable two-phase layout as
+    surrogate-key generation (operators/scd.py): range-partition by id,
+    partition-local running sums, then per-partition totals (a tiny
+    driver-side broadcast) shift each partition — no single-task global
+    window, so the layout holds at any corpus size."""
+    from pyspark.sql import Window
+
+    toks = df.select(id_col, F.size(tokens(text_col)).alias("n_tokens"))
+    parted = toks.repartitionByRange(id_col).withColumn("__pid", F.spark_partition_id())
+    wp = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    numbered = parted.withColumn("__run", F.sum("n_tokens").over(wp))
+    totals = numbered.groupBy("__pid").agg(F.sum("n_tokens").alias("__tot"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn("__off", F.coalesce(F.sum("__tot").over(woff), F.lit(0)))
+    return (
+        numbered.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        .select(
+            id_col,
+            "n_tokens",
+            (F.col("__off") + F.col("__run") - F.col("n_tokens"))
+            .cast("long")
+            .alias("start_offset"),
+            F.floor(
+                (F.col("__off") + F.col("__run") - F.col("n_tokens")) / F.lit(seq_len)
+            )
+            .cast("long")
+            .alias("seq_id"),
+        )
+    )

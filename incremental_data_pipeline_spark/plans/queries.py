@@ -794,7 +794,10 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(quality.filter(F.col("quality") >= 0.36).select("doc_id"), "doc_id", "left_semi")
         .join(rep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
     )
-    exact_surv = _dedup.exact_dedup(surv, "text", "doc_id")
+    # Three downstream branches (pair generation, cluster labeling, the
+    # canonical join) all consume the survivor set — materialize it once
+    # instead of recomputing the filter pipeline per branch.
+    exact_surv = _dedup.exact_dedup(surv, "text", "doc_id").localCheckpoint()
     pairs = _dedup.lsh_candidate_pairs(exact_surv, "doc_id", "text", 12, 3, 3)
     clusters = _dedup.duplicate_clusters(exact_surv.select("doc_id"), pairs, "doc_id")
     canonical = exact_surv.join(
@@ -863,6 +866,59 @@ def _simhash_oracle() -> str:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "corpus_vocab_topk",
+    """
+    SELECT token, CAST(count(*) AS BIGINT) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-20 by frequency (map-side partial counts +
+    TakeOrdered — never a full global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.corpus_vocab_topk(docs, "text", 20)
+
+
+@query(
+    "doc_chunking",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    st AS (SELECT doc_id, t, unnest(range(0, ((len(t)-1)//56)+1)) AS ci FROM toks)
+    SELECT doc_id,
+           CAST(ci AS INT) AS chunk_idx,
+           CAST(len(t[ci*56+1 : ci*56+64]) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(t[ci*56+1 : ci*56+64], ' ')) AS chunk_hash
+    FROM st
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: 64-token chunks, stride 56 (8-token
+    overlap), with an md5 per chunk for chunk-level dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.chunk_documents(docs, "doc_id", "text", 64, 56)
+
+
+@query(
+    "pack_sequences",
+    """
+    SELECT doc_id, n_tokens,
+      CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
+      CAST(floor((sum(n_tokens) OVER w - n_tokens) / 256) AS BIGINT) AS seq_id
+    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+    WINDOW w AS (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing: documents laid end-to-end in id
+    order, cut into 256-token sequences; per-doc global start offset and
+    owning seq_id via the scalable two-phase prefix sum (no single-task
+    global window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.pack_offsets(docs, "doc_id", "text", 256)
 
 
 @query(

@@ -107,3 +107,33 @@ def test_time_travel_versions_oracle(spark, duck):
 
 def test_stream_click_purchase_join_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "stream_click_purchase_join")
+
+
+def test_corpus_vocab_topk_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_vocab_topk")
+
+
+def test_doc_chunking_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "doc_chunking")
+
+
+def test_pack_sequences_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "pack_sequences")
+
+
+def test_pack_offsets_contiguous(spark):
+    """Offsets must tile the token stream: sorted by doc_id, each doc's
+    start equals the previous doc's start + n_tokens, beginning at 0."""
+    from incremental_data_pipeline_spark.operators import text as text_ops
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = sorted(
+        text_ops.pack_offsets(docs).collect(), key=lambda r: r["doc_id"]
+    )
+    expect = 0
+    for r in rows:
+        assert r["start_offset"] == expect
+        assert r["seq_id"] == expect // 256
+        expect += r["n_tokens"]
