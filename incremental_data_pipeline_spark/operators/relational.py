@@ -102,3 +102,34 @@ def asof_join(
     for c in payload:
         u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return u.filter(F.col("__is_r") == 0).drop("__is_r")
+
+
+def iqr_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Per-group Tukey-fence outlier detection: rows with value outside
+    [q1 - k*iqr, q3 + k*iqr] of their group. The data-quality gate for
+    numeric columns (sensor spikes, price glitches) before they poison
+    downstream aggregates.
+
+    Scale shape: one exact-percentile aggregation per group (a single
+    shuffle with map-side partials over sorted runs), the per-group fence
+    table is tiny and broadcast back — the detail side never shuffles. At
+    extreme group cardinality swap `percentile` for `percentile_approx`
+    (t-digest sketch) at the cost of oracle exactness."""
+    q = F.expr(f"percentile({value_col}, array(0.25D, 0.75D))")
+    fences = df.groupBy(*group_cols).agg(
+        q[0].alias("__q1"), q[1].alias("__q3")
+    )
+    iqr = F.col("__q3") - F.col("__q1")
+    return (
+        df.join(F.broadcast(fences), group_cols)
+        .filter(
+            (F.col(value_col) < F.col("__q1") - F.lit(k) * iqr)
+            | (F.col(value_col) > F.col("__q3") + F.lit(k) * iqr)
+        )
+        .drop("__q1", "__q3")
+    )

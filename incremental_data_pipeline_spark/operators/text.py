@@ -273,3 +273,29 @@ def pack_offsets(
             .alias("seq_id"),
         )
     )
+
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, col: str = "text", out: str = "scrubbed"
+) -> DataFrame:
+    """Redact PII spans (emails, phone-shaped numbers) with typed
+    placeholders and count redactions per document — the compliance pass a
+    training corpus runs before anything else sees the text.
+
+    Pure regexp_replace/regexp_count built-ins (JVM codegen, no UDF, no
+    shuffle); patterns are anchored to ASCII classes shared verbatim with
+    the DuckDB oracle so both engines redact identical spans."""
+    scrubbed = F.col(col)
+    n = F.lit(0).cast("int")
+    for name, pat in PII_PATTERNS:
+        # regexp_count (not expr-embedded SQL literals): SQL-literal
+        # backslash escaping would silently corrupt the pattern.
+        n = n + F.regexp_count(F.col(col), F.lit(pat)).cast("int")
+        scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
+    return df.withColumn("n_redactions", n).withColumn(out, scrubbed)

@@ -739,6 +739,27 @@ ORACLE["dedup_minhash_lsh"] = _minhash_oracle()
 
 
 @query(
+    "dedup_incremental_batch",
+    None,  # oracle injected below (pair SQL filtered to new-side pairs)
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening: the newest documents (doc_id >= 400,
+    today's crawl) are checked against the whole corpus without re-pairing
+    the existing corpus against itself — candidate volume scales with the
+    batch, the incremental analogue of watermark-CDC."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    return _dedup.incremental_lsh_pairs(corpus, batch, "doc_id", "text", 12, 3, 3)
+
+
+ORACLE["dedup_incremental_batch"] = (
+    f"SELECT doc_a, doc_b FROM ({_minhash_oracle()}) "
+    "WHERE doc_a >= 400 OR doc_b >= 400"
+)
+
+
+@query(
     "dedup_clusters",
     None,  # oracle injected below (recursive CTE over the same pair SQL)
 )
@@ -866,6 +887,67 @@ def _simhash_oracle() -> str:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "text_pii_scrub",
+    r"""
+    WITH withpii AS (
+      SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR)
+             || '@mail.example.com or call +1 (555) 010-'
+             || CAST(doc_id AS VARCHAR) AS text
+      FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+         + len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS INT)
+        AS n_redactions,
+      md5(regexp_replace(
+            regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+            '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[PHONE]', 'g')) AS scrub_hash
+    FROM withpii
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: the fixture corpus gets a deterministic
+    synthetic contact line per doc (both engines construct it identically),
+    pii_scrub redacts emails/phones with typed placeholders, and the
+    scrubbed text is md5'd so the oracle verifies the exact spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or call +1 (555) 010-"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = _text.pii_scrub(with_pii, "text")
+    return out.select("doc_id", "n_redactions", F.md5("scrubbed").alias("scrub_hash"))
+
+
+@query(
+    "events_value_outliers",
+    """
+    WITH s AS (
+      SELECT event_type,
+             quantile_cont(value, 0.25) AS __q1,
+             quantile_cont(value, 0.75) AS __q3
+      FROM events GROUP BY 1)
+    SELECT e.event_id, e.event_type, e.value
+    FROM events e JOIN s USING (event_type)
+    WHERE e.value < __q1 - 1.5*(__q3 - __q1)
+       OR e.value > __q3 + 1.5*(__q3 - __q1)
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Tukey-fence outliers on event values: exact interpolated
+    quartiles per event type (one shuffle), tiny fence table broadcast
+    back, detail side never shuffles."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return relational.iqr_outliers(ev, ["event_type"], "value")
 
 
 @query(

@@ -140,3 +140,23 @@ def test_connected_components_chain_and_clusters(spark):
 
 def test_dedup_clusters_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "dedup_clusters")
+
+
+def test_dedup_incremental_batch_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "dedup_incremental_batch")
+
+
+def test_incremental_pairs_subset_of_full(spark):
+    """Incremental pairs == full LSH pairs restricted to >= 1 new side."""
+    docs = load_table(spark, SF_DIR, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.lsh_candidate_pairs(docs, "doc_id", "text").collect()
+    }
+    corpus = docs.filter("doc_id < 400")
+    batch = docs.filter("doc_id >= 400")
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.incremental_lsh_pairs(corpus, batch, "doc_id", "text").collect()
+    }
+    assert inc == {p for p in full if p[0] >= 400 or p[1] >= 400}

@@ -137,3 +137,23 @@ def test_pack_offsets_contiguous(spark):
         assert r["start_offset"] == expect
         assert r["seq_id"] == expect // 256
         expect += r["n_tokens"]
+
+
+def test_text_pii_scrub_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "text_pii_scrub")
+
+
+def test_events_value_outliers_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "events_value_outliers")
+
+
+def test_pii_scrub_redacts_known_spans(spark):
+    from incremental_data_pipeline_spark.operators import text as text_ops
+
+    df = spark.createDataFrame(
+        [(1, "reach me at jane.doe+spam@corp.example.io or +44 (20) 7946-0958 now")],
+        ["doc_id", "text"],
+    )
+    r = text_ops.pii_scrub(df).collect()[0]
+    assert r["n_redactions"] == 2
+    assert r["scrubbed"] == "reach me at [EMAIL] or [PHONE] now"
