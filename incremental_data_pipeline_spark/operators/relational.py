@@ -133,3 +133,29 @@ def iqr_outliers(
         )
         .drop("__q1", "__q3")
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when the gap
+    to the previous event of the same key exceeds ``gap_minutes``; the
+    session index is the running count of session starts — the classic
+    two-window formulation (lag for the gap flag, running sum for the id),
+    one shuffle on the key.
+
+    This is the BATCH twin of the streaming session_window_agg: same
+    session semantics over at-rest data, useful for backfills over history
+    that the streaming job will then continue incrementally."""
+    w = Window.partitionBy(*key_cols).orderBy(ts_col)
+    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    running = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn("session_idx", F.sum(is_new).over(running).cast("long"))

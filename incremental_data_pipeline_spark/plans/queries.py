@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incremental_data_pipeline_spark.operators import cdc, relational, scd
@@ -887,6 +887,112 @@ def _simhash_oracle() -> str:
 def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.simhash(docs, "doc_id", "text")
+
+
+@query(
+    "batch_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+      SELECT user_id, ts,
+        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS session_idx
+      FROM flagged)
+    SELECT user_id, session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def batch_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over at-rest history (30-min gap), the
+    batch twin of the streaming session windows — lag flag + running sum,
+    one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    s = relational.sessionize(ev, ["user_id"], "ts", 30)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@query(
+    "rolling_hour_stats",
+    """
+    SELECT event_id, user_id,
+      CAST(sum(CAST(round(value*100) AS BIGINT)) OVER w AS BIGINT) AS roll_sum_cents,
+      CAST(count(*) OVER w AS BIGINT) AS roll_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+)
+def rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval window frame (RANGE INTERVAL 1 HOUR PRECEDING): the
+    per-entity rolling aggregate shape. Values quantized to integer cents
+    inside the frame so the rolling sum is order-free and exact in both
+    engines."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("roll_sum_cents"),
+        F.count(F.lit(1)).over(w).alias("roll_n"),
+    )
+
+
+@query(
+    "quality_deciles",
+    """
+    SELECT doc_id,
+           CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS INT) AS decile
+    FROM (SELECT doc_id,
+            0.4*(len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')))
+          + 0.3*(len(list_filter(string_split(text,' '),
+                x -> x IN ('the','a','and','of','to','is','in'))) / len(string_split(text,' ')))
+          + 0.3*least(len(string_split(text,' '))/100.0, 1.0) AS quality
+          FROM documents)
+    """,
+)
+def quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum bucketing: ntile(10) over the quality score (ties broken
+    by doc_id for a deterministic total order) — the split step for
+    quality-staged training mixes."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = _text.quality_score(docs)
+    w = Window.orderBy("quality", "doc_id")
+    return q.select("doc_id", F.ntile(10).over(w).alias("decile"))
+
+
+@query(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value/10) AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (bucket = floor(value/10)) —
+    one map-side-combined shuffle keyed by bucket."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.floor(F.col("value") / 10).cast("int").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
 
 
 @query(

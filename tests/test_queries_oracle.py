@@ -157,3 +157,19 @@ def test_pii_scrub_redacts_known_spans(spark):
     r = text_ops.pii_scrub(df).collect()[0]
     assert r["n_redactions"] == 2
     assert r["scrubbed"] == "reach me at [EMAIL] or [PHONE] now"
+
+
+def test_batch_sessionize_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "batch_sessionize")
+
+
+def test_rolling_hour_stats_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "rolling_hour_stats")
+
+
+def test_quality_deciles_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "quality_deciles")
+
+
+def test_value_histogram_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "value_histogram")
