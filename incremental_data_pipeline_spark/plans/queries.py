@@ -270,6 +270,35 @@ def watermark_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value")
 
 
+@query(
+    "watermark_range_pushdown",
+    """
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def watermark_range_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same (lo, hi] extract as watermark_range, but through
+    load_table_range: window bounds pushed as raw int64-nanos predicates
+    into the parquet scan (row-group pruning — the filter on the converted
+    µs column is not pushdown-eligible, so at 100 TB THIS is the extract
+    path). Pushdown is asserted in tests/test_sources.py."""
+    import datetime
+
+    from incremental_data_pipeline_spark.sources.readers import load_table_range
+
+    return load_table_range(
+        spark,
+        sf_dir,
+        "events",
+        "ts",
+        datetime.datetime(2024, 1, 10),
+        datetime.datetime(2024, 1, 20),
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
 # --------------------------------------------------------------------------
 # Dimension build + surrogate keys + SCD1 upsert (SURVEY §2.5 W1, §2.1 S11).
 # --------------------------------------------------------------------------

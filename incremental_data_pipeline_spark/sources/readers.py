@@ -68,6 +68,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_range(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_col: str,
+    lo,
+    hi,
+) -> DataFrame:
+    """Range-pruned incremental scan over the (lo, hi] watermark window —
+    the 100 TB shape of the extract.
+
+    A filter on the µs-converted timestamp column is an expression over the
+    raw int64 nanos, so it is NOT pushdown-eligible: the scan would read
+    every row group of a 100 TB source each batch. Here the window bounds
+    are pushed as plain int64 comparisons on the RAW nanos column (parquet
+    row-group min/max pruning applies), then the exact converted-column
+    filter runs on the survivors. The raw lower bound is deliberately
+    coarse (truncation-safe superset); the exact filter restores (lo, hi]
+    precisely, so semantics match load_table + watermark_range while the
+    scan skips every row group outside the window.
+
+    For non-nanos timestamp columns the plain filter already pushes down
+    and this degrades to exactly that.
+    """
+    import calendar
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_ts_columns(path)
+
+    def _micros(dt) -> int:
+        return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
+    if ts_col in nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        # Coarse raw-nanos bounds (pushed): lo is a superset boundary
+        # because ns -> µs truncation maps (lo_µs*1000, lo_µs*1000+999]
+        # onto lo_µs; hi's bound is exact under truncation.
+        df = df.filter(
+            (F.col(ts_col) > F.lit(_micros(lo) * 1000))
+            & (F.col(ts_col) < F.lit((_micros(hi) + 1) * 1000))
+        )
+        for c in nanos_cols:
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    else:
+        df = load_table(spark, sf_dir, name)
+    # Exact window on the public (converted) column.
+    return df.filter((F.col(ts_col) > F.lit(lo)) & (F.col(ts_col) <= F.lit(hi)))
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 

@@ -97,7 +97,11 @@ def run_incremental_batch(
     ``current_load`` defaults to max(ts) in the source (the reference's
     second ADF Lookup). The range filter is a plain comparison → pushed to
     the parquet scan, so each batch reads only new row groups even when the
-    source is 100 TB.
+    source is 100 TB. Caveat: if ``ts_col`` is a DERIVED column (e.g. the
+    µs conversion of a raw-nanos source), the comparison is not
+    pushdown-eligible — feed a source built by ``readers.load_table_range``
+    instead, which pushes the window as raw int64 bounds and re-applies
+    the exact filter post-conversion.
     """
     last = store.read()
     if current_load is None:

@@ -89,3 +89,36 @@ def test_partitioned_write_prunes_on_read(spark, tmp_path):
     one_day = ev.filter(F.col("day") == "2024-01-05")
     overwrite_partitions(one_day, path, ["day"])
     assert spark.read.parquet(path).count() == ev.count()
+
+
+def test_watermark_range_pushdown_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "watermark_range_pushdown")
+
+
+def test_range_scan_pushes_raw_nanos_bounds(spark):
+    """load_table_range must push the window bounds into the parquet scan
+    (PushedFilters on the raw nanos column) AND return exactly the same
+    rows as the unpruned watermark filter."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators import cdc
+    from incremental_data_pipeline_spark.sources.readers import load_table, load_table_range
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    lo, hi = datetime.datetime(2024, 1, 10), datetime.datetime(2024, 1, 20)
+    pruned = load_table_range(spark, SF_DIR, "events", "ts", lo, hi)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "GreaterThan(ts" in pushed and "LessThan(ts" in pushed
+
+    plain = cdc.watermark_range(
+        load_table(spark, SF_DIR, "events"), "ts", F.lit(lo), F.lit(hi)
+    )
+    assert pruned.count() == plain.count()
+    ids_a = {r["event_id"] for r in pruned.select("event_id").collect()}
+    ids_b = {r["event_id"] for r in plain.select("event_id").collect()}
+    assert ids_a == ids_b
