@@ -350,6 +350,14 @@ def connected_components(
         labels = jump
         if changed == 0:
             break
+    else:
+        # Silent non-convergence would emit WRONG cluster ids downstream
+        # (splits a real duplicate cluster). Pointer jumping covers
+        # diameter ~2^max_iterations, so hitting this means the budget is
+        # misconfigured, not that the graph is merely large.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds"
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))
 
 

@@ -92,3 +92,46 @@ def test_exact_dedup_partitions_corpus(spark, texts):
     assert sum(g["n_copies"] for g in groups) == len(texts)
     ids = [g["keep_id"] for g in groups]
     assert len(set(ids)) == len(ids)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed min-label CC == classic driver-side union-find, for any
+    random edge list (self-loops and duplicates included)."""
+    from incremental_data_pipeline_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    # canonical min-id per component
+    expected = {}
+    for node in list(parent):
+        root = find(node)
+        comp_min = min(n for n in parent if find(n) == root)
+        expected[node] = comp_min
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {
+        r["node"]: r["cluster_id"] for r in connected_components(df).collect()
+    }
+    assert got == expected
