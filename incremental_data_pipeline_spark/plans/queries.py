@@ -2293,6 +2293,68 @@ def schema_probe_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_only.unionByName(hits)
 
 
+@query(
+    "corpus_medallion_e2e",
+    None,  # oracle injected at module bottom (reuses the repetition oracle)
+)
+def corpus_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The medallion pipeline applied to a TRAINING CORPUS instead of a
+    fact table: documents arrive in two incremental batches under a
+    doc_id high-water mark (the watermark store is orderable-key generic —
+    same (last, current] semantics as the timestamp CDC), bronze is the
+    replay-safe append layer, silver is the curation transform (exact
+    dedup + Gopher repetition gate), gold is per-language corpus stats.
+    One operator set, two domains — the reference's car-sales flow and an
+    LLM data pipeline are the same engine."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from incremental_data_pipeline_spark.operators.text import gopher_repetition_filter
+    from incremental_data_pipeline_spark.plans.medallion import MedallionPipeline
+
+    base = tempfile.mkdtemp(prefix="corpus_medallion_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    pipe = MedallionPipeline(spark, base)
+    docs = load_table(spark, sf_dir, "documents")
+
+    for current in (250, None):  # batch 1: (-1, 250]; batch 2: (250, max]
+        pipe.ingest_bronze(
+            docs, "documents", "doc_id", ["doc_id"], -1, current, count_rows=False
+        )
+
+        def curate(bronze: DataFrame) -> DataFrame:
+            deduped = _dedup.exact_dedup(bronze, "text", "doc_id")
+            keep = gopher_repetition_filter(deduped).filter(F.col("keep"))
+            return deduped.join(keep.select("doc_id"), "doc_id", "left_semi")
+
+        silver = pipe.build_silver("documents", curate)
+        gold = silver.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias("total_tokens"),
+        )
+        from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+        atomic_overwrite(gold, pipe.path("gold", "corpus_stats"))
+    return pipe.read("gold", "corpus_stats")
+
+
+def _corpus_medallion_oracle() -> str:
+    return f"""
+    WITH rep AS (SELECT doc_id, keep FROM ({ORACLE["text_repetition_filter"]})),
+    exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+    silver AS (
+      SELECT d.* FROM documents d
+      JOIN exact_keep USING (doc_id) JOIN rep USING (doc_id)
+      WHERE rep.keep)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+    FROM silver GROUP BY lang
+    """
+
+
 # corpus_curation's oracle composes stage oracles registered above, so it is
 # injected once the whole registry exists (module bottom, import-order-safe).
 ORACLE["corpus_curation"] = _curation_oracle()
+ORACLE["corpus_medallion_e2e"] = _corpus_medallion_oracle()

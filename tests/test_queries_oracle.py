@@ -173,3 +173,7 @@ def test_quality_deciles_oracle(spark, duck):
 
 def test_value_histogram_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "value_histogram")
+
+
+def test_corpus_medallion_e2e_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "corpus_medallion_e2e")
