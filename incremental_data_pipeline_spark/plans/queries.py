@@ -2294,6 +2294,30 @@ def schema_probe_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_quality_gate",
+    """
+    SELECT doc_id, quality FROM (
+      SELECT doc_id,
+        0.4*(len(list_distinct(string_split(text,' '))) / len(string_split(text,' ')))
+      + 0.3*(len(list_filter(string_split(text,' '),
+            x -> x IN ('the','a','and','of','to','is','in'))) / len(string_split(text,' ')))
+      + 0.3*least(len(string_split(text,' '))/100.0, 1.0) AS quality
+      FROM documents)
+    WHERE quality >= 0.36
+    """,
+)
+def stream_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality gate run as a STREAM: the same quality_score operator is
+    a stateless narrow map, so it composes with readStream unchanged —
+    batch backfill and streaming ingest share one curation codepath (no
+    state, no watermark, no shuffle per micro-batch)."""
+    stream = _stream.read_stream(spark, sf_dir, "documents")
+    scored = _text.quality_score(stream)
+    gated = scored.filter(F.col("quality") >= 0.36).select("doc_id", "quality")
+    return _stream.run_to_memory(gated, "append")
+
+
+@query(
     "corpus_medallion_e2e",
     None,  # oracle injected at module bottom (reuses the repetition oracle)
 )

@@ -122,3 +122,34 @@ def test_range_scan_pushes_raw_nanos_bounds(spark):
     ids_a = {r["event_id"] for r in pruned.select("event_id").collect()}
     ids_b = {r["event_id"] for r in plain.select("event_id").collect()}
     assert ids_a == ids_b
+
+
+def test_csv_corrupt_row_quarantined(spark, tmp_path):
+    """PERMISSIVE mode must capture malformed rows in _corrupt_record, not
+    drop them silently."""
+    from incremental_data_pipeline_spark.sources.readers import read_csv_source
+
+    p = tmp_path / "dirty.csv"
+    p.write_text('id,name\n1,"ok"\nnot_an_int,"bad"\n2,"fine"\n')
+    df = read_csv_source(
+        spark, str(p), schema="id INT, name STRING, _corrupt_record STRING"
+    ).cache()
+    assert df.count() == 3
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and "not_an_int" in bad[0]["_corrupt_record"]
+    assert df.filter("_corrupt_record IS NULL").count() == 2
+    df.unpersist()
+
+
+def test_jsonl_corrupt_line_quarantined(spark, tmp_path):
+    from incremental_data_pipeline_spark.sources.readers import read_jsonl_source
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text('{"id": 1, "name": "ok"}\n{broken json!!\n{"id": 2, "name": "fine"}\n')
+    df = read_jsonl_source(
+        spark, str(p), schema="id BIGINT, name STRING, _corrupt_record STRING"
+    ).cache()
+    assert df.count() == 3
+    bad = df.filter("_corrupt_record IS NOT NULL").collect()
+    assert len(bad) == 1 and "broken" in bad[0]["_corrupt_record"]
+    df.unpersist()

@@ -243,3 +243,9 @@ def test_scd1_dim_output_invariant_to_batch_split(spark):
         assert sorted(map(tuple, reranked.collect())) == sorted(map(tuple, expected.collect()))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_quality_gate_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "stream_quality_gate")
