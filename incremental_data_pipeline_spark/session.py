@@ -46,6 +46,13 @@ def get_spark(
         # Parquet scans: vectorized reader + aggregate pushdown where legal.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Scan-split sizing. 128 MB splits are the right default for both
+        # the local fixtures and a production cluster: at 100 TB that is
+        # ~800k splits — enough for any executor count — while per-task
+        # overhead stays amortized. Shrink only for compute-dense narrow
+        # maps over small-bytes inputs (fan_out handles that case by
+        # repartitioning instead, which keeps the scan itself cheap).
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
         # TIMESTAMP(NANOS) parquet (events.ts) is otherwise unreadable in
         # Spark 4; readers.load_table converts the raw nanos back to
         # microsecond TimestampType.
