@@ -135,3 +135,32 @@ def test_connected_components_matches_union_find(spark, edges):
         r["node"]: r["cluster_id"] for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+@given(
+    st.lists(st.integers(0, 20000), min_size=1, max_size=60),
+    st.sampled_from([60, 1800, 3600]),
+)
+@settings(max_examples=6, deadline=None)
+def test_sessionize_matches_python_reference(spark, offsets, gap_s):
+    """Gap-based sessionization == a sorted linear scan, including gaps
+    exactly AT the threshold (> means a gap of exactly gap_s stays in the
+    same session)."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators.relational import sessionize
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [(1, base + datetime.timedelta(seconds=o)) for o in sorted(set(offsets))]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        r["ts"]: r["session_idx"]
+        for r in sessionize(df, ["user_id"], "ts", gap_s // 60).collect()
+    }
+    expected, sid, prev = {}, 0, None
+    for _, ts in rows:
+        if prev is None or (ts - prev).total_seconds() > gap_s:
+            sid += 1
+        expected[ts] = sid
+        prev = ts
+    assert got == expected

@@ -177,3 +177,7 @@ def test_value_histogram_oracle(spark, duck):
 
 def test_corpus_medallion_e2e_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "corpus_medallion_e2e")
+
+
+def test_shipping_priority_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "shipping_priority")
