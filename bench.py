@@ -47,6 +47,7 @@ HEADLINE = [
     "multimodal_frames",
     "dedup_clusters",
     "corpus_curation",
+    "shipping_priority",
 ]
 
 
