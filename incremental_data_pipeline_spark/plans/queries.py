@@ -919,6 +919,46 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "retention_cohorts",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week
+      FROM events)
+    SELECT f.cohort_week,
+      CAST(floor(date_diff('day', f.cohort_week, a.act_week) / 7) AS INT) AS week_offset,
+      CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    in every later week they were active. Two shuffles keyed by user_id
+    (first-seen agg, distinct activity), one count-distinct keyed by
+    (cohort, offset) — the canonical product-analytics rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
     "shipping_priority",
     """
     SELECT l.l_orderkey,

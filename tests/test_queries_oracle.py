@@ -181,3 +181,7 @@ def test_corpus_medallion_e2e_oracle(spark, duck):
 
 def test_shipping_priority_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "shipping_priority")
+
+
+def test_retention_cohorts_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "retention_cohorts")
