@@ -160,3 +160,31 @@ def test_incremental_pairs_subset_of_full(spark):
         for r in dedup.incremental_lsh_pairs(corpus, batch, "doc_id", "text").collect()
     }
     assert inc == {p for p in full if p[0] >= 400 or p[1] >= 400}
+
+
+def test_minhash_signature_matches_python_reference(spark):
+    """The affine-family MinHash signature must equal a direct Python
+    computation over the distinct shingle set — pins the md5 staging, the
+    (a,b) constants, and the modulus all at once."""
+    import hashlib
+
+    docs = load_table(spark, SF_DIR, "documents").limit(30)
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    coeffs = dedup.minhash_coeffs(12)
+
+    def py_sig(text):
+        toks = text.split(" ")
+        if len(toks) >= 3:
+            sh = {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+        else:
+            sh = {" ".join(toks)}
+        xs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh]
+        return [min((a * x + b) % dedup.MINHASH_P for x in xs) for a, b in coeffs]
+
+    got = {
+        r["doc_id"]: [r[f"mh{i}"] for i in range(12)]
+        for r in dedup.minhash_signatures(docs, "doc_id", "text", 12, 3).collect()
+    }
+    assert set(got) == set(rows)
+    for doc_id, text in rows.items():
+        assert got[doc_id] == py_sig(text), f"doc {doc_id}"
