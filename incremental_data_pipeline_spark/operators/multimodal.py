@@ -3,9 +3,11 @@
 Images/audio/video ride through the pipeline as `binary` columns with a
 metadata struct; decode/feature-extraction runs as Arrow-batched
 `mapInPandas` (the one place Python belongs: per-batch byte work the JVM
-can't express). The decode itself is STUBBED — codec libraries aren't in
-this container — but everything Spark-side is real and tested: schema,
-Arrow batch shape, partition-parallel execution, metadata extraction.
+can't express). Formats needing codec libraries (JPEG/PNG/audio) are out
+of reach in this container, but `decode_image` is a REAL parser for the
+dependency-free PGM (P5) format — header, dimensions, raster stats — and
+everything Spark-side is real and tested: schema, Arrow batch shape,
+partition-parallel execution, metadata extraction.
 
 At 100 TB: binary payloads dominate partition size, so reads go through
 `spark.sql.files.maxPartitionBytes`-bounded splits and the decode stage is
@@ -56,12 +58,67 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str =
     return fan_out(df).select(id_col, bin_col).mapInPandas(extract, DECODED_SCHEMA)
 
 
-def decode_image(df: DataFrame, bin_col: str = "content") -> DataFrame:
-    """Real image decode — requires PIL/opencv, absent in this container."""
-    raise NotImplementedError(
-        "image codecs not available in this environment; "
-        "plug a decoder into decode_binary_metadata's extract loop"
+PGM_WIDTH = 16
+IMAGE_SCHEMA = "doc_id long, width int, height int, maxval int, mean_pixel_milli long"
+
+
+def attach_pgm_image(df: DataFrame, text_col: str = "text", out: str = "content") -> DataFrame:
+    """Render the text bytes as a REAL binary-format grayscale image:
+    PGM 'P5' (netpbm) — ASCII header ``P5\\n<w> <h>\\n255\\n`` followed by
+    w×h raw pixel bytes. Width is fixed at PGM_WIDTH; the last row is
+    space-padded. Pure built-ins (one string concat + encode), so image
+    construction is a narrow codegen'd map — and the payloads are honest
+    images any netpbm tool can open, not opaque fakes."""
+    n = F.length(F.col(text_col))
+    h = F.expr(f"(length({text_col}) + {PGM_WIDTH - 1}) div {PGM_WIDTH}").cast("int")
+    header = F.concat(
+        F.lit(f"P5\n{PGM_WIDTH} "), h.cast("string"), F.lit("\n255\n")
     )
+    pad = F.repeat(F.lit(" "), (h * PGM_WIDTH - n).cast("int"))
+    return df.withColumn(
+        out, F.encode(F.concat(header, F.col(text_col), pad), "utf-8")
+    )
+
+
+def decode_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content") -> DataFrame:
+    """REAL image decode — a pure-Python parser for the dependency-free
+    PGM (P5) format: validate the magic, parse dimensions and maxval from
+    the header, and compute pixel statistics from the raster (numpy over
+    the Arrow batch). The same mapInPandas slot takes a PIL/opencv decode
+    for formats that need codec libraries; this one runs everywhere.
+
+    ``mean_pixel_milli`` is integer-exact (1000×sum // n_pixels) so the
+    decode is oracle-verifiable bit-for-bit."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, mx, means = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                magic, dims, maxval_s, raster = b.split(b"\n", 3)
+                if magic != b"P5":
+                    raise ValueError(f"not a P5 PGM payload (doc {doc_id})")
+                w, h = (int(x) for x in dims.split())
+                arr = np.frombuffer(raster, dtype=np.uint8)
+                if arr.size != w * h:
+                    raise ValueError(f"raster size {arr.size} != {w}x{h}")
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                mx.append(int(maxval_s))
+                means.append(1000 * int(arr.sum()) // (w * h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "maxval": pd.Series(mx, dtype="int32"),
+                    "mean_pixel_milli": pd.Series(means, dtype="int64"),
+                }
+            )
+
+    return fan_out(df).select(id_col, bin_col).mapInPandas(run, IMAGE_SCHEMA)
 
 
 FEATURE_DIM = 16

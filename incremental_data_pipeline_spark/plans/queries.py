@@ -2376,6 +2376,34 @@ def schema_probe_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_decode",
+    """
+    WITH m AS (
+      SELECT doc_id, length(text) AS n,
+             (length(text) + 15) // 16 AS h,
+             list_sum(list_transform(range(1, length(text)+1),
+                                     i -> unicode(text[i:i]))) AS sum_codes
+      FROM documents)
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(255 AS INT) AS maxval,
+           CAST((1000*(sum_codes + 32*(16*h - n))) // (16*h) AS BIGINT)
+             AS mean_pixel_milli
+    FROM m
+    """,
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image round trip: each document rendered as a binary PGM (P5)
+    grayscale image (JVM-side construction), then DECODED by the pure-
+    Python PGM parser in an Arrow batch — dimensions, maxval, and an
+    integer-exact mean pixel the oracle recomputes from the codepoints
+    (ASCII corpus: byte == codepoint; padding is 0x20)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _mm.decode_image(_mm.attach_pgm_image(docs))
+
+
+@query(
     "stream_quality_gate",
     """
     SELECT doc_id, quality FROM (

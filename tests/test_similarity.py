@@ -169,3 +169,26 @@ def test_kmeans_codebook_recall(spark):
     r_kmeans = recall(similarity.kmeans_codebook(emb, nlist=8))
     assert r_kmeans >= r_prefix
     assert r_kmeans > 0.5
+
+
+def test_pgm_roundtrip_decodes_real_image(spark):
+    """attach_pgm_image emits a well-formed netpbm P5 payload and
+    decode_image parses it — verified against a hand-decoded example."""
+    from incremental_data_pipeline_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame([(7, "abcdefghijklmnopqr")], ["doc_id", "text"])
+    payload = bytes(mm.attach_pgm_image(df).collect()[0]["content"])
+    # 18 chars -> 16x2 raster padded with 14 spaces
+    assert payload.startswith(b"P5\n16 2\n255\n")
+    raster = payload.split(b"\n", 3)[3]
+    assert len(raster) == 32 and raster[:18] == b"abcdefghijklmnopqr"
+    assert set(raster[18:]) == {0x20}
+
+    r = mm.decode_image(mm.attach_pgm_image(df)).collect()[0]
+    expected_mean = 1000 * (sum(b"abcdefghijklmnopqr") + 32 * 14) // 32
+    assert (r["width"], r["height"], r["maxval"]) == (16, 2, 255)
+    assert r["mean_pixel_milli"] == expected_mean
+
+
+def test_multimodal_image_decode_oracle(spark, duck):
+    assert_query_matches_oracle(spark, duck, "multimodal_image_decode")
