@@ -77,7 +77,11 @@ def main() -> None:
     ).write.mode("overwrite").format("noop").save()
     from incremental_data_pipeline_spark.streaming import pipeline as _sp
 
-    tiny = _sp.read_stream(spark, "/root/testdata/sf0.001", "events").groupBy().count()
+    # Warm on the smallest sibling fixture that exists (sf_dir itself as
+    # the fallback) — no hard-coded host layout.
+    sibling = Path(sf_dir).parent / "sf0.001"
+    warm_dir = str(sibling) if (sibling / "events.parquet").exists() else sf_dir
+    tiny = _sp.read_stream(spark, warm_dir, "events").groupBy().count()
     _sp.run_to_memory(tiny, "complete").collect()
 
     # Two timed iterations per query, report the min: host-VM CPU-steal
@@ -103,6 +107,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # r1 was n=1; r2+ report min-of-2 (see comment above) — noted
+                # here so cross-round comparisons stay honest.
+                "method": "min-of-2",
             }
         )
     )

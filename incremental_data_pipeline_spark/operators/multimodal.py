@@ -68,16 +68,23 @@ def attach_pgm_image(df: DataFrame, text_col: str = "text", out: str = "content"
     w×h raw pixel bytes. Width is fixed at PGM_WIDTH; the last row is
     space-padded. Pure built-ins (one string concat + encode), so image
     construction is a narrow codegen'd map — and the payloads are honest
-    images any netpbm tool can open, not opaque fakes."""
-    n = F.length(F.col(text_col))
-    h = F.expr(f"(length({text_col}) + {PGM_WIDTH - 1}) div {PGM_WIDTH}").cast("int")
+    images any netpbm tool can open, not opaque fakes.
+
+    The raster is built from a SANITIZED copy of the text: every char
+    outside printable ASCII (0x20-0x7E) becomes one space. That pins
+    1 char == 1 byte (so height×width == raster byte count even for
+    multi-byte UTF-8 input) and removes embedded newlines that would
+    corrupt the header split in ``decode_image`` — without it, one bad
+    document fails the whole mapInPandas job. Identity for ASCII corpora
+    like the fixtures."""
+    clean = F.regexp_replace(F.col(text_col), r"[^\x20-\x7E]", " ")
+    n = F.length(clean)
+    h = ((n + F.lit(PGM_WIDTH - 1)) / F.lit(PGM_WIDTH)).cast("int")
     header = F.concat(
         F.lit(f"P5\n{PGM_WIDTH} "), h.cast("string"), F.lit("\n255\n")
     )
     pad = F.repeat(F.lit(" "), (h * PGM_WIDTH - n).cast("int"))
-    return df.withColumn(
-        out, F.encode(F.concat(header, F.col(text_col), pad), "utf-8")
-    )
+    return df.withColumn(out, F.encode(F.concat(header, clean, pad), "utf-8"))
 
 
 def decode_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content") -> DataFrame:

@@ -2310,7 +2310,9 @@ def catalog_roundtrip_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         [],
         "dim_segment_key",
     )
-    cat.write(dim, "gold", "dim_segment_probe")  # S10: saveAsTable
+    # reclaim: this probe owns its scratch table; pre-marker runs may have
+    # left an unmarked orphan dir at its location.
+    cat.write(dim, "gold", "dim_segment_probe", reclaim=True)  # S10: saveAsTable
     assert cat.exists("gold", "dim_segment_probe")  # S12: tableExists
     return cat.read("gold", "dim_segment_probe")  # S7: catalog scan
 

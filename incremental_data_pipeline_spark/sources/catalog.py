@@ -35,24 +35,61 @@ class LayerCatalog:
     def read(self, layer: str, table: str) -> DataFrame:
         return self.spark.table(self.qualified(layer, table))
 
-    def write(self, df: DataFrame, layer: str, table: str, path: str | None = None) -> None:
+    # Dot-prefixed so parquet readers ignore it; proves a warehouse dir was
+    # created by THIS framework and is safe to clear when orphaned.
+    _MARKER = ".layer_catalog_managed"
+
+    def _managed_location(self, layer: str, table: str) -> str:
+        import os
+        from urllib.parse import urlparse
+
+        wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
+        return os.path.join(wh, f"{layer}.db", table)
+
+    def write(
+        self,
+        df: DataFrame,
+        layer: str,
+        table: str,
+        path: str | None = None,
+        reclaim: bool = False,
+    ) -> None:
         """Managed table (warehouse-dir) or external table at ``path``
-        (reference S10: overwrite + option('path') + saveAsTable)."""
-        if path is None and not self.exists(layer, table):
+        (reference S10: overwrite + option('path') + saveAsTable).
+
+        ``reclaim=True`` lets the caller assert ownership of an unmarked
+        orphaned warehouse directory (e.g. scratch tables a pre-marker run
+        of this framework left behind); default is to refuse to delete
+        anything we cannot prove we created.
+        """
+        import os
+        import shutil
+
+        loc = self._managed_location(layer, table)
+        if path is None and not self.exists(layer, table) and os.path.isdir(loc):
             # An in-memory session catalog forgets tables at process exit
             # but their warehouse directories survive; saveAsTable then
             # fails with LOCATION_ALREADY_EXISTS. Clear the orphaned
-            # location — it belongs to no live table.
-            import os
-            import shutil
-            from urllib.parse import urlparse
-
-            wh = urlparse(self.spark.conf.get("spark.sql.warehouse.dir")).path
-            shutil.rmtree(os.path.join(wh, f"{layer}.db", table), ignore_errors=True)
+            # location ONLY if our marker proves a previous run of this
+            # framework created it — tableExists is per-session state, so
+            # an unmarked directory may belong to another live session or
+            # to user data a shared warehouse dir points at.
+            if reclaim or os.path.exists(os.path.join(loc, self._MARKER)):
+                shutil.rmtree(loc, ignore_errors=True)
+            else:
+                raise FileExistsError(
+                    f"warehouse location {loc!r} exists but was not created by "
+                    f"LayerCatalog (no {self._MARKER} marker); refusing to delete "
+                    "it. Drop the foreign table/directory or write to an "
+                    "explicit external path instead."
+                )
         writer = df.write.mode("overwrite").format("parquet")
         if path is not None:
             writer = writer.option("path", path)
         writer.saveAsTable(self.qualified(layer, table))
+        if path is None:
+            with open(os.path.join(loc, self._MARKER), "w") as f:
+                f.write("managed by incremental_data_pipeline_spark.LayerCatalog\n")
 
     def drop(self, layer: str, table: str) -> None:
         self.spark.sql(f"DROP TABLE IF EXISTS {self.qualified(layer, table)}")

@@ -102,9 +102,20 @@ def idempotent_overwrite_day_partitions(
     by key, and exactly those day partitions are dynamically overwritten.
     Correct for windows that split a day (the partial day's existing rows
     ride along in the pruned read) and for replays (rewriting the same
-    partitions from the same union is idempotent). One shuffle on the day
+    partitions from the same union is idempotent). On a key conflict the
+    BATCH row wins deterministically (existing rows are anti-joined against
+    the batch's keys before the union) — a replay carrying corrected
+    payloads converges on the corrected values. One shuffle on the day
     column keeps one writer task per day — bounded file counts at any
     scale.
+
+    Guarantee is WEAKER than ``idempotent_append``'s whole-sink anti-join:
+    dedup only sees the [lo, hi]-pruned partitions, so a key re-delivered
+    with a timestamp landing in a *different* partition than its earlier
+    occurrence is written twice. Use this sink when key uniqueness is
+    stable per partition (the usual event-log shape: a key's event time
+    never moves across days); use ``idempotent_append`` when keys can
+    re-arrive under arbitrary timestamps.
 
     ``granularity`` sizes partitions to the data: 'day' at production
     volume (aim for 100 MB–1 GB per partition), 'month' when daily slices
@@ -123,7 +134,13 @@ def idempotent_overwrite_day_partitions(
             existing = existing.filter(F.col(day_col) >= F.lit(lo))
         if hi is not None:
             existing = existing.filter(F.col(day_col) <= F.lit(hi))
-        merged = existing.select(*batch.columns).unionByName(batch).dropDuplicates(keys)
+        # Batch-wins survivor choice: drop existing rows whose key the batch
+        # re-delivers, then union — deterministic, unlike dropDuplicates on
+        # the union (arbitrary survivor when payloads differ).
+        survivors = existing.select(*batch.columns).join(
+            batch.select(*keys), keys, "left_anti"
+        )
+        merged = survivors.unionByName(batch)
     else:
         merged = batch
     overwrite_partitions(merged.repartition(F.col(day_col)), path, [day_col])

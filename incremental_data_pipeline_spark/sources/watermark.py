@@ -102,6 +102,13 @@ def run_incremental_batch(
     pushdown-eligible — feed a source built by ``readers.load_table_range``
     instead, which pushes the window as raw int64 bounds and re-applies
     the exact filter post-conversion.
+
+    Sink contract when ``count_rows=True``: the row count is observed on
+    the batch the sink receives, so the cheap path assumes the sink runs
+    at least one Spark action over ``batch`` itself (every sink in
+    ``sources.sinks`` does). A sink that skips its write or acts on a
+    re-derived DataFrame leaves the observation empty — that case falls
+    back to one extra ``batch.count()`` instead of blocking forever.
     """
     last = store.read()
     if current_load is None:
@@ -119,6 +126,15 @@ def run_incremental_batch(
         obs = Observation()
         batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
     sink(batch)
-    n = obs.get["n"] if obs is not None else -1
+    n = -1
+    if obs is not None:
+        try:
+            # Non-blocking probe: Observation.get waits forever if the sink
+            # never executed an action over the observed batch; getOrEmpty
+            # tells us whether results exist without blocking.
+            completed = not obs._jo.getOrEmpty().isEmpty()
+        except Exception:
+            completed = False  # probe unavailable (e.g. Connect) — be safe
+        n = obs.get["n"] if completed else batch.count()
     store.advance(current_load)
     return n
