@@ -296,8 +296,11 @@ def connected_components(
     iterative self-joins otherwise double the lineage every round until
     analysis dominates (on a cluster with a configured checkpoint dir,
     ``DataFrame.checkpoint`` is the durable equivalent). The convergence
-    probe is a count per round — a driver-side scalar, same barrier as the
-    reference's max-key lookup.
+    probe rides the checkpoint's own action as an ``Observation`` (the
+    previous label is carried through the round, so changed-count is a
+    metric of the jump plan itself) — ONE job per round, no separate
+    count-join; if the observation can't be read a filter-count on the
+    already-checkpointed frame stands in.
     """
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialize the edge set ONCE: every iteration joins against it, and
@@ -312,6 +315,8 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         nbr = (
             bidir.join(
@@ -324,6 +329,7 @@ def connected_components(
             nbr.select(F.col("u").alias("node"), "nbr_label"), "node", "left"
         ).select(
             "node",
+            F.col("label").alias("old_label"),
             F.least(
                 F.col("label"), F.coalesce("nbr_label", F.col("label"))
             ).alias("label"),
@@ -338,16 +344,30 @@ def connected_components(
                 F.col("p.label") == F.col("plabel_node"),
                 "left",
             )
-            .select("node", F.coalesce("plabel", F.col("p.label")).alias("label"))
-            .localCheckpoint()
+            .select(
+                "node",
+                "old_label",
+                F.coalesce("plabel", F.col("p.label")).alias("label"),
+            )
         )
+        obs = Observation()
+        jump = jump.observe(
+            obs,
+            F.coalesce(
+                F.sum((F.col("label") != F.col("old_label")).cast("long")),
+                F.lit(0),
+            ).alias("changed"),
+        ).localCheckpoint()  # the checkpoint action populates the observation
+        try:
+            completed = not obs._jo.getOrEmpty().isEmpty()
+        except Exception:
+            completed = False
         changed = (
-            jump.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            obs.get["changed"]
+            if completed
+            else jump.filter(F.col("label") != F.col("old_label")).count()
         )
-        labels = jump
+        labels = jump.select("node", "label")
         if changed == 0:
             break
     else:

@@ -77,15 +77,17 @@ class MedallionPipeline:
         sink_path = self.path("bronze", table)
 
         if partition_daily:
-            from pyspark.sql import functions as F
-
-            if current_load is None:
-                current_load = source.agg(F.max(ts_col)).first()[0]
-                if current_load is None:
-                    return 0
+            # current_load=None is the open window (everything newer than
+            # the watermark) — no upper pruning bound, and no extra
+            # max(ts) scan: run_incremental_batch advances the watermark
+            # from the max OBSERVED on the sink's write.
             last = store.read()
             lo = last.date() if hasattr(last, "date") else None
-            hi = current_load.date() if hasattr(current_load, "date") else None
+            hi = (
+                current_load.date()
+                if current_load is not None and hasattr(current_load, "date")
+                else None
+            )
 
             def sink(batch: DataFrame) -> None:
                 idempotent_overwrite_day_partitions(

@@ -94,14 +94,18 @@ def run_incremental_batch(
     """One incremental load: extract ``(last_load, current_load]``, deliver
     to the sink, then advance the watermark. Returns rows delivered.
 
-    ``current_load`` defaults to max(ts) in the source (the reference's
-    second ADF Lookup). The range filter is a plain comparison → pushed to
-    the parquet scan, so each batch reads only new row groups even when the
-    source is 100 TB. Caveat: if ``ts_col`` is a DERIVED column (e.g. the
-    µs conversion of a raw-nanos source), the comparison is not
-    pushdown-eligible — feed a source built by ``readers.load_table_range``
-    instead, which pushes the window as raw int64 bounds and re-applies
-    the exact filter post-conversion.
+    ``current_load=None`` means "everything newer than the watermark": the
+    batch is the OPEN window ``ts > last_load`` and the watermark advances
+    to the max(ts) OBSERVED on the sink's own action — the reference's
+    second ADF Lookup (a full extra source scan) collapses into a metric
+    of the batch plan itself, which is the shape that matters at 100 TB.
+    An explicit ``current_load`` keeps the closed-window behavior. Either
+    way the range filter is a plain comparison → pushed to the parquet
+    scan, so each batch reads only new row groups. Caveat: if ``ts_col``
+    is a DERIVED column (e.g. the µs conversion of a raw-nanos source),
+    the comparison is not pushdown-eligible — feed a source built by
+    ``readers.load_table_range`` instead, which pushes the window as raw
+    int64 bounds and re-applies the exact filter post-conversion.
 
     Sink contract when ``count_rows=True``: the row count is observed on
     the batch the sink receives, so the cheap path assumes the sink runs
@@ -110,31 +114,40 @@ def run_incremental_batch(
     re-derived DataFrame leaves the observation empty — that case falls
     back to one extra ``batch.count()`` instead of blocking forever.
     """
-    last = store.read()
-    if current_load is None:
-        current_load = source.agg(F.max(ts_col)).first()[0]
-        if current_load is None:
-            return 0
-    batch = watermark_range(source, ts_col, last, current_load)
-    # Count via an Observation piggybacked on the sink's own action: zero
-    # extra scans, and the number reported is what the sink actually saw
-    # (a re-scan after the write could diverge if the source gained rows).
-    obs = None
-    if count_rows:
-        from pyspark.sql import Observation
+    from pyspark.sql import Observation
 
-        obs = Observation()
-        batch = batch.observe(obs, F.count(F.lit(1)).alias("n"))
+    last = store.read()
+    open_window = current_load is None
+    if open_window:
+        batch = source.filter(F.col(ts_col) > F.lit(last))
+    else:
+        batch = watermark_range(source, ts_col, last, current_load)
+    # Count (and, for the open window, the new watermark) via an
+    # Observation piggybacked on the sink's own action: zero extra scans,
+    # and the numbers reported are what the sink actually saw (a re-scan
+    # after the write could diverge if the source gained rows).
+    obs = Observation()
+    batch = batch.observe(
+        obs, F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("new_wm")
+    )
     sink(batch)
-    n = -1
-    if obs is not None:
-        try:
-            # Non-blocking probe: Observation.get waits forever if the sink
-            # never executed an action over the observed batch; getOrEmpty
-            # tells us whether results exist without blocking.
-            completed = not obs._jo.getOrEmpty().isEmpty()
-        except Exception:
-            completed = False  # probe unavailable (e.g. Connect) — be safe
-        n = obs.get["n"] if completed else batch.count()
-    store.advance(current_load)
-    return n
+    try:
+        # Non-blocking probe: Observation.get waits forever if the sink
+        # never executed an action over the observed batch; getOrEmpty
+        # tells us whether results exist without blocking.
+        completed = not obs._jo.getOrEmpty().isEmpty()
+    except Exception:
+        completed = False  # probe unavailable (e.g. Connect) — be safe
+    if completed:
+        n, new_wm = obs.get["n"], obs.get["new_wm"]
+    else:
+        n, new_wm = batch.agg(
+            F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("new_wm")
+        ).first()
+    if open_window:
+        if new_wm is None:
+            return 0  # empty batch: nothing delivered, watermark unchanged
+        store.advance(new_wm)
+    else:
+        store.advance(current_load)
+    return n if count_rows else -1
