@@ -1,0 +1,133 @@
+"""Table maintenance: small-file compaction + table stats probe.
+
+The reference gets OPTIMIZE/auto-compaction implicitly from Delta on
+Databricks (gold_dim_branch.py:188 Delta write path); a plain parquet lake
+has to do it itself. Incremental ingest is the classic small-file factory —
+one file per writer task per batch — and at 100 TB a table served by
+millions of KB-sized files dies on scan-planning and open() overhead long
+before raw bandwidth matters. ``compact_table`` is the bin-packing rewrite
+pass: read the table, size the target file count from the table's actual
+bytes, rewrite, atomically swap.
+
+Design notes (scale):
+- The stats probe is DISTRIBUTED: it reads the hidden ``_metadata`` file
+  source column (file_path, file_size) plus footer-driven row counts — no
+  driver-side directory walk, works on any Hadoop-compatible FS.
+- Sizing uses the table's own on-disk bytes, so the target holds under
+  compression-ratio drift; ``repartition(n)`` is one round-robin shuffle
+  producing uniformly sized output files.
+- The rewrite is ``atomic_overwrite`` (write new version to temp, swap), so
+  readers never observe a half-compacted table and a crash mid-rewrite
+  leaves the original intact.
+- Partitioned tables compact WITHIN each partition (one shuffle keyed by
+  partition value + a file-count salt), preserving the partition layout
+  that downstream pruning depends on.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file (file, bytes, rows) for a parquet table — the probe that
+    decides whether compaction is worth a rewrite. Row counts come from
+    footer metadata (zero data columns scanned); file path/size from the
+    ``_metadata`` hidden column, so the probe runs distributed on any FS."""
+    df = spark.read.parquet(path)
+    return (
+        df.select(
+            F.col("_metadata.file_path").alias("file"),
+            F.col("_metadata.file_size").alias("bytes"),
+        )
+        .groupBy("file", "bytes")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
+def table_stats(spark: SparkSession, path: str) -> dict:
+    """Table-level rollup: n_files, total_bytes, total_rows, and the
+    small-file symptom (files under a quarter of the default target)."""
+    row = (
+        file_stats(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("rows").alias("total_rows"),
+            F.sum(
+                (F.col("bytes") < DEFAULT_TARGET_FILE_BYTES // 4).cast("long")
+            ).alias("small_files"),
+        )
+        .first()
+    )
+    return {k: row[k] for k in ("n_files", "total_bytes", "total_rows", "small_files")}
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    partition_cols: list[str] | None = None,
+) -> dict:
+    """Bin-pack a parquet table's files toward ``target_file_bytes``.
+
+    Unpartitioned: one round-robin ``repartition(ceil(bytes/target))`` —
+    uniform output files regardless of input skew. Partitioned: each
+    partition directory is bin-packed independently — a tiny per-partition
+    row-count dim (broadcast back onto the data) sizes a salt
+    ``pmod(hash, files_for_this_partition)``, the table shuffles once on
+    (partition values, salt), and dynamic partition overwrite rewrites the
+    directories in place, preserving the layout downstream pruning
+    depends on. Per-partition bytes are estimated as rows × the table's
+    global bytes/row — exact enough for packing, and it avoids a second
+    footer pass.
+
+    Data-preserving by construction (a pure rewrite — no dedup, no
+    reorder semantics) and atomic via temp-write + swap (unpartitioned) /
+    dynamic partition overwrite (partitioned). Returns
+    {'files_before', 'files_after', 'bytes', 'rows'}.
+    """
+    before = table_stats(spark, path)
+    total_bytes = before["total_bytes"] or 0
+    total_rows = before["total_rows"] or 1
+    n = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    if not partition_cols:
+        atomic_overwrite(df.repartition(n), path)
+    else:
+        from incremental_data_pipeline_spark.sources.sinks import overwrite_partitions
+
+        bytes_per_row = total_bytes / total_rows
+        sizes = (
+            df.groupBy(*partition_cols)
+            .agg(F.count(F.lit(1)).alias("__prows"))
+            .withColumn(
+                "__pfiles",
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("__prows") * F.lit(bytes_per_row) / F.lit(target_file_bytes)),
+                ).cast("int"),
+            )
+            .drop("__prows")
+        )
+        salted = df.join(F.broadcast(sizes), partition_cols).withColumn(
+            "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.col("__pfiles"))
+        )
+        packed = salted.repartition(
+            *[F.col(c) for c in partition_cols], F.col("__salt")
+        ).drop("__pfiles", "__salt")
+        overwrite_partitions(packed, path, partition_cols)
+    after = table_stats(spark, path)
+    return {
+        "files_before": before["n_files"],
+        "files_after": after["n_files"],
+        "bytes": after["total_bytes"],
+        "rows": after["total_rows"],
+    }

@@ -62,6 +62,28 @@ def test_embedding_near_dup_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "embedding_near_dup")
 
 
+def test_embedding_near_dup_or2_oracle(spark, duck):
+    """The MULTI-TABLE (OR-amplified) path against its DuckDB twin: both
+    engines derive two independent plane sets, union the per-table bucket
+    collisions, and confirm each candidate pair exactly once."""
+    assert_query_matches_oracle(spark, duck, "embedding_near_dup_or2")
+
+
+def test_or2_superset_of_single_table(spark):
+    """Table 0 of the amplified variant IS the single-table plane set, so
+    amplification can only add pairs, never lose one."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    one = {
+        (r["left_id"], r["right_id"])
+        for r in similarity.embedding_near_dup(emb, threshold=0.3).collect()
+    }
+    two = {
+        (r["left_id"], r["right_id"])
+        for r in similarity.embedding_near_dup(emb, threshold=0.3, num_tables=2).collect()
+    }
+    assert one <= two
+
+
 def test_ann_ivf_topk_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "ann_ivf_topk")
 

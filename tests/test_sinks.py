@@ -77,3 +77,61 @@ def test_salted_join_rejects_outer_modes(spark):
     # left join: unmatched left rows appear exactly once
     out = salted_join(l, r.withColumn("v", F.lit(1)), ["k"], how="left")
     assert out.count() == 4
+
+
+def test_compact_table_reduces_files_preserves_data(spark, tmp_path):
+    """Bin-packing must drop the file count while the data hash (full
+    row multiset) stays identical."""
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 20000).withColumn("v", F.col("id") % 97)
+    df.repartition(40).write.parquet(path)
+
+    before_rows = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    stats = maintenance.compact_table(spark, path)
+    assert stats["files_before"] >= 40
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 1  # tiny table packs to one file
+    after_rows = sorted(
+        (r["id"], r["v"]) for r in spark.read.parquet(path).collect()
+    )
+    assert after_rows == before_rows
+    assert stats["rows"] == 20000
+
+
+def test_compact_table_partitioned_preserves_layout(spark, tmp_path):
+    """Partitioned compaction merges files WITHIN each partition dir and
+    keeps the directory layout (pruning contract) intact."""
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 9000).withColumn("part", (F.col("id") % 3).cast("int"))
+    # 3 partitions x many small files
+    df.repartition(12).write.partitionBy("part").parquet(path)
+    parts_before = sorted(d for d in os.listdir(path) if d.startswith("part="))
+    before = maintenance.table_stats(spark, path)
+
+    stats = maintenance.compact_table(spark, path, partition_cols=["part"])
+    parts_after = sorted(d for d in os.listdir(path) if d.startswith("part="))
+    assert parts_after == parts_before == ["part=0", "part=1", "part=2"]
+    assert stats["files_after"] < stats["files_before"]
+    assert stats["files_after"] == 3  # one packed file per partition
+    after_rows = sorted(
+        (r["id"], r["part"]) for r in spark.read.parquet(path).collect()
+    )
+    assert len(after_rows) == before["total_rows"] == 9000
+
+
+def test_table_stats_counts_files_bytes_rows(spark, tmp_path):
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).repartition(5).write.parquet(path)
+    s = maintenance.table_stats(spark, path)
+    assert s["n_files"] == 5
+    assert s["total_rows"] == 100
+    assert s["total_bytes"] > 0
+    assert s["small_files"] == 5  # every 100-row file is tiny
