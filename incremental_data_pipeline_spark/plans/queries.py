@@ -2582,6 +2582,109 @@ def compact_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Data-quality expectations (Delta Live Tables CONSTRAINT semantics on
+# plain Spark): named rules, monitored and enforced. Rules are defined once
+# here; the Spark side evaluates them as Columns, the oracle as the same
+# predicates in SQL — null counts as a FAILURE in both.
+_DQ_LINEITEM_RULES_SQL = {
+    "qty_in_range": "l_quantity >= 1 AND l_quantity <= 50",
+    "positive_price": "l_extendedprice > 0",
+    "line_number_domain": "l_linenumber >= 1 AND l_linenumber <= 7",
+    "modest_discount": "l_discount <= 0.05",
+}
+
+
+@query(
+    "dq_report_lineitem",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{name}' AS rule,
+        CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(sum(CASE WHEN {pred} THEN 0 ELSE 1 END) AS BIGINT) AS n_fail
+        FROM lineitem"""
+        for name, pred in _DQ_LINEITEM_RULES_SQL.items()
+    ),
+)
+def dq_report_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation monitoring: one aggregation pass producing per-rule
+    pass/fail counts over lineitem (the DLT expectations dashboard shape;
+    the reference's only audit is gold_dim_branch.py:200's dup count)."""
+    from incremental_data_pipeline_spark.operators import expectations as dq
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = {name: F.expr(pred) for name, pred in _DQ_LINEITEM_RULES_SQL.items()}
+    return dq.expectation_report(li, rules)
+
+
+_DQ_ORDERS_RULES_SQL = {
+    "price_cap": "o_totalprice < 300000",
+    "known_status": "o_orderstatus IN ('O', 'F', 'P')",
+    "priority_format": "o_orderpriority LIKE '%-%'",
+    "pre_cutoff_date": "o_orderdate < DATE '1998-06-01'",
+}
+
+
+@query(
+    "dq_quarantine_orders",
+    f"""
+    SELECT o_orderkey, o_totalprice,
+      array_to_string(list_filter([{", ".join(
+        f"CASE WHEN NOT coalesce(({pred}), FALSE) THEN '{name}' END"
+        for name, pred in _DQ_ORDERS_RULES_SQL.items()
+      )}], x -> x IS NOT NULL), ',') AS failed_rules
+    FROM orders
+    WHERE NOT ({" AND ".join(f"coalesce(({p}), FALSE)" for p in _DQ_ORDERS_RULES_SQL.values())})
+    """,
+)
+def dq_quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation enforcement: the QUARANTINED side of the good/bad split,
+    each row carrying the names of the rules it failed (dead-letter-table
+    shape; the good side flows into the medallion unchanged)."""
+    from incremental_data_pipeline_spark.operators import expectations as dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {name: F.expr(pred) for name, pred in _DQ_ORDERS_RULES_SQL.items()}
+    _good, bad = dq.enforce_expectations(orders, rules)
+    return bad.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.array_join("failed_rules", ",").alias("failed_rules"),
+    )
+
+
+@query(
+    "compact_zorder_events",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def compact_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction + Z-order clustering in one rewrite (Delta OPTIMIZE
+    ZORDER without Delta): fragment events, rewrite range-partitioned on
+    the (user_id, value) Morton curve, and return an aggregate over the
+    clustered table — the oracle proves the rewrite lossless; the
+    file-envelope tightening (data-skipping effect) is asserted in
+    tests/test_sinks.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    base = tempfile.mkdtemp(prefix="zorder_e2e_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "events")
+    load_table(spark, sf_dir, "events").repartition(16).write.parquet(path)
+    maintenance.compact_table(spark, path, zorder_cols=["user_id", "value"])
+    return (
+        spark.read.parquet(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dec_sum("value", "sum_value", 4))
+    )
+
+
 # corpus_curation's oracle composes stage oracles registered above, so it is
 # injected once the whole registry exists (module bottom, import-order-safe).
 ORACLE["corpus_curation"] = _curation_oracle()

@@ -97,3 +97,39 @@ def test_sketch_stats_accuracy(spark):
     assert abs(row["approx_orders"] - exact_orders) / exact_orders < 0.05
     exact_p50 = li.selectExpr("percentile(l_extendedprice, 0.5) AS p").first()["p"]
     assert abs(row["price_p50"] - exact_p50) / exact_p50 < 0.05
+
+
+def test_expectations_split_partitions_rows(spark):
+    """good + quarantined == input, disjointly; the quarantined side names
+    exactly the rules each row failed (null == failure)."""
+    from incremental_data_pipeline_spark.operators import expectations as dq
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "ok"), (2, -5.0, "ok"), (3, 10.0, None), (4, -1.0, None)],
+        "id int, v double, s string",
+    )
+    rules = {"pos_v": F.col("v") > 0, "has_s": F.col("s").isNotNull()}
+    good, bad = dq.enforce_expectations(df, rules)
+    assert {r["id"] for r in good.collect()} == {1}
+    failed = {r["id"]: list(r["failed_rules"]) for r in bad.collect()}
+    assert failed == {2: ["pos_v"], 3: ["has_s"], 4: ["pos_v", "has_s"]}
+
+    report = {
+        r["rule"]: (r["n_pass"], r["n_fail"])
+        for r in dq.expectation_report(df, rules).collect()
+    }
+    assert report == {"pos_v": (2, 2), "has_s": (2, 2)}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pos_v"):
+        dq.fail_on_violation(df, rules)
+    clean = df.filter("id = 1")
+    assert dq.fail_on_violation(clean, rules) is clean
+
+
+def test_dq_queries_match_oracle(spark, duck):
+    from tests.conftest import assert_query_matches_oracle
+
+    assert_query_matches_oracle(spark, duck, "dq_report_lineitem")
+    assert_query_matches_oracle(spark, duck, "dq_quarantine_orders")

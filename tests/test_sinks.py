@@ -135,3 +135,41 @@ def test_table_stats_counts_files_bytes_rows(spark, tmp_path):
     assert s["total_rows"] == 100
     assert s["total_bytes"] > 0
     assert s["small_files"] == 5  # every 100-row file is tiny
+
+
+def test_zorder_compaction_tightens_file_envelopes(spark, tmp_path):
+    """Z-order clustering must give each output file a tight min/max
+    envelope on BOTH curve columns — the property parquet data skipping
+    prunes on — while a round-robin rewrite leaves every file spanning
+    ~the full domain. Data itself must be untouched."""
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    def envelope_width(path, col):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.col("_metadata.file_path"))
+            .agg((F.max(col) - F.min(col)).alias("w"))
+        )
+        return per_file.agg(F.avg("w")).first()[0]
+
+    df = (
+        spark.range(0, 40000)
+        .withColumn("x", (F.col("id") * 7919) % 1000)
+        .withColumn("y", (F.col("id") * 104729) % 1000)
+    )
+    plain, zed = str(tmp_path / "plain"), str(tmp_path / "zed")
+    for path in (plain, zed):
+        df.repartition(16).write.parquet(path)
+
+    stats = maintenance.table_stats(spark, plain)
+    target = max(1, stats["total_bytes"] // 8)  # force ~8 output files
+    maintenance.compact_table(spark, plain, target_file_bytes=target)
+    maintenance.compact_table(
+        spark, zed, target_file_bytes=target, zorder_cols=["x", "y"]
+    )
+
+    rows_plain = sorted(tuple(r) for r in spark.read.parquet(plain).collect())
+    rows_zed = sorted(tuple(r) for r in spark.read.parquet(zed).collect())
+    assert rows_plain == rows_zed  # pure rewrite on both paths
+    for col in ("x", "y"):
+        assert envelope_width(zed, col) < 0.6 * envelope_width(plain, col), col

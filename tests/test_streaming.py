@@ -249,3 +249,57 @@ def test_stream_quality_gate_oracle(spark, duck):
     from tests.conftest import assert_query_matches_oracle
 
     assert_query_matches_oracle(spark, duck, "stream_quality_gate")
+
+
+def test_running_user_stats_invariant_to_batch_split(spark):
+    """The registered stream_running_user_stats result (max over update-mode
+    emissions) must not depend on the fixture arriving as ONE micro-batch:
+    split the source into 3 files, force one file per trigger, and the
+    per-user (n_events, max_value) still equals the batch groupBy — the
+    monotone-running-state property the oracle relies on."""
+    import glob as _glob
+
+    from pyspark.sql import Window
+
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_state_split_")
+    try:
+        events = load_table(spark, SF_DIR, "events").select("user_id", "value", "ts")
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        # 3 time-ordered chunks -> 3 micro-batches (ntile over ts)
+        chunked = events.withColumn("__chunk", F.ntile(3).over(Window.orderBy("ts")))
+        for i in (1, 2, 3):
+            tmp = os.path.join(base, f"__c{i}__")
+            chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.parquet(tmp)
+            part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            os.rename(part, os.path.join(src, f"chunk{i}.parquet"))
+            shutil.rmtree(tmp)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        updates = sp.run_to_memory(sp.running_user_stats(stream), "update")
+        got = sorted(
+            map(
+                tuple,
+                updates.groupBy("user_id")
+                .agg(F.max("n_events").alias("n"), F.max("max_value").alias("mx"))
+                .collect(),
+            )
+        )
+        expected = sorted(
+            map(
+                tuple,
+                events.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+                .collect(),
+            )
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
