@@ -135,6 +135,60 @@ def iqr_outliers(
     )
 
 
+def interval_count_join(
+    anchors: DataFrame,
+    probes: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    window_seconds: int,
+    anchor_id: str,
+    count_alias: str = "n_in_window",
+) -> DataFrame:
+    """Bucketed batch range join: for every anchor row, count probe rows
+    of the same key with timestamp in (anchor_ts, anchor_ts + window]
+    (e.g. "clicks within the hour after each purchase" — the batch twin of
+    the streaming interval join).
+
+    Scale shape: a naive theta-join on the time inequality is quadratic
+    per key. Bucketing both sides to ``window_seconds``-wide epochs makes
+    it an EQUI-join — a probe at time t can only match anchors in its own
+    or the previous bucket, so each anchor explodes to exactly 2 (key,
+    bucket) probes and the join cost is per-key-per-window density, not
+    n². The exact inequality then filters the 2-bucket superset. Every
+    anchor survives via the final left join (zero-match anchors count 0).
+    """
+    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    p = probes.select(
+        *key_cols, epoch(F.col(ts_col)).alias("__pts"),
+        F.floor(epoch(F.col(ts_col)) / window_seconds).alias("__b"),
+    )
+    a = anchors.select(
+        *key_cols, F.col(anchor_id), epoch(F.col(ts_col)).alias("__ats"),
+    ).withColumn(
+        "__b",
+        F.explode(
+            F.array(
+                F.floor(F.col("__ats") / window_seconds),
+                F.floor(F.col("__ats") / window_seconds) + 1,
+            )
+        ),
+    )
+    matched = (
+        a.join(p, [*key_cols, "__b"])
+        .filter(
+            (F.col("__pts") > F.col("__ats"))
+            & (F.col("__pts") <= F.col("__ats") + window_seconds)
+        )
+        .groupBy(anchor_id)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+    return (
+        anchors.select(*key_cols, anchor_id, F.col(ts_col))
+        .join(matched, anchor_id, "left")
+        .withColumn(count_alias, F.coalesce(F.col(count_alias), F.lit(0)).cast("long"))
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_cols: list[str],
@@ -151,7 +205,10 @@ def sessionize(
     session semantics over at-rest data, useful for backfills over history
     that the streaming job will then continue incrementally."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
+    # Double cast: TIMESTAMP_NTZ rejects a direct epoch cast; ->timestamp
+    # is a no-op for LTZ and a pure re-tag under a UTC session for NTZ.
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(
         gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
     ).otherwise(F.lit(0))

@@ -1054,7 +1054,7 @@ def rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
         .rangeBetween(-3600, 0)
     )
     cents = F.round(F.col("value") * 100).cast("long")

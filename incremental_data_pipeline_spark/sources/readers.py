@@ -65,6 +65,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast TIMESTAMP_NTZ columns to session-UTC TimestampType.
+
+    Parquet timestamps written with isAdjustedToUTC=false surface as
+    TIMESTAMP_NTZ in Spark 4, which rejects epoch casts (``cast(ts as
+    long)``) and would fork the engine's public schema from the one the
+    nanos path produces. With the session pinned to UTC the cast is a
+    pure re-tag (identical wall-clock/epoch values, matching DuckDB's
+    naive-UTC reading), so every downstream operator sees one timestamp
+    type regardless of how the fixture was written."""
+    for field in df.schema:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -52,6 +52,10 @@ def read_stream(spark: SparkSession, sf_dir: str, name: str, ts_col: str = "ts")
     for field in raw_schema:
         if field.name == ts_col and field.dataType.typeName() == "long":
             stream = stream.withColumn(ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+        elif field.dataType.typeName() == "timestamp_ntz":
+            # Same NTZ->LTZ re-tag as readers._normalize_ntz: batch and
+            # stream must present one timestamp type (UTC session).
+            stream = stream.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return stream.select(*[f.name for f in batch.schema])
 
 
