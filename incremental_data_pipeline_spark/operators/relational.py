@@ -156,11 +156,16 @@ def interval_count_join(
     bucket) probes and the join cost is per-key-per-window density, not
     n². The exact inequality then filters the 2-bucket superset. Every
     anchor survives via the final left join (zero-match anchors count 0).
+
+    Comparisons run on integer MICROSECOND epochs — timestamps carry µs
+    precision, and second-truncated epochs would misjudge rows within 1 s
+    of the window edges (the SQL twin compares full-precision timestamps).
     """
-    epoch = lambda c: c.cast("timestamp").cast("long")  # noqa: E731
+    w_us = window_seconds * 1_000_000
+    epoch = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     p = probes.select(
         *key_cols, epoch(F.col(ts_col)).alias("__pts"),
-        F.floor(epoch(F.col(ts_col)) / window_seconds).alias("__b"),
+        F.floor(epoch(F.col(ts_col)) / w_us).alias("__b"),
     )
     a = anchors.select(
         *key_cols, F.col(anchor_id), epoch(F.col(ts_col)).alias("__ats"),
@@ -168,8 +173,8 @@ def interval_count_join(
         "__b",
         F.explode(
             F.array(
-                F.floor(F.col("__ats") / window_seconds),
-                F.floor(F.col("__ats") / window_seconds) + 1,
+                F.floor(F.col("__ats") / w_us),
+                F.floor(F.col("__ats") / w_us) + 1,
             )
         ),
     )
@@ -177,7 +182,7 @@ def interval_count_join(
         a.join(p, [*key_cols, "__b"])
         .filter(
             (F.col("__pts") > F.col("__ats"))
-            & (F.col("__pts") <= F.col("__ats") + window_seconds)
+            & (F.col("__pts") <= F.col("__ats") + w_us)
         )
         .groupBy(anchor_id)
         .agg(F.count(F.lit(1)).alias(count_alias))

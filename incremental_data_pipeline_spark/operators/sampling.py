@@ -70,6 +70,65 @@ def stratified_sample(
     return df.filter(sample_key(key_cols, salt) < threshold)
 
 
+def weighted_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    tie_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the A-ES scheme
+    of Efraimidis & Spirakis 2006): each row draws u in (0,1] from its
+    content hash and is ranked by u^(1/w); the top-k ranks are exactly a
+    weighted sample without replacement — here reproducible because u is
+    the md5 bucket, not rand(). The training-mix use: sample documents
+    proportional to length/quality without a giant multinomial draw.
+
+    Scale shape: a narrow per-row key computation + one TakeOrdered(k) —
+    no shuffle of the full relation; ties broken by ``tie_col`` for a
+    deterministic selection under any partitioning."""
+    u = (sample_key(key_cols, salt) + F.lit(1)).cast("double") / F.lit(
+        float(SAMPLE_BUCKETS)
+    )
+    es_key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.withColumn("__es", es_key)
+        .orderBy(F.col("__es").desc(), F.col(tie_col).asc())
+        .limit(k)
+        .drop("__es")
+    )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    stratum_col: str,
+    cap: int,
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Rebalance a skewed mix by downsampling every stratum to ~``cap``
+    expected rows (keep-rate min(1, cap/count)) — the domain-mixing
+    primitive ("no source may exceed its budget") applied deterministically
+    so the same corpus always yields the same mix.
+
+    Scale shape: the per-stratum count is one map-side-combinable agg into
+    a tiny broadcast dim; the keep decision is then a narrow per-row
+    filter. Bernoulli, so kept counts concentrate at ``cap`` rather than
+    hit it exactly — for exact quotas use ``quota_by_score`` (which pays a
+    per-stratum shuffle instead)."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    threshold = F.floor(
+        F.least(F.lit(1.0), F.lit(float(cap)) / F.col("__cnt").cast("double"))
+        * F.lit(SAMPLE_BUCKETS)
+    ).cast("long")
+    return (
+        df.join(F.broadcast(counts), stratum_col)
+        .filter(sample_key(key_cols, salt) < threshold)
+        .drop("__cnt")
+    )
+
+
 def quota_by_score(
     df: DataFrame,
     group_cols: list[str],

@@ -323,3 +323,70 @@ def kmeans_codebook(
         (cid, [int(round(x * 1_000_000)) for x in center])
         for cid, center in enumerate(model.clusterCenters())
     ]
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style embedding-space deduplication (public method: Abbas
+    et al. 2023, "SemDeDup"): cluster the corpus into codebook cells, then
+    within each cell drop every vector that has a LOWER-id neighbor with
+    cosine >= ``threshold`` (min-id dominance — the deterministic greedy
+    "keep one representative" rule; cross-cell near-dups are accepted
+    misses, exactly as in the published method).
+
+    Returns every corpus id with its ``cell`` and the ``kept`` verdict, so
+    callers can filter, audit drop rates per cell, or join the mask back.
+
+    Scale shape: cell assignment is the same zero-shuffle per-row argmax
+    over the codebook literal as ``ivf_topk``; the near-dup scan is a
+    self-equi-join on cell id, quadratic only in CELL occupancy — sizing
+    nlist ~ N/target_cell_size keeps every cell's pair count bounded, the
+    whole point of clustering before comparing. No global all-pairs step.
+    """
+    matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
+    ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+
+    def best_cell(vcol: Column) -> Column:
+        scores = F.reverse(
+            F.array_sort(
+                F.transform(
+                    matrix,
+                    lambda c, i: F.struct(
+                        cosine_q(vcol, c).alias("cos"),
+                        (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
+                    ),
+                )
+            )
+        )
+        return -scores.getItem(0)["neg_id"]
+
+    cells = fan_out(corpus).select(
+        F.col(id_col), quantize(vec_col).alias("__v")
+    ).withColumn("cell", best_cell(F.col("__v")))
+    a = cells.select(
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cell"
+    )
+    b = cells.select(
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "cell"
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cosine_q(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )

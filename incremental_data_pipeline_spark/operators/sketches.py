@@ -1,0 +1,98 @@
+"""Deterministic cardinality sketches.
+
+``approx_count_distinct`` (HyperLogLog++) is the built-in answer, but its
+estimate is implementation-specific — no other engine reproduces it, so it
+can only ever get a rows-only correctness check. The K-minimum-values
+sketch [Bar-Yossef et al. 2002] estimates distinct counts from the k
+smallest values of ONE public hash (md5 prefix), which any engine can
+re-derive bit-for-bit — giving a cardinality estimator with an exact
+cross-engine oracle, the same determinism discipline as the sampling and
+MinHash operators.
+
+Estimator: with hashes uniform on [0, M) and U_(k) the k-th smallest
+distinct hash, E[U_(k)/M] ~ k/(n+1), so n_hat = (k-1) * M / U_(k) (the
+unbiased form). When fewer than k distinct hashes exist the sketch IS the
+exact distinct count.
+
+Scale shape: the k-smallest-of-distinct step is a distinct aggregation
+(one shuffle, map-side partial) followed by a TakeOrdered(k) — fine up to
+very large cardinalities. For extreme streams, ``prefilter_rate`` bounds
+the shuffle: only hashes under rate*M can ever be among the k smallest
+(valid whenever the true k-th minimum lands under the bar, asserted in the
+output via ``prefilter_ok``), so the distinct agg sees ~rate*n rows — the
+standard bottom-k pre-filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH_SPACE = float(1 << 32)  # md5 8-hex-digit prefix domain
+
+
+def hash64(cols: list[str], salt: str = "") -> Column:
+    """Public 32-bit hash as BIGINT — `('0x'||substr(md5(x),1,8))::BIGINT`
+    in the DuckDB dialect."""
+    concat = F.concat_ws("|", F.lit(salt), *[F.col(c).cast("string") for c in cols])
+    if not salt:
+        concat = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(concat), 1, 8), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    cols: list[str],
+    k: int = 256,
+    prefilter_rate: float | None = None,
+) -> DataFrame:
+    """One-row KMV distinct-count estimate over ``cols``.
+
+    Output: ``k_used`` (distinct hashes retained, = k unless cardinality
+    < k), ``kth_hash`` (the k-th minimum), ``est_distinct`` (the KMV
+    estimate; exact when k_used < k), ``prefilter_ok`` (true when the
+    estimate is unaffected by ``prefilter_rate``; always true without)."""
+    hv = hash64(cols)
+    hashed = df.select(hv.alias("hv"))
+    bar = None
+    if prefilter_rate is not None:
+        bar = int(prefilter_rate * HASH_SPACE)
+        hashed = hashed.filter(F.col("hv") < bar)
+    mins = hashed.distinct().orderBy("hv").limit(k)
+    agg = mins.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+    )
+    est = (
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double")).otherwise(
+            (F.col("k_used") - F.lit(1)).cast("double")
+            * F.lit(HASH_SPACE)
+            / F.col("kth_hash").cast("double")
+        )
+    ).alias("est_distinct")
+    ok = (
+        F.lit(True)
+        if bar is None
+        # Sound iff the retained k-th minimum sits strictly under the bar
+        # (then no discarded hash could have displaced it).
+        else (F.col("kth_hash") < F.lit(bar)) | (F.col("k_used") < k)
+    ).alias("prefilter_ok")
+    return agg.select("k_used", "kth_hash", est, ok)
+
+
+def kmv_oracle_sql(inner: str, value_expr: str, k: int = 256) -> str:
+    """DuckDB twin of ``kmv_distinct`` over ``value_expr`` drawn from the
+    ``inner`` relation (single hashed expression, no salt)."""
+    return f"""
+    WITH vals AS (SELECT {value_expr} AS val FROM {inner}),
+    h AS (SELECT DISTINCT ('0x' || substring(md5(CAST(val AS VARCHAR)), 1, 8))::BIGINT AS hv
+          FROM vals),
+    mins AS (SELECT hv FROM h ORDER BY hv LIMIT {k})
+    SELECT CAST(count(*) AS BIGINT) AS k_used,
+           max(hv) AS kth_hash,
+           CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                ELSE (count(*) - 1) * {HASH_SPACE!r} / CAST(max(hv) AS DOUBLE)
+           END AS est_distinct,
+           TRUE AS prefilter_ok
+    FROM mins
+    """

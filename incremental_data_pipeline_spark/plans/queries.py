@@ -2685,6 +2685,312 @@ def compact_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Round 3 additions: decontamination, KMV cardinality sketch, weighted /
+# capped deterministic sampling, SemDeDup-style embedding dedup, batch
+# interval join, GROUPING SETS, and three more TPC-H-shaped relational
+# queries (Q12/Q14/Q18 analogues over the fixture schema).
+
+from incremental_data_pipeline_spark.operators import decontaminate as _decon  # noqa: E402
+from incremental_data_pipeline_spark.operators import sketches as _sketches  # noqa: E402
+
+
+@query(
+    "decontaminate_corpus",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+    corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50),
+    hits AS (SELECT doc_id, count(*) AS n FROM corp JOIN bench USING (shingle)
+             GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(coalesce(n, 0) AS BIGINT) AS n_contaminated_grams,
+           coalesce(n, 0) >= 2 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id >= 50) d
+    LEFT JOIN hits USING (doc_id)
+    """,
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs 0-49 stand in for a held-out eval
+    suite; every other document is flagged when >= 2 of its distinct
+    3-gram shingles appear anywhere in the benchmark. The benchmark gram
+    set broadcasts; the corpus is never shuffled on gram."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    return _decon.contamination_hits(corpus, bench, n=3, min_hits=2)
+
+
+@query(
+    "kmv_distinct_orderparts",
+    _sketches.kmv_oracle_sql(
+        "lineitem",
+        "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)",
+        k=256,
+    ),
+)
+def kmv_distinct_orderparts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch over (l_orderkey, l_partkey)
+    pairs — a cardinality estimator whose estimate (not just row count) is
+    reproduced bit-for-bit by the SQL oracle, unlike HyperLogLog."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _sketches.kmv_distinct(li, ["l_orderkey", "l_partkey"], k=256)
+
+
+@query(
+    "sample_weighted_docs",
+    """
+    SELECT doc_id, lang, source, n_chars FROM documents
+    ORDER BY power(
+        ((('0x' || substring(md5('w1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000) + 1) / 1000000.0,
+        1.0 / n_chars) DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def sample_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (A-ES keyed on
+    the content hash): 50 documents drawn proportional to length."""
+    from incremental_data_pipeline_spark.operators import sampling as _sampling
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    return _sampling.weighted_sample(
+        docs, ["doc_id"], "n_chars", 50, "doc_id", salt="w1"
+    )
+
+
+@query(
+    "sample_capped_sources",
+    """
+    WITH c AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source)
+    SELECT doc_id, source FROM documents JOIN c USING (source)
+    WHERE ('0x' || substring(md5('cap1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000
+      < CAST(floor(least(1.0, 15.0 / cnt) * 1000000) AS BIGINT)
+    """,
+)
+def sample_capped_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix rebalancing: every source downsampled to ~15 expected
+    docs via a per-stratum keep-rate — broadcast count dim + narrow hash
+    filter, no shuffle of the corpus."""
+    from incremental_data_pipeline_spark.operators import sampling as _sampling
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return _sampling.cap_per_stratum(docs, "source", 15, ["doc_id"], salt="cap1")
+
+
+def _semantic_dedup_oracle(nlist: int, threshold: float) -> str:
+    cos_cv = (
+        f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+    )
+    cos_ab = (
+        f"CAST({_dot('a.v', 'b.v')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('a.v', 'a.v')} AS DOUBLE)) * sqrt(CAST({_dot('b.v', 'b.v')} AS DOUBLE)))"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs WHERE vec_id < {nlist}),
+    assign AS (
+      SELECT vec_id, v AS cv, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cv} DESC, cid ASC) AS rnk
+      FROM vecs CROSS JOIN cents),
+    cells AS (SELECT vec_id, cv AS v, cid AS cell FROM assign WHERE rnk = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos_ab} >= {threshold})
+    SELECT c.vec_id, CAST(c.cell AS INT) AS cell, (d.vec_id IS NULL) AS kept
+    FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+    """
+
+
+@query("semantic_dedup_emb", _semantic_dedup_oracle(nlist=8, threshold=0.8))
+def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: cluster into 8 codebook cells (zero
+    -shuffle per-row argmax), drop any vector with a lower-id >= 0.8-cosine
+    neighbor in its cell. Pair scan is quadratic only in cell occupancy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _cached_codebook(emb, sf_dir, 8, "prefix")
+    return _sim.semantic_dedup(emb, codebook, threshold=0.8)
+
+
+@query(
+    "purchase_click_window",
+    """
+    WITH purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    hits AS (
+      SELECT p.event_id, count(*) AS n_in_window
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.ts > p.ts AND c.ts <= p.ts + INTERVAL 1 HOUR
+      GROUP BY p.event_id)
+    SELECT p.event_id, p.user_id, p.ts,
+           CAST(coalesce(h.n_in_window, 0) AS BIGINT) AS n_in_window
+    FROM purch p LEFT JOIN hits h USING (event_id)
+    """,
+)
+def purchase_click_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch interval join: clicks within the hour after each purchase,
+    bucketed to an equi-join (2 buckets per anchor) instead of a per-key
+    quadratic theta-join — the batch twin of the streaming interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return relational.interval_count_join(
+        purch, clicks, ["user_id"], "ts", 3600, "event_id"
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind rollup/cube) with a
+    grouping_id disambiguator — one shuffle produces all three groupings."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gsets")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT) AS gid
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "priority_line_counts",
+    """
+    SELECT l_returnflag,
+      CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        AS high_count,
+      CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+        AS low_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: conditional counts of high/low-priority orders
+    per return flag for a one-year ship window — the shipdate filter is
+    pushdown-eligible, the join shuffles once on orderkey."""
+    import datetime
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime.datetime(1997, 1, 1)))
+    ).select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_count"),
+        )
+    )
+
+
+@query(
+    "promo_revenue_share",
+    """
+    SELECT
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS total_revenue,
+      CAST(SUM(CASE WHEN p_type = 'PROMO'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        * 100.0 AS promo_share_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analogue: promo-part revenue share over a ship window.
+    Part broadcasts into the fact scan; both sums are decimal-exact so the
+    one double division at the end is engine-identical."""
+    import datetime
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(datetime.datetime(1996, 1, 1)))
+        & (F.col("l_shipdate") < F.lit(datetime.datetime(1996, 7, 1)))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+    total = F.sum(rev)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
+            # double-div then double-mul, mirrored in the oracle: one more
+            # decimal op on either side drifts the last ulp.
+            (promo.cast("double") / total.cast("double") * F.lit(100.0)).alias(
+                "promo_share_pct"
+            ),
+        )
+    )
+
+
+@query(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM big JOIN orders ON o_orderkey = l_orderkey
+             JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analogue: orders whose total quantity exceeds 300, joined
+    back to customer. The HAVING survivor set is tiny and broadcasts into
+    orders; quantity sums are decimal-exact for the threshold compare."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    qty = F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(qty.alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select("l_orderkey", F.col("__q").cast("double").alias("sum_qty"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        F.broadcast(big)
+        .join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
 # corpus_curation's oracle composes stage oracles registered above, so it is
 # injected once the whole registry exists (module bottom, import-order-safe).
 ORACLE["corpus_curation"] = _curation_oracle()

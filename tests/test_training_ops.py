@@ -1,0 +1,159 @@
+"""Semantic tests for the round-3 training-data operators: decontamination,
+KMV sketch, weighted/capped sampling, semantic dedup, batch interval join.
+(Oracle parity for each registered query is covered by the parametrized
+mirror in test_queries_oracle.py; these pin the operator CONTRACTS.)"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    return load_table(spark, SF_DIR, "documents")
+
+
+def test_decontaminate_removes_exactly_the_flagged_ids(spark):
+    from incremental_data_pipeline_spark.operators import decontaminate as dc
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    report = dc.contamination_hits(corpus, bench, n=3, min_hits=2)
+    flagged = {r["doc_id"] for r in report.filter("contaminated").collect()}
+    clean = dc.decontaminate(corpus, bench, n=3, min_hits=2)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert kept == all_ids - flagged
+    # a benchmark document screened against the benchmark is always dirty
+    self_hit = dc.contamination_hits(bench, bench, n=3, min_hits=1)
+    assert self_hit.filter(~F.col("contaminated")).count() == 0
+
+
+def test_decontaminate_hashed_grams_equivalent(spark):
+    from incremental_data_pipeline_spark.operators import decontaminate as dc
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") < 50)
+    corpus = docs.filter(F.col("doc_id") >= 50)
+    plain = dc.contamination_hits(corpus, bench, n=3).collect()
+    hashed = dc.contamination_hits(corpus, bench, n=3, hashed=True).collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, hashed))
+
+
+def test_kmv_estimate_accuracy_and_prefilter(spark):
+    from incremental_data_pipeline_spark.operators import sketches
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = li.select("l_orderkey", "l_partkey").distinct().count()
+    row = sketches.kmv_distinct(li, ["l_orderkey", "l_partkey"], k=256).collect()[0]
+    assert row["prefilter_ok"]
+    # KMV relative stderr ~ 1/sqrt(k) = 6.25%; allow 4 sigma.
+    assert abs(row["est_distinct"] - exact) / exact < 0.25
+    # a generous pre-filter must not change the estimate (and must say so)
+    pf = sketches.kmv_distinct(
+        li, ["l_orderkey", "l_partkey"], k=256, prefilter_rate=0.5
+    ).collect()[0]
+    assert pf["prefilter_ok"]
+    assert pf["est_distinct"] == row["est_distinct"]
+
+
+def test_kmv_small_cardinality_is_exact(spark):
+    from incremental_data_pipeline_spark.operators import sketches
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    nation = load_table(spark, SF_DIR, "nation")
+    row = sketches.kmv_distinct(nation, ["n_nationkey"], k=256).collect()[0]
+    assert row["k_used"] == nation.count()
+    assert row["est_distinct"] == float(nation.count())
+
+
+def test_weighted_sample_deterministic_and_biased(spark):
+    from incremental_data_pipeline_spark.operators import sampling
+
+    docs = _docs(spark).select("doc_id", "n_chars")
+    a = sampling.weighted_sample(docs, ["doc_id"], "n_chars", 50, "doc_id", salt="w1")
+    b = sampling.weighted_sample(
+        docs.repartition(13), ["doc_id"], "n_chars", 50, "doc_id", salt="w1"
+    )
+    ids_a = {r["doc_id"] for r in a.collect()}
+    ids_b = {r["doc_id"] for r in b.collect()}
+    assert ids_a == ids_b and len(ids_a) == 50
+    # length-weighted draw must skew toward longer documents
+    mean_sel = a.agg(F.avg("n_chars")).collect()[0][0]
+    mean_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert mean_sel > mean_all
+
+
+def test_cap_per_stratum_bounds_and_determinism(spark):
+    from incremental_data_pipeline_spark.operators import sampling
+
+    docs = _docs(spark).select("doc_id", "source")
+    capped = sampling.cap_per_stratum(docs, "source", 15, ["doc_id"], salt="cap1")
+    again = sampling.cap_per_stratum(
+        docs.repartition(7), "source", 15, ["doc_id"], salt="cap1"
+    )
+    assert {r["doc_id"] for r in capped.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    per_src = {
+        r["source"]: r["n"]
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, kept in per_src.items():
+        assert kept <= sizes[src]
+    # Bernoulli at rate 15/25: binomial(25, 0.6) — total concentrates
+    total = sum(per_src.values())
+    n_src = len(sizes)
+    assert 0.4 * 15 * n_src < total < 1.4 * 15 * n_src
+
+
+def test_semantic_dedup_keeps_lowest_id_of_duplicates(spark):
+    from incremental_data_pipeline_spark.operators import similarity as sim
+
+    v1 = [0.5] * 64
+    v2 = [-0.5] * 64
+    rows = [(0, v1), (1, v2), (5, v1), (9, v1), (7, v2)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codebook = sim.centroid_codebook(df, nlist=2)
+    out = {
+        r["vec_id"]: r["kept"]
+        for r in sim.semantic_dedup(df, codebook, threshold=0.99).collect()
+    }
+    assert out == {0: True, 1: True, 5: False, 9: False, 7: False}
+
+
+def test_interval_count_join_matches_naive_theta_join(spark):
+    from incremental_data_pipeline_spark.operators import relational
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    purch = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    fast = relational.interval_count_join(
+        purch, clicks, ["user_id"], "ts", 3600, "event_id"
+    )
+    p = purch.select("event_id", "user_id", F.col("ts").alias("pts"))
+    c = clicks.select(F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    naive = (
+        p.join(
+            c,
+            (p.user_id == c.cu)
+            & (c.cts > p.pts)
+            & (c.cts <= p.pts + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("event_id")
+        .agg(F.count("cts").alias("n_in_window"))
+    )
+    got = {r["event_id"]: r["n_in_window"] for r in fast.collect()}
+    want = {r["event_id"]: r["n_in_window"] for r in naive.collect()}
+    assert got == want
