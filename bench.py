@@ -48,6 +48,11 @@ HEADLINE = [
     "dedup_clusters",
     "corpus_curation",
     "shipping_priority",
+    # round-3 subsystems
+    "decontaminate_corpus",
+    "semantic_dedup_emb",
+    "purchase_click_window",
+    "kmv_distinct_orderparts",
 ]
 
 

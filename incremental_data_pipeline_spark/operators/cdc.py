@@ -49,3 +49,75 @@ def watermark_range(df: DataFrame, ts_col: str, last_load, current_load) -> Data
     Both bounds are plain comparisons → parquet predicate pushdown."""
     c: Column = F.col(ts_col)
     return df.filter((c > F.lit(last_load)) & (c <= F.lit(current_load)))
+
+
+def merge_partial_aggs(
+    gold: DataFrame, batch: DataFrame, keys: list[str], sum_cols: dict[str, Column]
+) -> DataFrame:
+    """Incremental AGGREGATE maintenance: fold a new batch into a stored
+    per-key rollup WITHOUT rescanning history — the step that turns the
+    medallion's gold layer from recompute-the-world into O(batch) work.
+
+    ``sum_cols`` maps output column -> aggregation over the RAW batch
+    columns; the same names must already exist in ``gold``. Works for any
+    associative-commutative aggregate expressed as sums/counts (avg =
+    sum/count at read time, the standard decomposition).
+
+    Scale shape: the batch collapses to per-key partials first (map-side
+    combine over only the batch), then one unionByName + re-aggregate with
+    the (key-partitioned) gold table. The 100 TB gold table shuffles only
+    its matched keys' rows — and none at all when both sides are bucketed
+    on the key (sources/sinks.py bucketed tables).
+    """
+    partial = batch.groupBy(*keys).agg(
+        *[c.alias(name) for name, c in sum_cols.items()]
+    )
+    merged = gold.unionByName(partial)
+    return merged.groupBy(*keys).agg(
+        *[F.sum(name).alias(name) for name in sum_cols]
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Change feed between two table snapshots (Delta CDF / CDC-feed
+    emulation): one row per changed key with ``op`` in
+    ('insert', 'update', 'delete') and the post-image values (pre-image
+    NULL-padded for deletes), so a downstream consumer can replay the diff.
+
+    Scale shape: one full-outer join on the key (both snapshots shuffle
+    once — or zero times when bucketed on the key) and a narrow column
+    comparison; unchanged keys drop out before anything else sees them.
+    """
+    o = old.select(
+        *keys,
+        F.lit(True).alias("__o_present"),
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *keys,
+        F.lit(True).alias("__n_present"),
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    j = o.join(n, keys, "full_outer")
+    in_old = F.coalesce(F.col("__o_present"), F.lit(False))
+    in_new = F.coalesce(F.col("__n_present"), F.lit(False))
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    op = (
+        F.when(~in_old & in_new, F.lit("insert"))
+        .when(in_old & ~in_new, F.lit("delete"))
+        .when(changed, F.lit("update"))
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            *keys,
+            "op",
+            *[F.col(f"__n_{c}").alias(c) for c in compare_cols],
+        )
+    )

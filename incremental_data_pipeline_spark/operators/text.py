@@ -275,6 +275,60 @@ def pack_offsets(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf (tf * ln(N/df)) —
+    the classic keyword/topic signal for corpus exploration and quality
+    triage. Ties (equal score from equal (tf, df)) break on token asc so
+    the selection is a deterministic total order.
+
+    The raw double score is used for RANKING but not emitted: ln() rounds
+    differently in the last ulp across engines (Java Math.log vs libm), so
+    only the exact-integer (tf, df, rnk) columns are oracle-comparable.
+    Exact score ties come from equal (tf, df) pairs, which every engine
+    maps to ITS identical double, so the token-asc tiebreak — and hence
+    the ranking — stays engine-consistent.
+
+    Scale shape: term frequency and document frequency are two map-side
+    -combinable aggregations over one explode; the document-frequency
+    relation is vocabulary-sized (not corpus-sized) and joins back on
+    token; N enters as a one-row broadcast. The final top-k is a
+    WindowGroupLimit on doc id — k rows per doc survive each stage.
+    """
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        toks.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("__n").cast("double") / F.col("df").cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
 PII_PATTERNS: tuple[tuple[str, str], ...] = (
     ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"),
     ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]"),

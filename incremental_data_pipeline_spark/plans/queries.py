@@ -2991,6 +2991,138 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text,' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+    dfreq AS (SELECT token, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+    n AS (SELECT count(*) AS __n FROM documents),
+    scored AS (
+      SELECT doc_id, token, tf, df,
+             CAST(tf AS DOUBLE) * ln(CAST(__n AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 characteristic terms by tf-idf: two combinable
+    aggregations (term freq, doc freq) + a vocabulary-sized join back and a
+    WindowGroupLimit top-k — no corpus-sized shuffle beyond the counts.
+    The double score ranks but is not emitted (cross-engine ln ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.tfidf_top_terms(docs, k=5)
+
+
+@query(
+    "stream_contamination_hits",
+    f"""
+    WITH {_SHINGLES_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+    SELECT doc_id, shingle FROM sh JOIN bench USING (shingle)
+    WHERE doc_id >= 50
+    """,
+)
+def stream_contamination_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at ingest as a STREAM-STATIC join (stateless: the
+    static benchmark gram set broadcasts per micro-batch, no watermark or
+    join state) — every (doc_id, shingle) contamination hit emits the
+    moment the document arrives."""
+    stream = _stream.read_stream(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= 50
+    )
+    bench = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    hits = _stream.stream_static_contamination(stream, bench, n=3)
+    return _stream.run_to_memory(hits, "append")
+
+
+@query(
+    "incremental_agg_merge",
+    """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the gold rollup is built from
+    pre-watermark history, then the post-watermark batch is folded in via
+    merge_partial_aggs — O(batch) work, no history rescan. The oracle is
+    the FULL-table aggregate: the merged result must be indistinguishable
+    from a from-scratch rebuild (the invariant that makes incremental
+    maintenance trustworthy). Values quantized to integer cents so sums
+    are order-free."""
+    import datetime
+
+    w = datetime.datetime(2024, 1, 20)
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint")
+    cnt = F.count(F.lit(1)).cast("bigint")
+    sums = {"sum_cents": cents, "n_events": cnt}
+    gold = (
+        ev.filter(F.col("ts") <= F.lit(w))
+        .groupBy("user_id", "event_type")
+        .agg(*[c.alias(nm) for nm, c in sums.items()])
+    )
+    batch = ev.filter(F.col("ts") > F.lit(w))
+    merged = cdc.merge_partial_aggs(gold, batch, ["user_id", "event_type"], sums)
+    return merged.select(
+        "user_id",
+        "event_type",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+      WHERE o_orderkey % 7 != 0),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 != 0)
+    SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS op,
+           new.o_orderstatus, new.o_totalprice
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+       OR old.o_totalprice IS DISTINCT FROM new.o_totalprice
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-feed generation between two snapshots (Delta CDF emulation):
+    derived old/new versions of orders (keys dropped on each side + a
+    price touch-up) diffed into insert/update/delete rows with post-image
+    values — one full-outer key join, unchanged keys drop out."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + F.lit(1.0)
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return cdc.snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
 # corpus_curation's oracle composes stage oracles registered above, so it is
 # injected once the whole registry exists (module bottom, import-order-safe).
 ORACLE["corpus_curation"] = _curation_oracle()

@@ -173,6 +173,35 @@ def stream_interval_join(
     ).drop("__rkey")
 
 
+def stream_static_contamination(
+    doc_stream: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Decontamination at INGEST: a stream-static join between live
+    documents and the fixed benchmark gram set, emitting every
+    (doc_id, shingle) contamination hit the moment the document arrives.
+
+    Stream-static inner joins are STATELESS in Spark — the static side is
+    (re)broadcast per micro-batch and no watermark or join state is kept —
+    so this gate runs forever at O(batch) memory. The same
+    ``operators.decontaminate`` gram semantics apply; a downstream
+    aggregation (or the batch ``contamination_hits``) turns hits into
+    per-doc verdicts when counts are needed.
+    """
+    from incremental_data_pipeline_spark.operators.dedup import shingles
+
+    grams = doc_stream.select(
+        id_col, F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+    )
+    bench = benchmark.select(
+        F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
+    ).distinct()
+    return grams.join(F.broadcast(bench), "shingle").select(id_col, "shingle")
+
+
 def foreach_batch_scd1(
     stream: DataFrame,
     apply_batch: Callable[[DataFrame, int], None],

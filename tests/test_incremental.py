@@ -171,3 +171,57 @@ def test_partitioned_bronze_converges_with_midday_cuts(spark, tmp_path):
     )
     assert n > 0  # the window re-delivers rows...
     assert pipe.read("bronze", "events").count() == events.count()  # ...but no dupes
+
+
+def test_merge_partial_aggs_equals_full_rebuild_any_split(spark):
+    """The incremental-maintenance invariant: gold(pre) + batch(post) must
+    equal the from-scratch aggregate, for ANY watermark split — including
+    an empty batch (no-op) and an all-in-batch split (bootstrap)."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators import cdc
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    sums = {
+        "sum_cents": F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint"),
+        "n_events": F.count(F.lit(1)).cast("bigint"),
+    }
+    keys = ["user_id", "event_type"]
+    full = {
+        tuple(r)[:2]: tuple(r)[2:]
+        for r in ev.groupBy(*keys)
+        .agg(*[c.alias(n) for n, c in sums.items()])
+        .collect()
+    }
+    for cut in ("2023-01-01", "2024-01-20", "2030-01-01"):
+        w = datetime.datetime.fromisoformat(cut)
+        gold = (
+            ev.filter(F.col("ts") <= F.lit(w))
+            .groupBy(*keys)
+            .agg(*[c.alias(n) for n, c in sums.items()])
+        )
+        merged = cdc.merge_partial_aggs(
+            gold, ev.filter(F.col("ts") > F.lit(w)), keys, sums
+        )
+        got = {tuple(r)[:2]: tuple(r)[2:] for r in merged.collect()}
+        assert got == full, cut
+
+
+def test_snapshot_diff_classifies_and_handles_nulls(spark):
+    from incremental_data_pipeline_spark.operators import cdc
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", None), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", None), (3, "c", 31.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    rows = {r["k"]: r for r in cdc.snapshot_diff(old, new, ["k"], ["s", "v"]).collect()}
+    assert set(rows) == {1, 3, 5}  # 2 and 4 unchanged (null-safe compare)
+    assert rows[1]["op"] == "delete" and rows[1]["s"] is None
+    assert rows[3]["op"] == "update" and rows[3]["v"] == 31.0
+    assert rows[5]["op"] == "insert" and rows[5]["s"] == "e"

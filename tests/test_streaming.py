@@ -303,3 +303,33 @@ def test_running_user_stats_invariant_to_batch_split(spark):
         assert got == expected
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_static_contamination_matches_batch(spark):
+    """The stream-static join gate must emit exactly the hits the batch
+    decontamination operator counts (stateless join — no batching effect)."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import decontaminate as dc
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") < 50)
+    stream = sp.read_stream(spark, SF_DIR, "documents").filter(F.col("doc_id") >= 50)
+    hits = sp.run_to_memory(
+        sp.stream_static_contamination(stream, bench, n=3), "append"
+    )
+    per_doc = {
+        r["doc_id"]: r["n"]
+        for r in hits.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    batch = dc.contamination_hits(
+        docs.filter(F.col("doc_id") >= 50), bench, n=3, min_hits=1
+    )
+    want = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in batch.filter("n_contaminated_grams > 0").collect()
+    }
+    assert per_doc == want
