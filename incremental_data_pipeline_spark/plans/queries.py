@@ -3123,6 +3123,32 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from incremental_data_pipeline_spark.operators import graph as _graph  # noqa: E402
+
+_PAGERANK_EDGES_SQL = (
+    "SELECT DISTINCT user_id AS src, "
+    "100000 + CAST(json_extract(props, '$.k') AS BIGINT) AS dst FROM events"
+)
+
+
+@query(
+    "pagerank_user_items",
+    _graph.pagerank_oracle_sql(_PAGERANK_EDGES_SQL, iterations=3),
+)
+def pagerank_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (3 synchronous iterations, damping 85/100)
+    over the user -> interacted-item graph from events.props. BIGINT
+    micro-unit ranks make every iteration's sums order-free, so the
+    unrolled-CTE oracle reproduces ranks bit-for-bit — the iterative-
+    algorithm pattern beyond the CC fixpoint."""
+    ev = load_table(spark, sf_dir, "events")
+    edges = ev.withColumn("p", F.from_json("props", "k INT")).select(
+        F.col("user_id").alias("src"),
+        (F.lit(100000) + F.col("p.k").cast("long")).alias("dst"),
+    )
+    return _graph.pagerank_int(edges, iterations=3)
+
+
 # corpus_curation's oracle composes stage oracles registered above, so it is
 # injected once the whole registry exists (module bottom, import-order-safe).
 ORACLE["corpus_curation"] = _curation_oracle()

@@ -157,3 +157,27 @@ def test_interval_count_join_matches_naive_theta_join(spark):
     got = {r["event_id"]: r["n_in_window"] for r in fast.collect()}
     want = {r["event_id"]: r["n_in_window"] for r in naive.collect()}
     assert got == want
+
+
+def test_pagerank_int_matches_python_reference(spark):
+    """pagerank_int's integer recurrence, cross-checked against a direct
+    Python implementation on a small fixed graph (3 iterations)."""
+    from incremental_data_pipeline_spark.operators.graph import TOTAL_MASS, pagerank_int
+
+    edge_list = [(1, 2), (2, 1), (1, 3), (3, 2), (4, 1), (4, 2)]
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank_int(df, iterations=3).collect()}
+
+    nodes = sorted({u for e in edge_list for u in e})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = (15 * TOTAL_MASS) // (100 * n)
+    rank = {v: TOTAL_MASS // n for v in nodes}
+    for _ in range(3):
+        contrib = {}
+        for s, d in edge_list:
+            contrib[d] = contrib.get(d, 0) + rank[s] // outdeg[s]
+        rank = {v: base + (85 * contrib.get(v, 0)) // 100 for v in nodes}
+    assert got == rank
