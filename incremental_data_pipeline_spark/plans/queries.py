@@ -3123,6 +3123,62 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stream_incremental_gold",
+    """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def stream_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental-aggregate maintenance: each micro-batch folds
+    into the persisted gold rollup via foreachBatch + merge_partial_aggs —
+    the streaming twin of incremental_agg_merge, sharing ONE merge
+    implementation across both execution modes. The oracle is the
+    from-scratch full-table aggregate; checkpointed offsets give
+    at-least-once delivery, and the atomic gold swap keeps a replayed
+    batch from double-counting a completed write."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    base = tempfile.mkdtemp(prefix="stream_gold_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    gold_path = os.path.join(base, "gold_user_type")
+    keys = ["user_id", "event_type"]
+    sums = {
+        "sum_cents": F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+            "bigint"
+        ),
+        "n_events": F.count(F.lit(1)).cast("bigint"),
+    }
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        if os.path.exists(gold_path):
+            gold = spark.read.parquet(gold_path)
+            merged = cdc.merge_partial_aggs(gold, batch, keys, sums)
+        else:
+            merged = batch.groupBy(*keys).agg(
+                *[c.alias(nm) for nm, c in sums.items()]
+            )
+        atomic_overwrite(merged, gold_path)
+
+    stream = _stream.read_stream(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts"
+    )
+    _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+    return spark.read.parquet(gold_path).select(
+        "user_id",
+        "event_type",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
 from incremental_data_pipeline_spark.operators import graph as _graph  # noqa: E402
 
 _PAGERANK_EDGES_SQL = (

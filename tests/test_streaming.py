@@ -333,3 +333,68 @@ def test_stream_static_contamination_matches_batch(spark):
         for r in batch.filter("n_contaminated_grams > 0").collect()
     }
     assert per_doc == want
+
+
+def test_stream_incremental_gold_invariant_to_batch_split(spark):
+    """The streaming gold rollup (foreachBatch + merge_partial_aggs) must
+    equal the from-scratch full aggregate when the source arrives as 3
+    micro-batches — the merge invariant under real incremental delivery."""
+    from pyspark.sql import Window
+
+    from incremental_data_pipeline_spark.operators import cdc
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_gold_split_")
+    try:
+        events = load_table(spark, SF_DIR, "events").select(
+            "user_id", "event_type", "value", "ts"
+        )
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        chunked = events.withColumn("__chunk", F.ntile(3).over(Window.orderBy("ts")))
+        for i in (1, 2, 3):
+            tmp = os.path.join(base, f"tmp{i}")
+            chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.parquet(tmp)
+            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+            os.rename(os.path.join(tmp, part), os.path.join(src, f"chunk{i}.parquet"))
+            shutil.rmtree(tmp)
+
+        gold_path = os.path.join(base, "gold")
+        keys = ["user_id", "event_type"]
+        sums = {
+            "sum_cents": F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint"),
+            "n_events": F.count(F.lit(1)).cast("bigint"),
+        }
+
+        def apply_batch(batch, _epoch):
+            if os.path.exists(gold_path):
+                merged = cdc.merge_partial_aggs(
+                    spark.read.parquet(gold_path), batch, keys, sums
+                )
+            else:
+                merged = batch.groupBy(*keys).agg(
+                    *[c.alias(nm) for nm, c in sums.items()]
+                )
+            atomic_overwrite(merged, gold_path)
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        sp.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+
+        got = sorted(map(tuple, spark.read.parquet(gold_path).collect()))
+        expected = sorted(
+            map(
+                tuple,
+                events.groupBy(*keys)
+                .agg(*[c.alias(nm) for nm, c in sums.items()])
+                .collect(),
+            )
+        )
+        assert got == expected
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
