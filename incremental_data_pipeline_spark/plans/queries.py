@@ -3124,6 +3124,41 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip_events",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a source/sink format (Spark-native columnar alternative to
+    parquet — same vectorized reader, predicate pushdown, and column
+    pruning): events round-trip through an ORC copy and aggregate
+    identically to the parquet original (the oracle reads parquet, so any
+    loss or type drift in the ORC path breaks the hash)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="orc_rt_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "events_orc")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )
+
+
+@query(
     "stream_incremental_gold",
     """
     SELECT user_id, event_type,
