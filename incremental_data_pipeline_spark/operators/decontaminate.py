@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from incremental_data_pipeline_spark.functions.util import fan_out
 from incremental_data_pipeline_spark.operators.dedup import shingles
 
 
@@ -52,7 +53,11 @@ def contamination_hits(
     bench_grams = (
         benchmark.select(_gram_col(text_col, n, hashed).alias("__g")).distinct()
     )
-    doc_grams = corpus.select(id_col, _gram_col(text_col, n, hashed).alias("__g"))
+    # fan_out: the corpus-side shingle explode is compute-dense over a
+    # small-bytes scan — without a parallelism floor it runs on one task.
+    doc_grams = fan_out(corpus).select(
+        id_col, _gram_col(text_col, n, hashed).alias("__g")
+    )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "__g")
         .groupBy(id_col)

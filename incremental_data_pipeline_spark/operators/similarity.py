@@ -368,6 +368,11 @@ def semantic_dedup(
     cells = fan_out(corpus).select(
         F.col(id_col), quantize(vec_col).alias("__v")
     ).withColumn("cell", best_cell(F.col("__v")))
+    # The cell relation feeds BOTH self-join sides and the final join-back;
+    # without a barrier the per-row argmax over the codebook (the dominant
+    # narrow-map cost) re-executes three times. Materialize once — same
+    # pattern as the connected-components edge checkpoint.
+    cells = cells.localCheckpoint(eager=False)
     a = cells.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cell"
     )

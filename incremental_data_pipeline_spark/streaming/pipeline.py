@@ -193,7 +193,13 @@ def stream_static_contamination(
     """
     from incremental_data_pipeline_spark.operators.dedup import shingles
 
-    grams = doc_stream.select(
+    # Parallelism floor (fan_out's streaming twin): a one-file micro-batch
+    # scans as one partition and would serialize the compute-dense shingle
+    # explode on a single core; a stateless repartition restores it.
+    spread = doc_stream.repartition(
+        doc_stream.sparkSession.sparkContext.defaultParallelism
+    )
+    grams = spread.select(
         id_col, F.explode(F.array_distinct(shingles(text_col, n))).alias("shingle")
     )
     bench = benchmark.select(
