@@ -3240,6 +3240,109 @@ def pagerank_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph.pagerank_int(edges, iterations=3)
 
 
+@query(
+    "nation_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, ship_year,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS revenue
+    FROM (
+      SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS ship_year,
+             l_extendedprice, l_discount
+      FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ns ON ns.n_nationkey = s_nationkey
+        JOIN nation nc ON nc.n_nationkey = c_nationkey
+      WHERE ns.n_name IN ('FRANCE', 'GERMANY') AND nc.n_name IN ('FRANCE', 'GERMANY')
+        AND ns.n_name != nc.n_name)
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analogue: bilateral shipping volume between two nations by
+    year. The nation filters reach the supplier/customer scans before the
+    fact joins; every dim side broadcasts, the fact shuffles once for the
+    final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("FRANCE", "GERMANY")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "supplier_nation_profit",
+    """
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS ship_year,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)
+        AS profit
+    FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_type = 'ECONOMY'
+    GROUP BY n_name, CAST(year(l_shipdate) AS INT)
+    """,
+)
+def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue: revenue from one part family attributed to the
+    supplier's nation by ship year. The part-type filter prunes the fact
+    via a broadcast semi-shaped join before any shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(rev).cast("double").alias("profit"))
+    )
+
+
 # corpus_curation's oracle composes stage oracles registered above, so it is
 # injected once the whole registry exists (module bottom, import-order-safe).
 ORACLE["corpus_curation"] = _curation_oracle()
