@@ -253,6 +253,20 @@ def ivf_topk(
         )
 
     def top_cells(vcol: Column, n: int) -> Column:
+        if n == 1:
+            # argmax via a single array_max over (cos, neg_id) structs —
+            # skips the full sort+reverse+slice on the (large) corpus side.
+            return F.array(
+                -F.array_max(
+                    F.transform(
+                        matrix,
+                        lambda c, i: F.struct(
+                            cosine_q(vcol, c).alias("cos"),
+                            (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
+                        ),
+                    )
+                )["neg_id"]
+            )
         return F.transform(F.slice(cell_scores(vcol), 1, n), lambda s: -s["neg_id"])
 
     c = fan_out(corpus).select(

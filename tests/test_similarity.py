@@ -214,3 +214,24 @@ def test_pgm_roundtrip_decodes_real_image(spark):
 
 def test_multimodal_image_decode_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "multimodal_image_decode")
+
+
+def test_ivf_argmax_cell_assignment_matches_sorted_path(spark):
+    """The array_max argmax used for corpus cell assignment (n=1 fast path)
+    must pick exactly the cell the sorted top-n path ranks first."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import similarity as sim
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = sim.centroid_codebook(emb, nlist=8)
+    via_search = sim.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 8), cb, k=3, nprobe=8
+    )
+    # nprobe = nlist probes every cell, so results must equal brute force
+    brute = sim.brute_force_topk(emb, emb.filter(F.col("vec_id") < 8), k=3)
+    got = sorted(map(tuple, via_search.select("query_id", "neighbor_id", "rank").collect()))
+    want = sorted(map(tuple, brute.select("query_id", "neighbor_id", "rank").collect()))
+    assert got == want

@@ -173,3 +173,36 @@ def test_zorder_compaction_tightens_file_envelopes(spark, tmp_path):
     assert rows_plain == rows_zed  # pure rewrite on both paths
     for col in ("x", "y"):
         assert envelope_width(zed, col) < 0.6 * envelope_width(plain, col), col
+
+
+def test_day_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """A filter on the partition column over day-partitioned bronze must
+    turn into PARTITION pruning (the scan's partition filters / fewer
+    input files), not a full scan + post-filter — the layout property the
+    100 TB bronze depends on."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "__day", F.to_date("ts")
+    )
+    path = os.path.join(str(tmp_path), "bronze_days")
+    ev.write.partitionBy("__day").parquet(path)
+
+    full = spark.read.parquet(path)
+    n_days_total = full.select("__day").distinct().count()
+    pruned = full.filter(F.col("__day") == "2024-01-05")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the day predicate must land in the scan's PartitionFilters (directory
+    # -level pruning), not ride along as a post-scan row filter
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    assert "__day" in pf[1].split("]", 1)[0]
+    assert n_days_total > 1
+    # and the pruned result is exactly that day's rows
+    want = ev.filter(F.col("__day") == "2024-01-05").count()
+    assert pruned.count() == want > 0
