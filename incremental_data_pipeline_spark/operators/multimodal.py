@@ -128,6 +128,66 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
     return fan_out(df).select(id_col, bin_col).mapInPandas(run, IMAGE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, width int, height int, resized binary, mean_pixel_milli long"
+)
+
+
+def resize_image(
+    df: DataFrame,
+    out_w: int = 8,
+    id_col: str = "doc_id",
+    bin_col: str = "content",
+) -> DataFrame:
+    """REAL image resize: nearest-neighbor downsample of each PGM (P5)
+    payload to ``out_w`` columns and half the source height (min 1),
+    re-emitting a valid PGM payload plus integer-exact raster stats.
+
+    Nearest-neighbor with integer source indexing (src_row = y*h // out_h,
+    src_col = x*w // out_w) is the one resampling kernel that is exactly
+    reproducible in SQL — ``mean_pixel_milli`` over the selected pixels is
+    the oracle hook, the same determinism trick as ``decode_image``. A
+    PIL/opencv bilinear resize slots into the same mapInPandas seam when
+    codec libs exist. Narrow map, no shuffle; output payloads shrink by
+    ~4x, the usual reason a 100 TB image corpus resizes early.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, blobs, means = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                magic, dims, maxval_s, raster = b.split(b"\n", 3)
+                if magic != b"P5":
+                    raise ValueError(f"not a P5 PGM payload (doc {doc_id})")
+                w, h = (int(x) for x in dims.split())
+                arr = np.frombuffer(raster, dtype=np.uint8).reshape(h, w)
+                out_h = max(h // 2, 1)
+                rows = (np.arange(out_h) * h) // out_h
+                cols = (np.arange(out_w) * w) // out_w
+                small = arr[np.ix_(rows, cols)]
+                ids.append(doc_id)
+                ws.append(out_w)
+                hs.append(out_h)
+                blobs.append(
+                    f"P5\n{out_w} {out_h}\n{int(maxval_s)}\n".encode()
+                    + small.tobytes()
+                )
+                means.append(1000 * int(small.sum()) // (out_w * out_h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "resized": blobs,
+                    "mean_pixel_milli": pd.Series(means, dtype="int64"),
+                }
+            )
+
+    return fan_out(df).select(id_col, bin_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
 FEATURE_DIM = 16
 FEATURES_SCHEMA = "doc_id long, feature array<double>"
 FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_offset long, frame_bytes long, frame_md5 string"

@@ -2461,6 +2461,38 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_image_resize",
+    """
+    WITH m AS (
+      SELECT doc_id, length(text) AS n,
+             (length(text) + 15) // 16 AS h,
+             greatest(((length(text) + 15) // 16) // 2, 1) AS oh,
+             text
+      FROM documents),
+    s AS (
+      SELECT doc_id, oh,
+        list_sum(list_transform(range(0, oh * 8),
+          i -> CASE WHEN ((((i // 8) * h) // oh) * 16 + (i % 8) * 2 + 1) <= n
+                    THEN unicode(text[((((i // 8) * h) // oh) * 16 + (i % 8) * 2 + 1)
+                                    : ((((i // 8) * h) // oh) * 16 + (i % 8) * 2 + 1)])
+                    ELSE 32 END)) AS sum_codes
+      FROM m)
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(oh AS INT) AS height,
+           CAST((1000 * sum_codes) // (8 * oh) AS BIGINT) AS mean_pixel_milli
+    FROM s
+    """,
+)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image RESIZE round trip: text -> PGM(P5) -> nearest-neighbor 8×(h/2)
+    downsample in an Arrow batch -> integer-exact raster mean. The oracle
+    recomputes the exact selected-pixel sum from codepoints (nearest-
+    neighbor integer indexing is reproducible in SQL; padding is 0x20)."""
+    docs = load_table(spark, sf_dir, "documents")
+    resized = _mm.resize_image(_mm.attach_pgm_image(docs), out_w=8)
+    return resized.select("doc_id", "width", "height", "mean_pixel_milli")
+
+
+@query(
     "stream_quality_gate",
     """
     SELECT doc_id, quality FROM (
