@@ -3273,6 +3273,41 @@ def pagerank_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_frame_stats",
+    """
+    SELECT o_orderkey, o_custkey,
+      first_value(o_orderkey) OVER w AS first_key_in_frame,
+      last_value(o_orderkey) OVER w AS last_key_in_frame,
+      CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT)
+        AS frame_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+    """,
+)
+def window_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit sliding ROWS frame (1 preceding..1 following) with
+    first_value/last_value — the window-frame surface beyond running
+    totals and lag. Total order inside each partition (date + key) keeps
+    frame membership deterministic; money quantized to cents keeps the
+    frame sum exact."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-1, 1)
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key_in_frame"),
+        F.last("o_orderkey").over(w).alias("last_key_in_frame"),
+        F.sum(cents).over(w).cast("bigint").alias("frame_cents"),
+    )
+
+
+@query(
     "nation_volume_shipping",
     """
     SELECT supp_nation, cust_nation, ship_year,

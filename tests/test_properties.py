@@ -164,3 +164,44 @@ def test_sessionize_matches_python_reference(spark, offsets, gap_s):
         expected[ts] = sid
         prev = ts
     assert got == expected
+
+
+@given(
+    anchors=rows_strategy,
+    probes=rows_strategy,
+    w=st.integers(min_value=1, max_value=50),
+)
+@settings(**SMALL)
+def test_interval_count_join_matches_python_reference(spark, anchors, probes, w):
+    """Bucketed interval join == the obvious per-anchor Python count of
+    probes in (ts, ts+w], for any key/time layout and window size."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators.relational import (
+        interval_count_join,
+    )
+
+    adf = (
+        spark.createDataFrame(
+            [(i, k, t) for i, (k, t, _) in enumerate(anchors)] or [(None,) * 3],
+            "aid int, k int, tsec int",
+        )
+        .filter("aid IS NOT NULL")
+        .withColumn("ts", F.col("tsec").cast("timestamp"))
+        .drop("tsec")
+    )
+    pdf = (
+        spark.createDataFrame(
+            [(k, t) for k, t, _ in probes] or [(None, None)], "k int, tsec int"
+        )
+        .filter("k IS NOT NULL")
+        .withColumn("ts", F.col("tsec").cast("timestamp"))
+        .drop("tsec")
+    )
+    got = {
+        r["aid"]: r["n_in_window"]
+        for r in interval_count_join(adf, pdf, ["k"], "ts", w, "aid").collect()
+    }
+    for i, (k, t, _) in enumerate(anchors):
+        want = sum(1 for kk, tt, _ in probes if kk == k and t < tt <= t + w)
+        assert got.get(i) == want, (i, k, t, w)

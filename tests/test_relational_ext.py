@@ -133,3 +133,28 @@ def test_dq_queries_match_oracle(spark, duck):
 
     assert_query_matches_oracle(spark, duck, "dq_report_lineitem")
     assert_query_matches_oracle(spark, duck, "dq_quarantine_orders")
+
+
+def test_headline_plan_shapes_no_extra_shuffles(spark):
+    """Plan-shape regression guard for headline queries: the shuffle and
+    join strategies are part of the design (broadcast dims, single agg
+    shuffle) — an extra Exchange or a SortMergeJoin sneaking in is a
+    performance regression even when results stay correct."""
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    expect = {
+        # name: (max shuffle exchanges, max sort-merge joins)
+        "star_join": (0, 0),             # all-broadcast FK resolution
+        "pricing_summary": (2, 0),       # agg + global sort
+        "shipping_priority": (1, 0),     # one fact shuffle, dims broadcast
+        "supplier_nation_profit": (1, 0),
+        "window_frame_stats": (1, 0),    # one shuffle on the partition key
+    }
+    for name, (max_shuffles, max_smj) in expect.items():
+        plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        assert shuffles <= max_shuffles, (name, shuffles, plan[:2000])
+        assert plan.count("SortMergeJoin") <= max_smj, (name, plan[:2000])
