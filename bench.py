@@ -115,6 +115,9 @@ def main() -> None:
                 # r1 was n=1; r2+ report min-of-2 (see comment above) — noted
                 # here so cross-round comparisons stay honest.
                 "method": "min-of-2",
+                # headline-set size per round: r1/r2 had 16/19; totals are
+                # only comparable on the shared per-query subset.
+                "n_queries": len(HEADLINE),
             }
         )
     )

@@ -275,6 +275,60 @@ def pack_offsets(
     )
 
 
+def bigram_coverage(
+    docs: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_ref_count: int = 2,
+) -> DataFrame:
+    """Reference-corpus bigram coverage per document — the integer-exact
+    stand-in for LM-based fluency scoring: the fraction of a document's
+    word bigrams (with multiplicity) that occur at least ``min_ref_count``
+    times in the reference corpus. Low coverage flags out-of-domain or
+    garbled text the way a perplexity filter would, but with a score
+    (``coverage_milli`` = 1000*known // total) any engine reproduces
+    bit-for-bit — no floating-point log-probs.
+
+    Scale shape: the reference collapses to its qualifying-bigram set (one
+    combinable count agg) and broadcasts; the document side is one narrow
+    explode + map-side join + per-doc count, never shuffled on the gram —
+    the same join geometry as decontamination.
+    """
+    from incremental_data_pipeline_spark.functions.util import fan_out
+    from incremental_data_pipeline_spark.operators.dedup import shingles
+
+    ref_grams = (
+        fan_out(reference)
+        .select(F.explode(shingles(text_col, 2)).alias("__g"))
+        .groupBy("__g")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_ref_count)
+        .select("__g")
+    )
+    doc_grams = fan_out(docs).select(
+        id_col, F.explode(shingles(text_col, 2)).alias("__g")
+    )
+    stats = (
+        doc_grams.join(
+            F.broadcast(ref_grams.withColumn("__known", F.lit(1))), "__g", "left"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.coalesce(F.col("__known"), F.lit(0))).cast("long").alias(
+                "n_known"
+            ),
+        )
+    )
+    return stats.select(
+        id_col,
+        "n_bigrams",
+        "n_known",
+        F.expr("(1000 * n_known) div n_bigrams").alias("coverage_milli"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
 ) -> DataFrame:

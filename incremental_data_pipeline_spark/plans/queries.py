@@ -3273,6 +3273,34 @@ def pagerank_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_coverage",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    bg AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+            THEN list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])
+            ELSE [array_to_string(t, ' ')] END) AS g FROM toks),
+    ref AS (SELECT g FROM bg WHERE doc_id < 100 GROUP BY g HAVING count(*) >= 2),
+    d AS (SELECT doc_id, g FROM bg WHERE doc_id >= 100),
+    s AS (SELECT d.doc_id, count(*) AS n_bigrams,
+                 sum(CASE WHEN ref.g IS NOT NULL THEN 1 ELSE 0 END) AS n_known
+          FROM d LEFT JOIN ref ON d.g = ref.g GROUP BY d.doc_id)
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_known AS BIGINT) AS n_known,
+           CAST((1000 * n_known) // n_bigrams AS BIGINT) AS coverage_milli
+    FROM s
+    """,
+)
+def text_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-free fluency proxy: per-doc fraction of word bigrams attested
+    >= 2 times in a reference corpus (docs 0-99), as an integer-exact
+    coverage_milli — the deterministic stand-in for perplexity filtering."""
+    docs = load_table(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("doc_id") < 100)
+    scored = docs.filter(F.col("doc_id") >= 100)
+    return _text.bigram_coverage(scored, ref, min_ref_count=2)
+
+
+@query(
     "window_frame_stats",
     """
     SELECT o_orderkey, o_custkey,
