@@ -205,3 +205,65 @@ def test_interval_count_join_matches_python_reference(spark, anchors, probes, w)
     for i, (k, t, _) in enumerate(anchors):
         want = sum(1 for kk, tt, _ in probes if kk == k and t < tt <= t + w)
         assert got.get(i) == want, (i, k, t, w)
+
+
+@given(old=rows_strategy, new=rows_strategy)
+@settings(**SMALL)
+def test_snapshot_diff_matches_python_reference(spark, old, new):
+    """snapshot_diff == dict-diff semantics for any pair of snapshots
+    (last row per key wins on duplicate keys is NOT assumed — keys are
+    deduped first to honor the operator's unique-key contract)."""
+    from incremental_data_pipeline_spark.operators.cdc import snapshot_diff
+
+    omap = {k: (t, v) for k, t, v in old}
+    nmap = {k: (t, v) for k, t, v in new}
+    odata = [(k, t, v) for k, (t, v) in omap.items()]
+    ndata = [(k, t, v) for k, (t, v) in nmap.items()]
+
+    odf = spark.createDataFrame(
+        odata or [(None, None, None)], "k int, a int, b int"
+    ).filter("k IS NOT NULL")
+    ndf = spark.createDataFrame(
+        ndata or [(None, None, None)], "k int, a int, b int"
+    ).filter("k IS NOT NULL")
+    got = {
+        r["k"]: (r["op"], r["a"], r["b"])
+        for r in snapshot_diff(odf, ndf, ["k"], ["a", "b"]).collect()
+    }
+    want = {}
+    for k in set(omap) | set(nmap):
+        if k not in omap:
+            want[k] = ("insert", *nmap[k])
+        elif k not in nmap:
+            want[k] = ("delete", None, None)
+        elif omap[k] != nmap[k]:
+            want[k] = ("update", *nmap[k])
+    assert got == want
+
+
+@given(rows=rows_strategy, cut=st.integers(min_value=0, max_value=100))
+@settings(**SMALL)
+def test_merge_partial_aggs_invariant_any_cut(spark, rows, cut):
+    """gold(<=cut) merged with batch(>cut) == full aggregate, for any data
+    and any cut point."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators.cdc import merge_partial_aggs
+
+    df = spark.createDataFrame(
+        rows or [(None, None, None)], "k int, t int, v int"
+    ).filter("k IS NOT NULL")
+    sums = {
+        "s": F.sum("v").cast("long"),
+        "n": F.count(F.lit(1)).cast("long"),
+    }
+    gold = df.filter(F.col("t") <= cut).groupBy("k").agg(
+        *[c.alias(n) for n, c in sums.items()]
+    )
+    merged = merge_partial_aggs(gold, df.filter(F.col("t") > cut), ["k"], sums)
+    got = {r["k"]: (r["s"], r["n"]) for r in merged.collect()}
+    want = {}
+    for k, _, v in rows:
+        s, n = want.get(k, (0, 0))
+        want[k] = (s + v, n + 1)
+    assert got == want
