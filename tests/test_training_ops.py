@@ -181,3 +181,38 @@ def test_pagerank_int_matches_python_reference(spark):
             contrib[d] = contrib.get(d, 0) + rank[s] // outdeg[s]
         rank = {v: base + (85 * contrib.get(v, 0)) // 100 for v in nodes}
     assert got == rank
+
+
+def test_kmv_empty_input(spark):
+    from incremental_data_pipeline_spark.operators import sketches
+
+    empty = spark.createDataFrame([], "x long")
+    row = sketches.kmv_distinct(empty, ["x"], k=16).collect()[0]
+    assert row["k_used"] == 0
+    assert row["est_distinct"] == 0.0
+    assert row["prefilter_ok"]
+
+
+def test_contamination_empty_benchmark_flags_nothing(spark):
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import decontaminate as dc
+
+    docs = _docs(spark).limit(20)
+    empty_bench = _docs(spark).filter(F.lit(False))
+    rep = dc.contamination_hits(docs, empty_bench, n=3)
+    assert rep.filter("contaminated").count() == 0
+    assert rep.count() == 20
+    assert dc.decontaminate(docs, empty_bench, n=3).count() == 20
+
+
+def test_semantic_dedup_all_unique_keeps_everything(spark):
+    from incremental_data_pipeline_spark.operators import similarity as sim
+
+    # orthogonal-ish vectors: one-hot rows can't reach cosine 0.99
+    rows = [(i, [1.0 if j == i else 0.0 for j in range(64)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cb = sim.centroid_codebook(df, nlist=2)
+    out = sim.semantic_dedup(df, cb, threshold=0.99)
+    assert out.filter("NOT kept").count() == 0
+    assert out.count() == 6
