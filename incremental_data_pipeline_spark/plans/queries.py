@@ -3273,6 +3273,39 @@ def pagerank_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "schema_evolution_read",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+    FROM orders
+    """,
+)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on an at-rest table (bronze schema drift): batch 1
+    lands two columns, batch 2 appends with a NEW third column; a
+    mergeSchema read reconciles both file schemas, null-filling the old
+    files — the additive-evolution contract a long-lived ingest layer
+    needs. The oracle rebuilds the same null pattern from the source."""
+    import atexit
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    path = os.path.join(base, "orders_evolving")
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.parquet(path)
+    v2.write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+@query(
     "text_bigram_coverage",
     """
     WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -206,3 +206,35 @@ def test_day_partitioned_scan_prunes_partitions(spark, tmp_path):
     # and the pruned result is exactly that day's rows
     want = ev.filter(F.col("__day") == "2024-01-05").count()
     assert pruned.count() == want > 0
+
+
+def test_dim_filter_triggers_dynamic_partition_pruning(spark, tmp_path):
+    """Joining day-partitioned bronze to a small filtered dim must inject a
+    runtime partition filter (dynamic partition pruning) on the fact scan —
+    the join-driven analogue of static pruning, load-bearing when the
+    partition predicate only exists in a dimension table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").withColumn("__day", F.to_date("ts"))
+    path = os.path.join(str(tmp_path), "bronze_dpp")
+    ev.write.partitionBy("__day").parquet(path)
+    fact = spark.read.parquet(path)
+
+    # a real predicate on the dim side is what makes DPP's benefit
+    # heuristic fire (a bare limit/lit column is constant-folded away)
+    dim = (
+        spark.createDataFrame(
+            [("2024-01-01", "audit"), ("2024-01-02", "audit"), ("2024-01-03", "skip")],
+            "d string, tag string",
+        )
+        .select(F.col("d").cast("date").alias("__day"), "tag")
+        .filter(F.col("tag") == "audit")
+    )
+    joined = fact.join(dim, "__day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
