@@ -210,12 +210,13 @@ def sessionize(
     session semantics over at-rest data, useful for backfills over history
     that the streaming job will then continue incrementally."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
-    # Double cast: TIMESTAMP_NTZ rejects a direct epoch cast; ->timestamp
-    # is a no-op for LTZ and a pure re-tag under a UTC session for NTZ.
-    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    # Integer MICROSECOND epochs (via ->timestamp, valid for LTZ and NTZ):
+    # second-truncated gaps misjudge boundaries for sub-second timestamps —
+    # the SQL twin compares at full precision (epoch_us).
+    epoch = F.unix_micros(F.col(ts_col).cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
     is_new = F.when(
-        gap.isNull() | (gap > gap_minutes * 60), F.lit(1)
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     running = Window.partitionBy(*key_cols).orderBy(ts_col).rowsBetween(
         Window.unboundedPreceding, 0

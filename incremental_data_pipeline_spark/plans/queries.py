@@ -1006,7 +1006,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, ts,
         CASE WHEN lag(ts) OVER w IS NULL
-                  OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
              THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
@@ -1052,10 +1052,13 @@ def rolling_hour_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside the frame so the rolling sum is order-free and exact in both
     engines."""
     ev = load_table(spark, sf_dir, "events")
+    # Microsecond epochs: an epoch-SECONDS frame truncates sub-second
+    # timestamps and misclassifies rows within 1 s of the window edge
+    # (surfaced at sf0.1; the SQL twin's INTERVAL frame is µs-precise).
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3600 * 1_000_000, 0)
     )
     cents = F.round(F.col("value") * 100).cast("long")
     return ev.select(
