@@ -53,6 +53,10 @@ HEADLINE = [
     "semantic_dedup_emb",
     "purchase_click_window",
     "kmv_distinct_orderparts",
+    "tfidf_top_terms",
+    "text_bigram_coverage",
+    "incremental_agg_merge",
+    "snapshot_diff_orders",
 ]
 
 
