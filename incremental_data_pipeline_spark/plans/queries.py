@@ -3159,6 +3159,72 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "hybrid_backfill_stream",
+    """
+    SELECT user_id, event_type,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def hybrid_backfill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill -> streaming handoff (the lambda-architecture unification):
+    a BATCH backfill aggregates history up to the handoff watermark and
+    primes the gold rollup; the STREAM processes only rows after the
+    watermark, folding micro-batches into the same gold via the same
+    merge_partial_aggs. One merge implementation, one result — the oracle
+    is the from-scratch full aggregate, so any seam at the handoff
+    boundary (row lost, row double-counted) breaks the hash."""
+    import atexit
+    import datetime
+    import shutil
+    import tempfile
+
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    w = datetime.datetime(2024, 1, 20)
+    keys = ["user_id", "event_type"]
+    sums = {
+        "sum_cents": F.sum(F.round(F.col("value") * 100).cast("bigint")).cast(
+            "bigint"
+        ),
+        "n_events": F.count(F.lit(1)).cast("bigint"),
+    }
+    base = tempfile.mkdtemp(prefix="hybrid_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    gold_path = os.path.join(base, "gold")
+
+    # batch backfill primes gold with everything at or before the watermark
+    ev = load_table(spark, sf_dir, "events")
+    backfill = (
+        ev.filter(F.col("ts") <= F.lit(w))
+        .groupBy(*keys)
+        .agg(*[c.alias(nm) for nm, c in sums.items()])
+    )
+    atomic_overwrite(backfill, gold_path)
+
+    # the stream owns everything after the watermark
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        merged = cdc.merge_partial_aggs(
+            spark.read.parquet(gold_path), batch, keys, sums
+        )
+        atomic_overwrite(merged, gold_path)
+
+    stream = (
+        _stream.read_stream(spark, sf_dir, "events")
+        .filter(F.col("ts") > F.lit(w))
+        .select("user_id", "event_type", "value", "ts")
+    )
+    _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+    return spark.read.parquet(gold_path).select(
+        "user_id",
+        "event_type",
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )
+
+
+@query(
     "orc_roundtrip_events",
     """
     SELECT event_type,

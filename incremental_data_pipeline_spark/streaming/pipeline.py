@@ -231,6 +231,51 @@ def foreach_batch_scd1(
         q.awaitTermination()
 
 
+def foreach_batch_exactly_once(
+    stream: DataFrame,
+    apply_batch: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+    ledger_dir: str,
+) -> None:
+    """foreachBatch with EXACTLY-ONCE side effects for non-idempotent sinks.
+
+    The checkpoint makes delivery at-least-once: after a crash between
+    sink success and offset commit, the SAME batch id is re-delivered.
+    Idempotent sinks absorb that (foreach_batch_scd1); for sinks that
+    cannot (notifications, external appends), this wrapper keeps a
+    batch-id ledger — one marker file per applied epoch, created AFTER the
+    apply succeeds — and skips any epoch already recorded. Marker creation
+    is a single filesystem create (atomic on POSIX and object stores with
+    put-if-absent), the same tiny-driver-state pattern as WatermarkStore.
+
+    Ordering guarantee: marker-after-apply means a crash between the two
+    re-runs the apply (at-least-once within the wrapper); callers needing
+    strict exactly-once pair this with an apply that commits its own work
+    and the marker transactionally, or accept the idempotent-sink route.
+    """
+    os.makedirs(ledger_dir, exist_ok=True)
+
+    def wrapper(batch: DataFrame, epoch_id: int) -> None:
+        marker = os.path.join(ledger_dir, f"epoch={epoch_id}")
+        if os.path.exists(marker):
+            return
+        apply_batch(batch, epoch_id)
+        with open(marker, "x") as f:
+            f.write("applied\n")
+
+    q = (
+        stream.writeStream.foreachBatch(wrapper)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+
 def running_user_stats(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user running
     event count and running max(value), emitted (update mode) once per

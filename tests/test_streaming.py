@@ -398,3 +398,34 @@ def test_stream_incremental_gold_invariant_to_batch_split(spark):
         assert got == expected
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_foreach_batch_exactly_once_skips_replayed_epochs(spark):
+    """A wiped checkpoint re-delivers every batch; the batch-id ledger must
+    make the (deliberately non-idempotent) apply run once per epoch."""
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_eo_")
+    try:
+        applied = []
+
+        def apply_batch(batch, epoch_id):
+            applied.append((epoch_id, batch.count()))  # NOT idempotent
+
+        ledger = os.path.join(base, "ledger")
+
+        def drain(ckpt):
+            stream = sp.read_stream(spark, SF_DIR, "events").select("user_id", "ts")
+            sp.foreach_batch_exactly_once(
+                stream, apply_batch, os.path.join(base, ckpt), ledger
+            )
+
+        drain("ckpt1")
+        n_first = len(applied)
+        assert n_first >= 1
+        # new checkpoint -> the file source re-delivers from scratch with
+        # the same epoch ids; the ledger must swallow every one of them
+        drain("ckpt2")
+        assert len(applied) == n_first
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
