@@ -2270,6 +2270,55 @@ def jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_jsonl_ingest",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING JSON-lines ingestion: the raw-drop directory consumed as
+    a file-source stream (readStream.json, explicit schema — the landing
+    pattern for continuously arriving training-data shards), aggregated
+    per language in complete mode. Oracle reads the original parquet: a
+    lossless streaming ingest means identical aggregates to batch."""
+    import atexit
+    import json as _json
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    base = tempfile.mkdtemp(prefix="stream_jsonl_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    drop_dir = os.path.join(base, "drops")
+    os.makedirs(drop_dir)
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    ).to_pylist()
+    # two shards -> two source files, as a real drop directory would have
+    half = len(tbl) // 2
+    for i, chunk in enumerate((tbl[:half], tbl[half:])):
+        with open(os.path.join(drop_dir, f"shard{i}.jsonl"), "w") as f:
+            for row in chunk:
+                f.write(_json.dumps(row) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, lang STRING, n_chars INT")
+        .option("maxFilesPerTrigger", "1")
+        .json(drop_dir)
+    )
+    agg = stream.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return _stream.run_to_memory(agg, "complete")
+
+
+@query(
     "time_travel_versions",
     """
     SELECT CAST(0 AS INT) AS versions_back, CAST(count(*) AS BIGINT) AS n_rows FROM nation
