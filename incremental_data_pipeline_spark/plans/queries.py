@@ -3207,6 +3207,72 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECON_DIGEST = (
+    "('0x' || substring(md5(CAST(k AS VARCHAR) || '|' || status || '|' "
+    "|| CAST(cents AS VARCHAR)), 1, 8))::BIGINT"
+)
+_RECON_BUCKET = "('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 64"
+
+
+@query(
+    "reconcile_orders_copies",
+    f"""
+    WITH lft AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    rgt AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(round(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 101 = 0 THEN 100 ELSE 0 END AS cents
+      FROM orders WHERE o_orderkey % 97 != 0),
+    dl AS (SELECT {_RECON_BUCKET} AS bucket, count(*) AS n_left,
+                  bit_xor({_RECON_DIGEST}) AS xor_left
+           FROM lft GROUP BY 1),
+    dr AS (SELECT {_RECON_BUCKET} AS bucket, count(*) AS n_right,
+                  bit_xor({_RECON_DIGEST}) AS xor_right
+           FROM rgt GROUP BY 1)
+    SELECT bucket,
+           CAST(coalesce(n_left, 0) AS BIGINT) AS n_left,
+           CAST(coalesce(n_right, 0) AS BIGINT) AS n_right,
+           CAST(coalesce(xor_left, 0) AS BIGINT) AS xor_left,
+           CAST(coalesce(xor_right, 0) AS BIGINT) AS xor_right
+    FROM dl FULL OUTER JOIN dr USING (bucket)
+    WHERE coalesce(n_left, 0) != coalesce(n_right, 0)
+       OR coalesce(xor_left, 0) != coalesce(xor_right, 0)
+    """,
+)
+def reconcile_orders_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation: orders vs a corrupted replica (~1% of
+    keys dropped, ~1% of prices perturbed) compared by per-bucket counts +
+    order-free XOR checksums — the mismatched buckets localize every
+    divergence without a row-level join of the two tables. Value columns
+    are string/integer typed (double->string casts are not
+    engine-portable)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    left = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        cents.alias("cents"),
+    )
+    right = (
+        orders.filter(F.col("o_orderkey") % 97 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("status"),
+            (
+                cents
+                + F.when(F.col("o_orderkey") % 101 == 0, F.lit(100)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("cents"),
+        )
+    )
+    rec = cdc.reconcile_checksums(left, right, ["k"], ["status", "cents"], 64)
+    return rec.filter(~F.col("match")).drop("match")
+
+
 @query(
     "hybrid_backfill_stream",
     """

@@ -225,3 +225,35 @@ def test_snapshot_diff_classifies_and_handles_nulls(spark):
     assert rows[1]["op"] == "delete" and rows[1]["s"] is None
     assert rows[3]["op"] == "update" and rows[3]["v"] == 31.0
     assert rows[5]["op"] == "insert" and rows[5]["s"] == "e"
+
+
+def test_reconcile_checksums_localizes_divergence(spark):
+    """Identical copies reconcile clean; a perturbed replica's mismatched
+    buckets are exactly the buckets of the touched keys."""
+    from incremental_data_pipeline_spark.operators import cdc
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_DIR, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    clean = cdc.reconcile_checksums(orders, orders, ["k"], ["status", "cents"], 32)
+    assert clean.filter("NOT match").count() == 0
+    assert clean.count() == clean.filter("n_left = n_right").count()
+
+    touched = orders.filter(F.col("k") % 97 == 0)
+    corrupted = orders.filter(F.col("k") % 97 != 0)
+    rec = cdc.reconcile_checksums(orders, corrupted, ["k"], ["status", "cents"], 32)
+    bad_buckets = {r["bucket"] for r in rec.filter("NOT match").collect()}
+    expect_buckets = {
+        r[0]
+        for r in touched.select(
+            (
+                F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+                .cast("long") % 32
+            ).alias("b")
+        ).collect()
+    }
+    assert bad_buckets == expect_buckets
