@@ -3207,6 +3207,48 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "unpivot_nation_counts",
+    """
+    WITH wide AS (
+      SELECT n.n_name AS nation,
+             (SELECT count(*) FROM customer c WHERE c.c_nationkey = n.n_nationkey)
+               AS customers,
+             (SELECT count(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey)
+               AS suppliers
+      FROM nation n)
+    SELECT nation, 'customers' AS metric, CAST(customers AS BIGINT) AS value FROM wide
+    UNION ALL
+    SELECT nation, 'suppliers', CAST(suppliers AS BIGINT) FROM wide
+    """,
+)
+def unpivot_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): a wide per-nation metric table flipped to long
+    (nation, metric, value) form — the inverse of pivot, one narrow
+    generate per row, no shuffle beyond the source aggregation."""
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    wide = (
+        n.join(c, n.n_nationkey == c.c_nationkey, "left")
+        .join(s, n.n_nationkey == s.s_nationkey, "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("customers", F.lit(0)).cast("long").alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).cast("long").alias("suppliers"),
+        )
+    )
+    return wide.unpivot(["nation"], ["customers", "suppliers"], "metric", "value")
+
+
 _RECON_DIGEST = (
     "('0x' || substring(md5(CAST(k AS VARCHAR) || '|' || status || '|' "
     "|| CAST(cents AS VARCHAR)), 1, 8))::BIGINT"
