@@ -3208,6 +3208,62 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_collect_status_sets",
+    """
+    SELECT o_orderpriority,
+           array_agg(DISTINCT o_orderstatus ORDER BY o_orderstatus) AS statuses,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_collect_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate: the distinct status values per priority as a
+    SORTED array (collect_set is unordered by contract; sort_array makes
+    the result deterministic and hash-comparable)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sort_array(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "fuzzy_part_name_pairs",
+    """
+    SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage: near-identical part names (edit distance <= 3)
+    within a brand — the MDM/entity-resolution shape. The brand equi-join
+    bounds the candidate set (never all-pairs); levenshtein runs only on
+    within-bucket candidates, the same blocking discipline as the dedup
+    family."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("part_a"),
+        "p_brand",
+        F.col("p_name").alias("__na"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("part_b"),
+        "p_brand",
+        F.col("p_name").alias("__nb"),
+    )
+    return (
+        a.join(b, "p_brand")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .withColumn("edit_dist", F.levenshtein("__na", "__nb").cast("int"))
+        .filter(F.col("edit_dist") <= 3)
+        .select("part_a", "part_b", "edit_dist")
+    )
+
+
+@query(
     "unpivot_nation_counts",
     """
     WITH wide AS (
