@@ -3208,6 +3208,100 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "small_quantity_revenue",
+    """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+           AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    WHERE l_quantity < (
+      SELECT 0.5 * avg(l_quantity) FROM lineitem i WHERE i.l_partkey = l.l_partkey)
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue: revenue of below-half-average-quantity line
+    items, the CORRELATED scalar subquery shape — Catalyst decorrelates
+    it into a per-part average aggregate joined back to the fact (one
+    shuffle on partkey), never a per-row subquery execution. The 0.5*avg
+    threshold compare is a single double op, identical in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_q17")
+    return spark.sql(
+        """
+        SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS DOUBLE) AS avg_yearly
+        FROM lineitem_q17 l
+        WHERE l_quantity < (
+          SELECT 0.5 * avg(l_quantity) FROM lineitem_q17 i
+          WHERE i.l_partkey = l.l_partkey)
+        """
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    """
+    WITH srev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+    FROM supplier JOIN srev ON s_suppkey = l_suppkey
+    WHERE rev = (SELECT max(rev) FROM srev)
+    """,
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analogue: the supplier(s) hitting the maximum total
+    revenue — an uncorrelated scalar subquery over a reused aggregate
+    (Catalyst evaluates the max once as a subquery broadcast, the
+    decimal-exact revenue makes the equality compare safe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    srev = li.groupBy("l_suppkey").agg(F.sum(rev).alias("rev"))
+    max_rev = srev.agg(F.max("rev").alias("mx"))
+    return (
+        srev.join(F.broadcast(max_rev), srev.rev == max_rev.mx)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.col("rev").cast("double").alias("total_revenue"))
+    )
+
+
+@query(
+    "rich_customers_no_orders",
+    """
+    SELECT c_custkey, c_acctbal FROM customer c
+    WHERE c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: above-average-balance customers who never
+    ordered — an uncorrelated scalar subquery (one broadcast scalar)
+    plus NOT EXISTS, which Catalyst plans as a left-anti join against
+    the orders key set."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    # decimal-sum-then-divide: a plain double avg is fold-order-dependent
+    # and the > threshold could flip a boundary row between engines
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("__avg")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
     "agg_collect_status_sets",
     """
     SELECT o_orderpriority,
