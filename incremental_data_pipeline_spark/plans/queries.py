@@ -3222,7 +3222,8 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     items, the CORRELATED scalar subquery shape — Catalyst decorrelates
     it into a per-part average aggregate joined back to the fact (one
     shuffle on partkey), never a per-row subquery execution. The 0.5*avg
-    threshold compare is a single double op, identical in both engines."""
+    threshold is engine-exact because quantities are integral (sums of
+    small integers are exact in double; verified on the fixtures)."""
     li = load_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_q17")
     return spark.sql(

@@ -185,3 +185,33 @@ def test_shipping_priority_oracle(spark, duck):
 
 def test_retention_cohorts_oracle(spark, duck):
     assert_query_matches_oracle(spark, duck, "retention_cohorts")
+
+
+def test_results_invariant_to_shuffle_partitioning(spark):
+    """A sample of aggregation/window/dedup queries must produce identical
+    results under a different shuffle partition count — any divergence
+    means a fold-order-dependent accumulation leaked into an output."""
+    from tests.conftest import SF_DIR, normalize
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+
+    names = [
+        "pricing_summary",
+        "batch_sessionize",
+        "dedup_minhash_lsh",
+        "revenue_percentiles",
+        "text_bigram_coverage",
+        "reconcile_orders_copies",
+    ]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in names:
+                df = QUERIES[name](spark, SF_DIR)
+                canon = normalize([tuple(r) for r in df.collect()], df.columns)
+                results.setdefault(name, []).append(canon)
+        for name, (a, b) in results.items():
+            assert a == b, f"{name} diverged across shuffle partition counts"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
