@@ -3303,6 +3303,78 @@ def rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "supplier_counts_excluding_flagged",
+    """
+    SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type
+    """,
+)
+def supplier_counts_excluding_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: distinct suppliers per part type, excluding a
+    flagged supplier set via NOT IN (subquery) — Spark plans this as a
+    NULL-AWARE anti join (BroadcastNestedLoop fallback only when the build
+    side may contain nulls), the one anti-join variant plain left_anti
+    does not cover."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_q16")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q16")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q16")
+    return spark.sql(
+        """
+        SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part_q16 JOIN lineitem_q16 ON p_partkey = l_partkey
+        WHERE l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier_q16 WHERE s_acctbal < 0)
+        GROUP BY p_type
+        """
+    )
+
+
+@query(
+    "waiting_last_shipper",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey != l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey != l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s_name
+    """,
+)
+def waiting_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue: per supplier, finished orders where the
+    supplier's line shipped last among multiple suppliers — stacked
+    EXISTS + NOT EXISTS over the same fact, which Catalyst turns into a
+    semi join and an anti join on orderkey (no per-row subquery)."""
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_q21")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_q21")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_q21")
+    return spark.sql(
+        """
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM supplier_q21 JOIN lineitem_q21 l1 ON s_suppkey = l1.l_suppkey
+                          JOIN orders_q21 ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem_q21 l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey != l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem_q21 l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey != l1.l_suppkey
+                            AND l3.l_shipdate > l1.l_shipdate)
+        GROUP BY s_name
+        """
+    )
+
+
+@query(
     "agg_collect_status_sets",
     """
     SELECT o_orderpriority,
