@@ -3303,6 +3303,107 @@ def rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "forward_fill_last_purchase",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT) END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_cents
+    FROM events
+    """,
+)
+def forward_fill_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill (forward fill / LOCF): every event annotated
+    with the user's most recent purchase amount — last-non-null over an
+    ordered running frame (`F.last(ignorenulls=True)`), the standard
+    sensor/price-carry operator. One shuffle on the key; (ts, event_id)
+    gives a total order so the carried value is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase",
+        F.round(F.col("value") * 100).cast("bigint"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(purchase_cents, ignorenulls=True).over(w).alias(
+            "last_purchase_cents"
+        ),
+    )
+
+
+@query(
+    "monthly_revenue_momentum",
+    """
+    WITH m AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+      FROM orders GROUP BY 1)
+    SELECT month,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY month) AS BIGINT)
+             AS delta_cents,
+           CAST(rev_cents - lag(rev_cents) OVER (ORDER BY month) AS DOUBLE)
+             / lag(rev_cents) OVER (ORDER BY month) AS pct_change
+    FROM m
+    """,
+)
+def monthly_revenue_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue momentum: integer-cent monthly sums, lag
+    delta, and a single-division percent change — the KPI-trend shape
+    (agg to a tiny series, then an ordered window over it)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    m = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents").over(w)
+    return m.select(
+        "month",
+        F.col("rev_cents").cast("bigint").alias("rev_cents"),
+        (F.col("rev_cents") - prev).cast("bigint").alias("delta_cents"),
+        ((F.col("rev_cents") - prev).cast("double") / prev).alias("pct_change"),
+    )
+
+
+@query(
+    "latest_record_per_key",
+    """
+    SELECT user_id, event_id, ts, event_type FROM (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+)
+def latest_record_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: the latest record per key (ts desc, id desc
+    for a total order) — how a CDC event stream collapses to current
+    state. WindowGroupLimit keeps one row per key alive per stage; at
+    scale this is the standard pre-merge compaction before an SCD upsert."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return relational.topk_per_group(
+        ev,
+        ["user_id"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+        k=1,
+        rank_col="rn",
+    ).drop("rn")
+
+
+@query(
     "supplier_counts_excluding_flagged",
     """
     SELECT p_type, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
