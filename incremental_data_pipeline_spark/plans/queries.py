@@ -3303,6 +3303,66 @@ def rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "parse_brand_numbers",
+    """
+    SELECT CAST(regexp_extract(p_brand, '[0-9]+') AS INT) AS brand_num,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT p_type) AS BIGINT) AS n_types
+    FROM part GROUP BY 1
+    """,
+)
+def parse_brand_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured extraction from semi-structured strings: the numeric id
+    inside 'Brand#NN' pulled with regexp_extract and aggregated — the
+    parse-then-group shape for log/identifier columns."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy(
+        F.regexp_extract("p_brand", "[0-9]+", 0).cast("int").alias("brand_num")
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_type").alias("n_types"),
+    )
+
+
+@query(
+    "value_stddev_by_type",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             SUM(CAST(round(value * 100) AS BIGINT)) AS sx,
+             SUM(CAST(round(value * 100) AS BIGINT)
+                 * CAST(round(value * 100) AS BIGINT)) AS sxx
+      FROM events GROUP BY event_type)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_numerator,
+           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS stddev_cents
+    FROM s
+    """,
+)
+def value_stddev_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact dispersion: population stddev from INTEGER moments
+    (n*Σx² − (Σx)² over quantized cents, overflow-checked BIGINT) with
+    exactly one sqrt + one division in double — built-in stddev uses
+    Welford double accumulation and is never bit-comparable across
+    engines; the explicit-moments form is."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(cents * cents).alias("sxx"),
+    )
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        var_num.cast("bigint").alias("var_numerator"),
+        (F.sqrt(var_num.cast("double")) / F.col("n")).alias("stddev_cents"),
+    )
+
+
+@query(
     "forward_fill_last_purchase",
     """
     SELECT event_id, user_id, ts,
