@@ -3303,6 +3303,47 @@ def rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "status_csv_per_priority",
+    """
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+             AS status_csv
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def status_csv_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String aggregation (listagg): distinct statuses per priority joined
+    into one ordered CSV string — deterministic because the join order is
+    pinned (sorted distinct set), the export-friendly cousin of the
+    collect_set array."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "status_csv"
+        )
+    )
+
+
+@query(
+    "doc_token_positions",
+    """
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, t[i] AS token
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         unnest(range(1, least(len(t), 3) + 1)) AS u(i)
+    """,
+)
+def doc_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode): each document's first three tokens
+    with their ordinal — the position-aware flattening used for prefix
+    features and n-gram windows."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 3)
+    return docs.select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "token")
+
+
+@query(
     "parse_brand_numbers",
     """
     SELECT CAST(regexp_extract(p_brand, '[0-9]+') AS INT) AS brand_num,
