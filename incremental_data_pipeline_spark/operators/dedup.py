@@ -47,6 +47,34 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def exact_dedup_keep_best(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    score_col: str,
+) -> DataFrame:
+    """Exact dedup with a QUALITY survivor rule: within each content-hash
+    group keep the row with the highest ``score_col`` (ties to lowest id)
+    — the cross-shard dedup that keeps the best copy (longest extraction,
+    highest quality score) instead of an arbitrary/min-id one. Same single
+    shuffle on the md5 hash as ``exact_dedup``; the survivor choice is a
+    max-by struct aggregate, map-side combinable."""
+    h = F.md5(F.col(text_col))
+    best = F.max(
+        F.struct(
+            F.col(score_col).alias("s"),
+            (-F.col(id_col)).alias("neg_id"),
+        )
+    )
+    winners = (
+        df.select(h.alias("__h"), id_col, score_col)
+        .groupBy("__h")
+        .agg(best.alias("__best"))
+        .select((-F.col("__best.neg_id")).alias(id_col))
+    )
+    return df.join(winners, id_col, "left_semi")
+
+
 def shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles of a single-space-tokenized text column."""
     t = F.split(F.col(text_col), " ")

@@ -3303,6 +3303,28 @@ def rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best_copy",
+    """
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_best_copy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST copy per content group (longest, ties
+    to lowest id) — the cross-shard dedup rule that preserves the highest
+    -quality duplicate instead of an arbitrary one. One shuffle on the
+    content hash; survivor choice is a max-by struct aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.exact_dedup_keep_best(docs, "text", "doc_id", "n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
     "status_csv_per_priority",
     """
     SELECT o_orderpriority,
