@@ -3303,6 +3303,37 @@ def rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "missing_event_days",
+    """
+    WITH bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi FROM events),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds),
+    actual AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+    SELECT s.day FROM spine s LEFT JOIN actual a ON s.day = a.day
+    WHERE a.day IS NULL
+    """,
+)
+def missing_event_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap detection over a GENERATED calendar spine:
+    sequence(min_day, max_day) explodes into one row per day (row
+    generation, not transformation), anti-joined with observed days —
+    the densification/completeness-audit primitive. The spine generates
+    from a 1-row bounds aggregate, so cost is days-in-range, not table
+    size."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    actual = ev.select(F.to_date("ts").alias("day")).distinct()
+    return spine.join(actual, "day", "left_anti")
+
+
+@query(
     "dedup_keep_best_copy",
     """
     SELECT doc_id, source, n_chars FROM (
