@@ -118,6 +118,77 @@ def upsert_scd1(target: DataFrame, source: DataFrame, keys: list[str]) -> DataFr
     return target.join(source.select(*keys), keys, "left_anti").unionByName(source)
 
 
+def upsert_scd2(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    effective,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD TYPE 2 upsert: history-keeping merge. ``target`` carries
+    (keys, attrs, valid_from, valid_to, is_current); ``source`` carries
+    (keys, attrs) effective at ``effective``. Rows whose attributes
+    changed get their current version CLOSED (valid_to = effective,
+    is_current = false) and a NEW current version inserted; new keys
+    insert directly; unchanged rows and all history pass through
+    untouched — the full audit trail the reference's SCD1 overwrites
+    away.
+
+    Scale shape: one key join between the CURRENT slice of the target and
+    the source (both key-partitioned or broadcast), null-safe attribute
+    comparison, three unionByName legs — no row-at-a-time logic, same
+    join geometry as the SCD1 emulation. Historical (non-current) rows
+    never join at all.
+    """
+    eff = F.lit(effective)
+    cur = target.filter(F.col(current_col))
+    hist = target.filter(~F.col(current_col))
+    s = source.select(
+        *keys,
+        F.lit(True).alias("__s_present"),
+        *[F.col(a).alias(f"__s_{a}") for a in attrs],
+    )
+    j = cur.join(s, keys, "full_outer")
+
+    in_src = F.coalesce(F.col("__s_present"), F.lit(False))
+    changed = None
+    for a in attrs:
+        neq = ~F.col(a).eqNullSafe(F.col(f"__s_{a}"))
+        changed = neq if changed is None else (changed | neq)
+    is_new_key = F.col(from_col).isNull()
+
+    out_cols = [*keys, *attrs, from_col, to_col, current_col]
+    # current rows without a source match, or matched-and-unchanged: pass
+    unchanged = j.filter(~is_new_key & (~in_src | ~changed)).select(*out_cols)
+    # matched-and-changed: close out the old version
+    closed = (
+        j.filter(~is_new_key & in_src & changed)
+        .withColumn(to_col, eff)
+        .withColumn(current_col, F.lit(False))
+        .select(*out_cols)
+    )
+    # changed or brand-new keys: open the new current version
+    opened = (
+        j.filter(in_src & (is_new_key | changed))
+        .select(
+            *keys,
+            *[F.col(f"__s_{a}").alias(a) for a in attrs],
+            eff.alias(from_col),
+            F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(unchanged)
+        .unionByName(closed)
+        .unionByName(opened)
+    )
+
+
 def build_fact(
     base: DataFrame,
     dims: dict[str, tuple[DataFrame, dict[str, str]]],

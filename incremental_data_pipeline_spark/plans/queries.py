@@ -3303,6 +3303,51 @@ def rich_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "scd2_customer_history",
+    """
+    SELECT c_custkey,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           DATE '2024-01-01' AS valid_from,
+           CAST(NULL AS DATE) AS valid_to,
+           TRUE AS is_current
+    FROM customer WHERE c_custkey % 3 != 0
+    UNION ALL
+    SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT),
+           DATE '2024-01-01', DATE '2024-02-01', FALSE
+    FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) + 1000,
+           DATE '2024-02-01', CAST(NULL AS DATE), TRUE
+    FROM customer WHERE c_custkey % 3 = 0
+    """,
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 2: a customer-balance dim initialized on 2024-01-01, then
+    a batch effective 2024-02-01 changes every third customer's balance —
+    the changed rows' old versions are CLOSED (valid_to set, is_current
+    false) and new current versions open, unchanged rows pass untouched.
+    The oracle reconstructs the exact expected history, so a lost
+    closure, duplicated version, or wrong validity window breaks the
+    hash."""
+    import datetime
+
+    d0, d1 = datetime.date(2024, 1, 1), datetime.date(2024, 2, 1)
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    dim0 = c.select(
+        "c_custkey",
+        cents.alias("bal_cents"),
+        F.lit(d0).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", (cents + F.lit(1000)).alias("bal_cents")
+    )
+    return scd.upsert_scd2(dim0, batch, ["c_custkey"], ["bal_cents"], d1)
+
+
+@query(
     "missing_event_days",
     """
     WITH bounds AS (

@@ -257,3 +257,42 @@ def test_reconcile_checksums_localizes_divergence(spark):
         ).collect()
     }
     assert bad_buckets == expect_buckets
+
+
+def test_scd2_idempotent_and_versions_chain(spark):
+    """Re-applying an identical batch is a no-op (attributes unchanged =>
+    no new version); a second real change chains a third version with
+    correct validity windows."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators import scd
+    from pyspark.sql import functions as F
+
+    d0, d1, d2 = (
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 2, 1),
+        datetime.date(2024, 3, 1),
+    )
+    dim0 = spark.createDataFrame(
+        [(1, 100), (2, 200)], "k long, v long"
+    ).select(
+        "k", "v",
+        F.lit(d0).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch1 = spark.createDataFrame([(1, 150), (3, 300)], "k long, v long")
+    dim1 = scd.upsert_scd2(dim0, batch1, ["k"], ["v"], d1)
+    # replay of the same batch: attribute values now match => no-op
+    dim1_replay = scd.upsert_scd2(dim1, batch1, ["k"], ["v"], d2)
+    assert sorted(map(tuple, dim1.collect())) == sorted(map(tuple, dim1_replay.collect()))
+
+    batch2 = spark.createDataFrame([(1, 175)], "k long, v long")
+    dim2 = scd.upsert_scd2(dim1, batch2, ["k"], ["v"], d2)
+    rows = {(r["k"], r["v"]): r for r in dim2.collect()}
+    assert len(rows) == 5  # k1: 3 versions; k2: 1; k3: 1
+    assert rows[(1, 100)]["valid_to"] == d1 and not rows[(1, 100)]["is_current"]
+    assert rows[(1, 150)]["valid_to"] == d2 and not rows[(1, 150)]["is_current"]
+    assert rows[(1, 175)]["valid_from"] == d2 and rows[(1, 175)]["is_current"]
+    assert rows[(2, 200)]["is_current"] and rows[(2, 200)]["valid_to"] is None
+    assert rows[(3, 300)]["valid_from"] == d1 and rows[(3, 300)]["is_current"]
