@@ -98,13 +98,22 @@ def reconcile_checksums(
     engine-reproducible. A mismatched bucket localizes divergence to
     ~1/n_buckets of the key space for a targeted row-level follow-up
     (``snapshot_diff`` over just that bucket).
+
+    NULL handling: each column is encoded ``coalesce('v' || value, 'n')``
+    before concatenation, so NULL gets its own token instead of being
+    silently skipped — rows ('a', NULL, 'b') and ('a', 'b', NULL) digest
+    differently, and the encoding is the same expression in the DuckDB
+    twin (``'v' || NULL`` is NULL there too, so coalesce picks 'n').
     """
 
-    def digests(df: DataFrame, side: str) -> DataFrame:
-        key_concat = F.concat_ws("|", *[F.col(c).cast("string") for c in keys])
-        row_concat = F.concat_ws(
-            "|", *[F.col(c).cast("string") for c in [*keys, *value_cols]]
+    def enc(c: str) -> Column:
+        return F.coalesce(
+            F.concat(F.lit("v"), F.col(c).cast("string")), F.lit("n")
         )
+
+    def digests(df: DataFrame, side: str) -> DataFrame:
+        key_concat = F.concat_ws("|", *[enc(c) for c in keys])
+        row_concat = F.concat_ws("|", *[enc(c) for c in [*keys, *value_cols]])
         bucket = (
             F.conv(F.substring(F.md5(key_concat), 1, 8), 16, 10).cast("long")
             % n_buckets

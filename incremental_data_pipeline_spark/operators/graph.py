@@ -55,6 +55,8 @@ def pagerank_int(
         .distinct()
     )
     n_nodes = nodes.count()  # tiny scalar: one value drives the base term
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
     base = ((damping_den - damping_num) * TOTAL_MASS) // (damping_den * n_nodes)
     outdeg = e.groupBy(src).agg(F.count(F.lit(1)).alias("__deg"))
     ranked = nodes.withColumn("rank", F.lit(TOTAL_MASS // n_nodes).cast("long"))

@@ -18,9 +18,11 @@ Scale shape: the k-smallest-of-distinct step is a distinct aggregation
 (one shuffle, map-side partial) followed by a TakeOrdered(k) — fine up to
 very large cardinalities. For extreme streams, ``prefilter_rate`` bounds
 the shuffle: only hashes under rate*M can ever be among the k smallest
-(valid whenever the true k-th minimum lands under the bar, asserted in the
-output via ``prefilter_ok``), so the distinct agg sees ~rate*n rows — the
-standard bottom-k pre-filter.
+(valid whenever the sketch fills AND its k-th minimum lands under the
+bar, asserted in the output via ``prefilter_ok`` — an under-filled sketch
+under a prefilter is reported NOT ok, since the bar may have discarded
+real hashes), so the distinct agg sees ~rate*n rows — the standard
+bottom-k pre-filter.
 """
 
 from __future__ import annotations
@@ -73,9 +75,13 @@ def kmv_distinct(
     ok = (
         F.lit(True)
         if bar is None
-        # Sound iff the retained k-th minimum sits strictly under the bar
-        # (then no discarded hash could have displaced it).
-        else (F.col("kth_hash") < F.lit(bar)) | (F.col("k_used") < k)
+        # Sound iff the sketch filled (k_used == k) AND the retained k-th
+        # minimum sits strictly under the bar — then no discarded hash
+        # could have displaced any of the k minima. An under-filled sketch
+        # (k_used < k) under a prefilter may have discarded hashes >= bar,
+        # so validity cannot be concluded locally: report False and retry
+        # without the prefilter.
+        else (F.col("k_used") == k) & (F.col("kth_hash") < F.lit(bar))
     ).alias("prefilter_ok")
     return agg.select("k_used", "kth_hash", est, ok)
 

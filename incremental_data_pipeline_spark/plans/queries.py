@@ -3772,11 +3772,15 @@ def unpivot_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(["nation"], ["customers", "suppliers"], "metric", "value")
 
 
+# NULL-injective column encoding (matches reconcile_checksums): value ->
+# 'v'||value, NULL -> 'n', so a NULL can never alias a neighboring column.
+_RECON_ENC_K = "coalesce('v' || CAST(k AS VARCHAR), 'n')"
 _RECON_DIGEST = (
-    "('0x' || substring(md5(CAST(k AS VARCHAR) || '|' || status || '|' "
-    "|| CAST(cents AS VARCHAR)), 1, 8))::BIGINT"
+    f"('0x' || substring(md5({_RECON_ENC_K} || '|' "
+    "|| coalesce('v' || status, 'n') || '|' "
+    "|| coalesce('v' || CAST(cents AS VARCHAR), 'n')), 1, 8))::BIGINT"
 )
-_RECON_BUCKET = "('0x' || substring(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT % 64"
+_RECON_BUCKET = f"('0x' || substring(md5({_RECON_ENC_K}), 1, 8))::BIGINT % 64"
 
 
 @query(
@@ -3953,9 +3957,13 @@ def stream_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the persisted gold rollup via foreachBatch + merge_partial_aggs —
     the streaming twin of incremental_agg_merge, sharing ONE merge
     implementation across both execution modes. The oracle is the
-    from-scratch full-table aggregate; checkpointed offsets give
-    at-least-once delivery, and the atomic gold swap keeps a replayed
-    batch from double-counting a completed write."""
+    from-scratch full-table aggregate. Delivery is at-least-once
+    (checkpointed offsets), and the merge is NOT idempotent — so the
+    applied epoch id is committed atomically WITH the gold swap (an
+    ``_applied_epoch`` sidecar inside the same rename); a replayed batch
+    sees its own epoch already recorded in the current gold and skips,
+    making the composed system exactly-once with no window between data
+    commit and epoch commit."""
     import atexit
     import shutil
     import tempfile
@@ -3973,15 +3981,20 @@ def stream_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events": F.count(F.lit(1)).cast("bigint"),
     }
 
-    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
         if os.path.exists(gold_path):
+            marker = os.path.join(gold_path, "_applied_epoch")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    if epoch <= int(f.read().strip()):
+                        return  # replay of a batch whose merge already committed
             gold = spark.read.parquet(gold_path)
             merged = cdc.merge_partial_aggs(gold, batch, keys, sums)
         else:
             merged = batch.groupBy(*keys).agg(
                 *[c.alias(nm) for nm, c in sums.items()]
             )
-        atomic_overwrite(merged, gold_path)
+        atomic_overwrite(merged, gold_path, extra_files={"_applied_epoch": str(epoch)})
 
     stream = _stream.read_stream(spark, sf_dir, "events").select(
         "user_id", "event_type", "value", "ts"

@@ -37,7 +37,9 @@ def recover_interrupted_swap(path: str) -> bool:
     return False
 
 
-def atomic_overwrite(df: DataFrame, path: str) -> None:
+def atomic_overwrite(
+    df: DataFrame, path: str, extra_files: dict[str, str] | None = None
+) -> None:
     """Write ``df`` as the new content of ``path`` via temp-dir + swap.
 
     Failure-safe ordering: the previous version is only deleted AFTER the
@@ -45,10 +47,20 @@ def atomic_overwrite(df: DataFrame, path: str) -> None:
     version under the stable ``path.__old__`` name, which
     ``recover_interrupted_swap`` (or the rollback below) restores — no
     window where both versions are gone.
+
+    ``extra_files`` maps filename -> text content written into the temp
+    dir BEFORE the swap, so they commit atomically with the data — the
+    hook exactly-once consumers use to persist an applied-epoch marker in
+    the same rename as the rows it covers. Use underscore-prefixed names
+    (``_applied_epoch``): Spark's file index hides them from readers, the
+    same convention as ``_SUCCESS``.
     """
     tmp = f"{path}.__tmp__{uuid.uuid4().hex[:8]}"
     old = f"{path}.__old__"  # stable name => interrupted swaps are detectable
     df.write.mode("overwrite").parquet(tmp)  # fully materialized before swap
+    for name, content in (extra_files or {}).items():
+        with open(os.path.join(tmp, name), "w") as f:
+            f.write(content)
     shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
     moved = False
     try:

@@ -251,12 +251,34 @@ def test_reconcile_checksums_localizes_divergence(spark):
         r[0]
         for r in touched.select(
             (
-                F.conv(F.substring(F.md5(F.col("k").cast("string")), 1, 8), 16, 10)
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("v"), F.col("k").cast("string"))), 1, 8
+                    ),
+                    16,
+                    10,
+                )
                 .cast("long") % 32
             ).alias("b")
         ).collect()
     }
     assert bad_buckets == expect_buckets
+
+
+def test_reconcile_checksums_null_injective(spark):
+    """('a', NULL, 'b') vs ('a', 'b', NULL) must digest differently: NULL
+    is encoded as its own token, never silently skipped (the concat_ws
+    pitfall), so a NULL slide between columns is detected."""
+    from incremental_data_pipeline_spark.operators import cdc
+
+    schema = "k string, v1 string, v2 string"
+    left = spark.createDataFrame([("a", None, "b")], schema)
+    right = spark.createDataFrame([("a", "b", None)], schema)
+    rec = cdc.reconcile_checksums(left, right, ["k"], ["v1", "v2"], 8)
+    assert rec.filter("NOT match").count() == 1
+    # and the self-comparison with NULLs present is still clean
+    same = cdc.reconcile_checksums(left, left, ["k"], ["v1", "v2"], 8)
+    assert same.filter("NOT match").count() == 0
 
 
 def test_scd2_idempotent_and_versions_chain(spark):

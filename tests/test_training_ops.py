@@ -193,6 +193,35 @@ def test_kmv_empty_input(spark):
     assert row["prefilter_ok"]
 
 
+def test_kmv_underfilled_prefilter_reports_not_ok(spark):
+    """An over-aggressive prefilter that under-fills the sketch (k_used <
+    k) may have discarded real hashes, so prefilter_ok must be False —
+    the caller's signal to retry without the prefilter. Without a
+    prefilter the same under-filled sketch IS the exact count (ok)."""
+    from incremental_data_pipeline_spark.operators import sketches
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    nation = load_table(spark, SF_DIR, "nation")  # 25 distinct keys < k
+    # tiny bar: nearly every hash is discarded, sketch cannot fill
+    row = sketches.kmv_distinct(
+        nation, ["n_nationkey"], k=16, prefilter_rate=0.001
+    ).collect()[0]
+    assert row["k_used"] < 16
+    assert not row["prefilter_ok"]
+    # no prefilter: under-filled means exact, and ok
+    plain = sketches.kmv_distinct(nation, ["n_nationkey"], k=256).collect()[0]
+    assert plain["prefilter_ok"]
+
+
+def test_pagerank_empty_edges(spark):
+    from incremental_data_pipeline_spark.operators.graph import pagerank_int
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = pagerank_int(empty, iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
 def test_contamination_empty_benchmark_flags_nothing(spark):
     from pyspark.sql import functions as F
 
