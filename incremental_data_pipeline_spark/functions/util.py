@@ -27,3 +27,32 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     if len(df.inputFiles()) >= target:
         return df
     return df.repartition(target)
+
+
+def observation_result(obs, timeout_s: float = 5.0):
+    """Fetch an ``Observation``'s metrics dict, or None if unavailable
+    within ``timeout_s``.
+
+    ``Observation.get`` blocks until SOME action has executed over the
+    observed DataFrame — forever if the caller's sink never ran one, and
+    the public API has no non-blocking probe. So run the supported
+    blocking get on a daemon thread and give up after the timeout: the
+    caller then falls back to recomputing the aggregate (one extra scan).
+    In the common case (the action already ran) the get returns
+    immediately; a timed-out getter thread is daemonic and holds nothing
+    beyond the listener observe() already registered.
+    """
+    import threading
+
+    result: list = []
+
+    def fetch() -> None:
+        try:
+            result.append(obs.get)
+        except Exception:
+            pass  # e.g. Connect-mode restrictions — caller falls back
+
+    t = threading.Thread(target=fetch, daemon=True, name="observation-probe")
+    t.start()
+    t.join(timeout_s)
+    return result[0] if result else None

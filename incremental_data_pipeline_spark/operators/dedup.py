@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from incremental_data_pipeline_spark.functions.util import fan_out
+from incremental_data_pipeline_spark.functions.util import fan_out, observation_result
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -386,13 +386,13 @@ def connected_components(
                 F.lit(0),
             ).alias("changed"),
         ).localCheckpoint()  # the checkpoint action populates the observation
-        try:
-            completed = not obs._jo.getOrEmpty().isEmpty()
-        except Exception:
-            completed = False
+        # The checkpoint action just ran, so the bounded probe returns
+        # immediately in practice; on timeout (supported-API-only
+        # environments), recount with one extra scan of the small frame.
+        metrics = observation_result(obs, timeout_s=5.0)
         changed = (
-            obs.get["changed"]
-            if completed
+            metrics["changed"]
+            if metrics is not None
             else jump.filter(F.col("label") != F.col("old_label")).count()
         )
         labels = jump.select("node", "label")

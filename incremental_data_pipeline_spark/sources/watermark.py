@@ -22,6 +22,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from incremental_data_pipeline_spark.functions.util import observation_result
 from incremental_data_pipeline_spark.operators.cdc import watermark_range
 
 
@@ -131,15 +132,12 @@ def run_incremental_batch(
         obs, F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("new_wm")
     )
     sink(batch)
-    try:
-        # Non-blocking probe: Observation.get waits forever if the sink
-        # never executed an action over the observed batch; getOrEmpty
-        # tells us whether results exist without blocking.
-        completed = not obs._jo.getOrEmpty().isEmpty()
-    except Exception:
-        completed = False  # probe unavailable (e.g. Connect) — be safe
-    if completed:
-        n, new_wm = obs.get["n"], obs.get["new_wm"]
+    # Bounded wait: Observation.get blocks forever if the sink never
+    # executed an action over the observed batch, so probe it on a timed
+    # daemon thread (supported API only) and recompute on timeout.
+    metrics = observation_result(obs, timeout_s=5.0)
+    if metrics is not None:
+        n, new_wm = metrics["n"], metrics["new_wm"]
     else:
         n, new_wm = batch.agg(
             F.count(F.lit(1)).alias("n"), F.max(ts_col).alias("new_wm")

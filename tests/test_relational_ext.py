@@ -158,3 +158,24 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         )
         assert shuffles <= max_shuffles, (name, shuffles, plan[:2000])
         assert plan.count("SortMergeJoin") <= max_smj, (name, plan[:2000])
+
+
+def test_observation_result_probe_and_timeout(spark):
+    """observation_result returns metrics once an action ran over the
+    observed frame, and None (no unbounded block) when none ever did."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.functions.util import observation_result
+
+    df = spark.range(100)
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    observed.collect()
+    got = observation_result(obs, timeout_s=10.0)
+    assert got is not None and got["n"] == 100
+
+    stale = Observation()
+    never_run = df.observe(stale, F.count(F.lit(1)).alias("n"))
+    assert never_run is not None
+    assert observation_result(stale, timeout_s=0.3) is None
