@@ -34,6 +34,52 @@ from incremental_data_pipeline_spark.functions.util import fan_out
 from incremental_data_pipeline_spark.functions.vector import cosine_q, quantize
 
 
+MAX_AUTO_PLANES = 24  # 2^24 buckets — occupancy ~60 rows even at 1e9 vectors
+
+
+def auto_planes(
+    n_rows: int,
+    target_occupancy: int = 1024,
+    min_planes: int = 4,
+    max_planes: int = MAX_AUTO_PLANES,
+) -> int:
+    """Corpus-size-aware plane count: the documented B ≈ log2(N/m) rule as
+    integer-exact math, so the DuckDB oracle can re-derive the SAME B from
+    the same count (``length(bin(q-1))`` is SQL's bit_length twin).
+
+    Mean bucket occupancy is ~N/2^B and within-bucket work ~occupancy² per
+    bucket, so B = ceil(log2(N/m)) holds per-bucket cost at ~m² regardless
+    of corpus size — a fixed default B goes quadratic the moment N
+    outgrows it, which is exactly the 100 TB failure mode this removes.
+    Computed as bit_length(ceil(N/m) - 1): no float log, no boundary
+    wobble at powers of two. Clamped to [min_planes, max_planes]; planes
+    are prefix-stable (``hyperplanes(B)`` == first B rows of
+    ``hyperplanes(MAX_AUTO_PLANES)``), so a B-bit bucket is a prefix of
+    the max-width bit string — the property the dynamic-B oracles use.
+    """
+    if n_rows <= 0:
+        return min_planes
+    q = (n_rows + target_occupancy - 1) // target_occupancy
+    return max(min_planes, min(max_planes, (q - 1).bit_length()))
+
+
+def auto_nlist(
+    n_rows: int,
+    target_cell: int = 1024,
+    min_nlist: int = 4,
+    max_nlist: int = 1 << 16,
+) -> int:
+    """Corpus-size-aware IVF cell count: nlist = ceil(N/target_cell), so
+    mean cell occupancy stays ~target_cell and the within-cell candidate
+    scan stays bounded as the corpus grows. Same integer-exact derivation
+    discipline as ``auto_planes`` (SQL twin: ``(n + m - 1) // m``). The
+    codebook is still ONE plan literal, so raising nlist does not change
+    plan-compile complexity class; max_nlist caps the literal's size."""
+    if n_rows <= 0:
+        return min_nlist
+    return max(min_nlist, min(max_nlist, (n_rows + target_cell - 1) // target_cell))
+
+
 def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[int]]:
     """Deterministic ±1 hyperplanes: sign(j,i) = parity of the first md5
     nibble of "j:i". Pure data — both engines consume them as literals.
@@ -106,10 +152,18 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket."""
+    """Approximate top-k: candidates share the query's LSH bucket.
+
+    ``num_planes=None`` (the default) sizes B from the corpus row count
+    via ``auto_planes`` — one metadata-cheap count() against the scan —
+    so a caller who forgets to tune B cannot ship a fixture-sized bucket
+    width to a 100 TB corpus. Pass an explicit B to pin bucket assignment
+    (e.g. for a static oracle)."""
+    if num_planes is None:
+        num_planes = auto_planes(corpus.count())
     planes = hyperplanes(num_planes, dim)
     q = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
@@ -137,7 +191,7 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     dim: int = 64,
     num_tables: int = 1,
 ) -> DataFrame:
@@ -154,15 +208,22 @@ def embedding_near_dup(
     spread-out directions is ~N/2^B and within-bucket work is ~occupancy²
     per bucket, so pick **B ≈ log2(N/m)** for a target occupancy m in the
     hundreds-to-thousands (m² comparisons per bucket stays a trivial task).
-    N=1e6 → B≈10; N=1e9 → B≈20. The default B=8 (256 buckets) fits the
-    test fixtures only — at 100 TB it MUST be raised or buckets go
-    quadratic. The cost of raising B is per-pair recall: a pair at angle θ
+    N=1e6 → B≈10; N=1e9 → B≈20 — which is exactly what ``auto_planes``
+    computes when ``num_planes`` is left None (the default), so buckets
+    can no longer go quadratic by omission. The cost of raising B is
+    per-pair recall: a pair at angle θ
     shares a bucket with probability (1-θ/π)^B. Recover recall without
     shrinking B by OR-amplification: ``num_tables`` = T independent plane
     sets, candidates unioned across tables (recall 1-(1-p)^T for per-table
     probability p), at T× the bucketing/join cost. num_tables=1 keeps the
     original bucket assignment so existing oracles match unchanged.
+
+    ``num_planes=None`` (the default) auto-sizes B from the corpus count
+    via ``auto_planes`` — the forgotten-default-goes-quadratic guard;
+    pass an explicit B to pin bucket assignment for a static oracle.
     """
+    if num_planes is None:
+        num_planes = auto_planes(corpus.count())
     b = fan_out(corpus).select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
     if num_tables == 1:
         b = b.withColumn("bucket", _bucket(F.col("v"), hyperplanes(num_planes, dim)))

@@ -1407,6 +1407,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, num_planes=8, dim=64)
 
 
+# ann_lsh_auto_topk is registered further down, after _bucket_sql exists.
+
+
 @query(
     "multimodal_meta",
     """
@@ -1643,9 +1646,11 @@ def _near_dup_oracle(threshold: float, num_planes: int = 8, num_tables: int = 1)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection in embedding space: LSH-bucket candidate
     pairs confirmed by exact cosine >= 0.3 (fixture has no true dups; the
-    threshold sits at the tail of its similarity distribution)."""
+    threshold sits at the tail of its similarity distribution). B is
+    pinned to the oracle's 8 planes; the auto-sized path is
+    ``embedding_near_dup`` with num_planes=None (default)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _sim.embedding_near_dup(emb, threshold=0.3)
+    return _sim.embedding_near_dup(emb, threshold=0.3, num_planes=8)
 
 
 @query("embedding_near_dup_or2", _near_dup_oracle(0.3, num_tables=2))
@@ -1656,7 +1661,7 @@ def embedding_near_dup_or2(spark: SparkSession, sf_dir: str) -> DataFrame:
     num_planes must grow with corpus size (B ≈ log2(N/m)); the oracle
     reproduces both plane sets and the cross-table candidate union."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return _sim.embedding_near_dup(emb, threshold=0.3, num_tables=2)
+    return _sim.embedding_near_dup(emb, threshold=0.3, num_planes=8, num_tables=2)
 
 
 def _ivf_oracle(nlist: int, nprobe: int, k: int) -> str:
@@ -1718,6 +1723,109 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     side beyond the final candidate equi-join."""
     emb = load_table(spark, sf_dir, "embeddings")
     codebook = _cached_codebook(emb, sf_dir, 8, "prefix")
+    queries_df = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    return _sim.ivf_topk(emb, queries_df, codebook, k=3, nprobe=2)
+
+
+def _ann_auto_oracle(target_occupancy: int, k: int = 3) -> str:
+    """Dynamic-B twin of ``_ann_oracle``: the SQL derives B from count(*)
+    with the same integer-exact rule as ``similarity.auto_planes``
+    (``length(bin(q-1))`` == Python's ``(q-1).bit_length()``), embeds the
+    full MAX_AUTO_PLANES-wide bit string, and takes its B-char prefix —
+    sound because ``hyperplanes`` is prefix-stable in the plane count."""
+    bits = _bucket_sql(_sim.MAX_AUTO_PLANES)
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    params AS (
+      SELECT GREATEST(4, LEAST({_sim.MAX_AUTO_PLANES},
+        CASE WHEN q <= 1 THEN 0 ELSE length(bin(q - 1)) END)) AS b
+      FROM (SELECT (count(*) + {target_occupancy} - 1) // {target_occupancy} AS q
+            FROM vecs)),
+    bucketed AS (
+      SELECT vec_id, v, substr({bits}, 1, (SELECT b FROM params)) AS bucket
+      FROM vecs),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id, {_COSINE_SQL} AS cosine
+      FROM bucketed c JOIN q USING (bucket)
+      CROSS JOIN LATERAL (SELECT c.v AS cv) t
+      WHERE c.vec_id != query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_lsh_auto_topk", _ann_auto_oracle(target_occupancy=64))
+def ann_lsh_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with corpus-sized bucket width: B = auto_planes(N) — the
+    100 TB guard made default — with the oracle re-deriving the SAME B
+    from count(*) in SQL, so the auto-sizing rule itself is under the
+    correctness gate, not just the bucketing it produces. target=64 keeps
+    B above the floor at fixture scale (N=2000 -> B=5)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = _sim.auto_planes(emb.count(), target_occupancy=64)
+    return _sim.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, num_planes=b, dim=64
+    )
+
+
+def _ivf_auto_oracle(target_cell: int, nprobe: int, k: int) -> str:
+    """Dynamic-nlist twin of ``_ivf_oracle``: nlist = ceil(N/target_cell)
+    computed in SQL with the same integer math as ``similarity.auto_nlist``,
+    then the prefix codebook is the nlist lowest-id vectors."""
+    cos_cv = (
+        f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+    )
+    cos_qc = (
+        f"CAST({_dot('qv', 'ce')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
+    params AS (
+      SELECT GREATEST(4, LEAST(65536, (count(*) + {target_cell} - 1) // {target_cell}))
+        AS nlist
+      FROM vecs),
+    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs
+              WHERE vec_id < (SELECT nlist FROM params)),
+    assign AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cv} DESC, cid ASC) AS rnk
+      FROM vecs CROSS JOIN cents),
+    cells AS (SELECT neighbor_id, cv, cid AS cell FROM assign WHERE rnk = 1),
+    qassign AS (
+      SELECT vec_id AS query_id, v AS qv, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY {cos_qc} DESC, cid ASC) AS rnk
+      FROM (SELECT * FROM vecs WHERE vec_id >= 20 AND vec_id < 40) CROSS JOIN cents),
+    probes AS (SELECT query_id, qv, cid AS cell FROM qassign WHERE rnk <= {nprobe}),
+    scored AS (
+      SELECT query_id, neighbor_id,
+        CAST({_dot('qv', 'cv')} AS DOUBLE) /
+        (sqrt(CAST({_dot('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE))) AS cosine
+      FROM cells JOIN probes USING (cell)
+      WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_ivf_auto_topk", _ivf_auto_oracle(target_cell=256, nprobe=2, k=3))
+def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with corpus-sized cell count: nlist = auto_nlist(N), the
+    oracle re-deriving the SAME nlist from count(*) — mean cell occupancy
+    stays ~target_cell as the corpus grows instead of cells fattening
+    linearly with N. target=256 exercises a non-floor nlist at sf0.1
+    (N=2000 -> nlist=8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nlist = _sim.auto_nlist(emb.count(), target_cell=256)
+    codebook = _cached_codebook(emb, sf_dir, nlist, "prefix")
     queries_df = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
     return _sim.ivf_topk(emb, queries_df, codebook, k=3, nprobe=2)
 

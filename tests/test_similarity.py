@@ -235,3 +235,76 @@ def test_ivf_argmax_cell_assignment_matches_sorted_path(spark):
     got = sorted(map(tuple, via_search.select("query_id", "neighbor_id", "rank").collect()))
     want = sorted(map(tuple, brute.select("query_id", "neighbor_id", "rank").collect()))
     assert got == want
+
+
+def test_auto_planes_integer_rule_matches_sql_twin():
+    """auto_planes' bit_length derivation must equal the DuckDB formula
+    (length(bin(q-1))) embedded in the dynamic-B oracles, across counts
+    including exact powers of two (the float-log wobble cases)."""
+    import duckdb
+
+    from incremental_data_pipeline_spark.operators.similarity import (
+        MAX_AUTO_PLANES,
+        auto_nlist,
+        auto_planes,
+    )
+
+    con = duckdb.connect()
+    for n in [0, 1, 63, 64, 65, 1024, 2048, 2049, 65536, 10**6, 10**9]:
+        for m in [64, 1024]:
+            got = auto_planes(n, target_occupancy=m)
+            want = con.execute(
+                f"""SELECT GREATEST(4, LEAST({MAX_AUTO_PLANES},
+                    CASE WHEN q <= 1 THEN 0 ELSE length(bin(q - 1)) END))
+                    FROM (SELECT ({max(n,0)} + {m} - 1) // {m} AS q)"""
+            ).fetchone()[0]
+            if n > 0:
+                assert got == want, (n, m, got, want)
+            want_nl = con.execute(
+                f"SELECT GREATEST(4, LEAST(65536, ({max(n,1)} + {m} - 1) // {m}))"
+            ).fetchone()[0]
+            assert auto_nlist(max(n, 1), target_cell=m) == want_nl, (n, m)
+
+
+def test_hyperplanes_prefix_stable():
+    """hyperplanes(B) must equal the first B rows of hyperplanes(B_MAX) —
+    the property that lets a B-bit bucket be a substring prefix of the
+    max-width bit string in the dynamic-B oracle SQL."""
+    from incremental_data_pipeline_spark.operators.similarity import (
+        MAX_AUTO_PLANES,
+        hyperplanes,
+    )
+
+    full = hyperplanes(MAX_AUTO_PLANES, 64)
+    for b in [4, 8, 16]:
+        assert hyperplanes(b, 64) == full[:b]
+
+
+def test_auto_planes_bounds_bucket_occupancy(spark):
+    """With B = auto_planes(N), no LSH bucket may hold more than a small
+    multiple of the target occupancy at sf0.1-scale data — the 'buckets
+    never go quadratic by omission' guarantee behind the auto default."""
+    from incremental_data_pipeline_spark.functions.vector import quantize
+    from incremental_data_pipeline_spark.operators import similarity as sim
+    from incremental_data_pipeline_spark.operators.similarity import (
+        _bucket,
+        auto_planes,
+        hyperplanes,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = emb.count()
+    target = 64
+    b = auto_planes(n, target_occupancy=target)
+    assert b > 4, "fixture should exercise a non-floor B"
+    occ = (
+        emb.select(quantize("embedding").alias("v"))
+        .select(_bucket(F.col("v"), hyperplanes(b, 64)).alias("bucket"))
+        .groupBy("bucket")
+        .count()
+    )
+    max_occ = occ.agg(F.max("count")).first()[0]
+    # real embeddings cluster, so allow generous skew over the mean — the
+    # assertion rules out degenerate all-in-one-bucket widths, which is
+    # what a forgotten fixed B produces at scale.
+    assert max_occ <= 16 * target, (n, b, max_occ)
