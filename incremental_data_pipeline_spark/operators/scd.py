@@ -189,6 +189,81 @@ def upsert_scd2(
     )
 
 
+def upsert_scd2_ordered(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    attrs: list[str],
+    eff_col: str,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Event-time-ordered SCD2 upsert: the streaming-safe variant of
+    ``upsert_scd2``. Each source row carries its OWN effective timestamp
+    (``eff_col``) instead of one batch-level date, and a LATE-ARRIVAL
+    GUARD ignores any source row whose effective time is not strictly
+    after the open version's ``valid_from`` — so micro-batches may arrive
+    in any file order and replays of an already-applied batch are no-ops
+    (idempotent under the at-least-once foreachBatch checkpoint, same
+    contract as the SCD1 bridge).
+
+    Semantics per key: source row (attrs, eff) vs current version:
+    - no current version  -> open (attrs, valid_from=eff)
+    - eff <= valid_from   -> ignore (late or replayed)
+    - attrs unchanged     -> pass through
+    - attrs changed       -> close current at eff, open new at eff
+
+    Scale shape: identical join geometry to ``upsert_scd2`` — one
+    key join of the CURRENT slice against the (pre-reduced, one row per
+    key) source, null-safe attribute comparison, unionByName legs.
+    History never joins.
+    """
+    cur = target.filter(F.col(current_col))
+    hist = target.filter(~F.col(current_col))
+    s = source.select(
+        *keys,
+        F.lit(True).alias("__s_present"),
+        F.col(eff_col).alias("__s_eff"),
+        *[F.col(a).alias(f"__s_{a}") for a in attrs],
+    )
+    j = cur.join(s, keys, "full_outer")
+
+    in_src = F.coalesce(F.col("__s_present"), F.lit(False))
+    changed = None
+    for a in attrs:
+        neq = ~F.col(a).eqNullSafe(F.col(f"__s_{a}"))
+        changed = neq if changed is None else (changed | neq)
+    is_new_key = F.col(from_col).isNull()
+    late = F.col("__s_eff") <= F.col(from_col)
+    applies = in_src & ~is_new_key & changed & ~late
+
+    out_cols = [*keys, *attrs, from_col, to_col, current_col]
+    unchanged = j.filter(~is_new_key & ~applies).select(*out_cols)
+    closed = (
+        j.filter(applies)
+        .withColumn(to_col, F.col("__s_eff"))
+        .withColumn(current_col, F.lit(False))
+        .select(*out_cols)
+    )
+    opened = (
+        j.filter(in_src & (is_new_key | (changed & ~late)))
+        .select(
+            *keys,
+            *[F.col(f"__s_{a}").alias(a) for a in attrs],
+            F.col("__s_eff").alias(from_col),
+            F.lit(None).cast(target.schema[to_col].dataType).alias(to_col),
+            F.lit(True).alias(current_col),
+        )
+    )
+    return (
+        hist.select(*out_cols)
+        .unionByName(unchanged)
+        .unionByName(closed)
+        .unionByName(opened)
+    )
+
+
 def build_fact(
     base: DataFrame,
     dims: dict[str, tuple[DataFrame, dict[str, str]]],

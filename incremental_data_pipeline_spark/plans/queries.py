@@ -1563,6 +1563,75 @@ def stream_scd1_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_scd2_dim",
+    """
+    SELECT user_id, event_type AS last_event_type FROM (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_type DESC) AS rn
+      FROM events) WHERE rn = 1
+    """,
+)
+def stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SCD TYPE 2 via foreachBatch: each micro-batch reduces to
+    one row per user (its max-(ts, event_type) event) and flows through
+    the SAME event-time-ordered upsert the batch path uses
+    (scd.upsert_scd2_ordered) — the late-arrival guard makes file-order
+    delivery and checkpoint replay both safe, so the STORED dim keeps a
+    true change history while the CURRENT slice converges to the per-user
+    last event regardless of how the source splits into micro-batches
+    (asserted in tests/test_streaming.py with maxFilesPerTrigger=1).
+
+    The returned projection is that split-invariant current slice; the
+    history columns (valid_from/valid_to chains) are asserted in tests
+    rather than the oracle because which INTERMEDIATE versions exist
+    legitimately depends on micro-batch boundaries."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from incremental_data_pipeline_spark.operators.scd import upsert_scd2_ordered
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    base = tempfile.mkdtemp(prefix="stream_scd2_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    dim_path = os.path.join(base, "dim_user_hist")
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        src = (
+            batch.groupBy("user_id")
+            .agg(F.max(F.struct(F.col("ts"), F.col("event_type"))).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts").alias("eff_ts"),
+                F.col("m.event_type").alias("last_event_type"),
+            )
+        )
+        if os.path.exists(dim_path):
+            target = spark.read.parquet(dim_path)
+        else:
+            target = spark.createDataFrame(
+                [],
+                "user_id long, last_event_type string, "
+                "valid_from timestamp, valid_to timestamp, is_current boolean",
+            )
+        dim = upsert_scd2_ordered(
+            target, src, ["user_id"], ["last_event_type"], "eff_ts"
+        )
+        atomic_overwrite(dim, dim_path)
+
+    stream = _stream.read_stream(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+    return (
+        spark.read.parquet(dim_path)
+        .filter(F.col("is_current"))
+        .select("user_id", "last_event_type")
+    )
+
+
+@query(
     "stream_running_user_stats",
     """
     SELECT user_id, count(*) AS n_events, max(value) AS max_value

@@ -429,3 +429,96 @@ def test_foreach_batch_exactly_once_skips_replayed_epochs(spark):
         assert len(applied) == n_first
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_scd2_dim_current_invariant_to_batch_split(spark):
+    """Event-time-ordered streaming SCD2: the current slice equals the
+    per-user last event whether the source arrives as one micro-batch or
+    two (maxFilesPerTrigger=1), files in either order — the late-arrival
+    guard absorbs out-of-order delivery. History chains are also checked:
+    versions never overlap, exactly one current row per user."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators.scd import upsert_scd2_ordered
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_scd2_split_")
+    try:
+        events = load_table(spark, SF_DIR, "events").select(
+            "user_id", "event_type", "ts"
+        )
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        _copy_split(
+            SF_DIR, src_dir, events, "ts", datetime.datetime(2024, 1, 15)
+        )
+        dim_path = os.path.join(base, "dim_hist")
+
+        def apply_batch(batch, _epoch):
+            src = (
+                batch.groupBy("user_id")
+                .agg(F.max(F.struct(F.col("ts"), F.col("event_type"))).alias("m"))
+                .select(
+                    "user_id",
+                    F.col("m.ts").alias("eff_ts"),
+                    F.col("m.event_type").alias("last_event_type"),
+                )
+            )
+            if os.path.exists(dim_path):
+                target = spark.read.parquet(dim_path)
+            else:
+                target = spark.createDataFrame(
+                    [],
+                    "user_id long, last_event_type string, "
+                    "valid_from timestamp, valid_to timestamp, is_current boolean",
+                )
+            atomic_overwrite(
+                upsert_scd2_ordered(
+                    target, src, ["user_id"], ["last_event_type"], "eff_ts"
+                ),
+                dim_path,
+            )
+
+        schema = events.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        sp.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+
+        dim = spark.read.parquet(dim_path)
+        got = sorted(
+            map(tuple, dim.filter("is_current").select(
+                "user_id", "last_event_type").collect())
+        )
+        from pyspark.sql import Window
+
+        expected = sorted(
+            map(tuple, events.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(
+                        F.col("ts").desc(), F.col("event_type").desc()
+                    )
+                ),
+            ).filter("rn = 1").select("user_id", "event_type").collect())
+        )
+        assert got == expected
+
+        # exactly one current row per user
+        per_user = dim.groupBy("user_id").agg(
+            F.sum(F.col("is_current").cast("int")).alias("n_cur"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        assert per_user.filter("n_cur != 1").count() == 0
+        # closed versions chain: valid_to of every non-current version
+        # equals the valid_from of the next version for that user
+        a = dim.filter("NOT is_current").select("user_id", "valid_to")
+        b = dim.select("user_id", F.col("valid_from").alias("valid_to"))
+        dangling = a.join(b, ["user_id", "valid_to"], "left_anti")
+        assert dangling.count() == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
