@@ -2508,13 +2508,16 @@ def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 versioned-table emulation made driver-visible (reference:
     DeltaTable.forPath / version-pinned reads, gold_dim_branch.py:178):
-    three successive versioned overwrites of a table, then read-by-version
-    — current, one back, two back — proving old versions stay readable
-    without delta-spark."""
+    four successive versioned overwrites of a table, retention expiring
+    the oldest (maintenance.expire_versions — the VACUUM analog), then
+    read-by-version — current, one back, two back — proving retained
+    versions stay readable and retention can't touch the current pointer,
+    all under the oracle gate."""
     import atexit
     import shutil
     import tempfile
 
+    from incremental_data_pipeline_spark.sources.maintenance import expire_versions
     from incremental_data_pipeline_spark.sources.sinks import (
         read_version,
         versioned_overwrite,
@@ -2525,9 +2528,15 @@ def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(base, "nation_versions")
     nation = load_table(spark, sf_dir, "nation")
     cur = 0
-    for cap in (10, 20, None):  # v1: <10, v2: <20, v3: all
+    for cap in (5, 10, 20, None):  # v1: <5, v2: <10, v3: <20, v4: all
         ver = nation if cap is None else nation.filter(F.col("n_nationkey") < cap)
-        cur = versioned_overwrite(ver, path, keep=3)
+        cur = versioned_overwrite(ver, path, keep=0)  # retention handled below
+    assert expire_versions(path, keep_last_n=3) == [1]  # v1 vacuumed
+    try:
+        read_version(spark, path, version=1)
+        raise AssertionError("expired version must fail loudly")
+    except FileNotFoundError:
+        pass
     out = None
     for back in (0, 1, 2):
         cnt = (

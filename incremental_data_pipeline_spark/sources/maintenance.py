@@ -190,3 +190,59 @@ def compact_table(
         "bytes": after["total_bytes"],
         "rows": after["total_rows"],
     }
+
+
+def expire_versions(path: str, keep_last_n: int) -> list[int]:
+    """Retention for the ``versioned_overwrite`` table emulation — the
+    VACUUM / log-retention half of the Delta feature set whose read
+    semantics ``read_version`` emulates. Expires (deletes) all but the
+    last ``keep_last_n`` versions; the version the ``_CURRENT`` pointer
+    names is NEVER expired, even at ``keep_last_n=0`` — current reads
+    must stay unaffected by retention. Returns the expired version
+    numbers (ascending); time-travel to any of them subsequently fails
+    loudly in ``read_version`` (FileNotFoundError), matching Delta's
+    behavior for a vacuumed ``versionAsOf``. Driver-side listdir
+    bookkeeping only — no Spark job, exactly like Delta's log cleanup.
+    Single-writer contract, as documented by the swap-based sinks.
+    """
+    import shutil as _shutil
+
+    from incremental_data_pipeline_spark.sources.sinks import (
+        _current_version,
+        list_versions,
+    )
+
+    if keep_last_n < 0:
+        raise ValueError(f"keep_last_n must be >= 0, got {keep_last_n}")
+    versions = list_versions(path)
+    protected = set(versions[len(versions) - keep_last_n :] if keep_last_n else [])
+    protected.add(_current_version(path))
+    expired = [v for v in versions if v not in protected]
+    for v in expired:
+        _shutil.rmtree(f"{path}/v{v:08d}", ignore_errors=True)
+    return expired
+
+
+def vacuum_swap_debris(path: str) -> list[str]:
+    """Remove leftover ``.__tmp__*`` / ``.__old__`` sibling directories a
+    crashed ``atomic_overwrite`` can strand next to ``path``. Safe only
+    when no swap is in flight for ``path`` (single-writer contract): a
+    live writer's temp dir is indistinguishable from debris. The stable
+    ``path.__old__`` name is removed only when ``path`` itself exists —
+    if the table is missing, ``__old__`` is the interrupted-swap backup
+    that ``recover_interrupted_swap`` needs, so it is left alone.
+    Returns the removed paths.
+    """
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    removed = []
+    for tmp in _glob.glob(f"{_glob.escape(path)}.__tmp__*"):
+        _shutil.rmtree(tmp, ignore_errors=True)
+        removed.append(tmp)
+    old = f"{path}.__old__"
+    if _os.path.exists(path) and _os.path.exists(old):
+        _shutil.rmtree(old, ignore_errors=True)
+        removed.append(old)
+    return removed

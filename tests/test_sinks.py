@@ -238,3 +238,43 @@ def test_dim_filter_triggers_dynamic_partition_pruning(spark, tmp_path):
     joined = fact.join(dim, "__day")
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+
+def test_expire_versions_protects_current_and_fails_loud(spark, tmp_path):
+    """Retention for the versioned-table emulation: expired versions raise
+    on time travel, retained ones and the current pointer read on."""
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "vt")
+    for i in range(1, 6):  # v1..v5, keep all
+        cur = sinks.versioned_overwrite(_mkdf(spark, list(range(i))), path, keep=10)
+    assert cur == 5 and sinks.list_versions(path) == [1, 2, 3, 4, 5]
+
+    expired = maintenance.expire_versions(path, keep_last_n=2)
+    assert expired == [1, 2, 3]
+    assert sinks.list_versions(path) == [4, 5]
+    # current read unaffected; retained history readable
+    assert sinks.read_version(spark, path).count() == 5
+    assert sinks.read_version(spark, path, version=4).count() == 4
+    # expired time-travel fails loudly
+    with pytest.raises(FileNotFoundError):
+        sinks.read_version(spark, path, version=2)
+    # the current pointer survives even keep_last_n=0
+    assert maintenance.expire_versions(path, keep_last_n=0) == [4]
+    assert sinks.read_version(spark, path).count() == 5
+
+
+def test_vacuum_swap_debris_spares_live_backup(spark, tmp_path):
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "t")
+    sinks.atomic_overwrite(_mkdf(spark, [1]), path)
+    os.makedirs(path + ".__tmp__deadbeef")
+    os.makedirs(path + ".__old__")
+    removed = maintenance.vacuum_swap_debris(path)
+    assert len(removed) == 2 and not os.path.exists(path + ".__old__")
+    assert spark.read.parquet(path).count() == 1
+    # interrupted swap (path missing): __old__ is the backup — NOT debris
+    os.rename(path, path + ".__old__")
+    assert maintenance.vacuum_swap_debris(path) == []
+    assert sinks.recover_interrupted_swap(path)
