@@ -2404,6 +2404,50 @@ def csv_ingest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "parquet_corrupt_quarantine",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_good_rows,
+           CAST(2 AS BIGINT) AS n_quarantined
+    FROM nation
+    """,
+)
+def parquet_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet bronze with corrupt-file quarantine: the nation table lands
+    in a directory alongside TWO unreadable files (pure garbage bytes and
+    a mid-footer truncation of a real file); the batch still completes,
+    reads exactly the intact rows, and the quarantine probe logs both bad
+    files — the skip is never silent. Oracle: full nation row count plus
+    the planted corrupt-file count."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from incremental_data_pipeline_spark.sources.readers import (
+        read_parquet_quarantine,
+    )
+
+    base = tempfile.mkdtemp(prefix="pq_quarantine_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    land = os.path.join(base, "bronze_nation")
+    os.makedirs(land)
+    src = os.path.join(sf_dir, "nation.parquet")
+    shutil.copy(src, os.path.join(land, "part-000.parquet"))
+    with open(os.path.join(land, "part-001.parquet"), "wb") as f:
+        f.write(b"not parquet at all")
+    with open(src, "rb") as f:
+        intact = f.read()
+    with open(os.path.join(land, "part-002.parquet"), "wb") as f:
+        f.write(intact[: max(8, len(intact) // 2)])  # footer gone
+
+    good, quarantined = read_parquet_quarantine(spark, land)
+    n_bad = quarantined.count()
+    return good.groupBy().agg(
+        F.count(F.lit(1)).alias("n_good_rows"),
+        F.lit(n_bad).cast("bigint").alias("n_quarantined"),
+    )
+
+
+@query(
     "jsonl_ingest_docs",
     """
     SELECT lang,

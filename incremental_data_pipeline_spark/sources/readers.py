@@ -138,6 +138,58 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, Data
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
 
 
+def read_parquet_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """Parquet bronze ingestion that survives corrupt files — the parquet
+    twin of the CSV/JSONL ``_corrupt_record`` quarantine. Parquet
+    corruption is FILE-level (truncated footer, bad magic), so PERMISSIVE
+    row quarantine doesn't apply: a single truncated object-store upload
+    would otherwise fail the whole 100 TB batch.
+
+    Returns ``(good, quarantined)``:
+    - ``good``: the table read with ``ignoreCorruptFiles`` — Spark skips
+      unreadable files instead of aborting the scan.
+    - ``quarantined``: one row (file, error) per corrupt file, found by a
+      DISTRIBUTED footer probe (Arrow-batched ``mapInPandas`` opening just
+      each file's metadata — no data pages read), so the skip is LOGGED,
+      never silent; append it to a dead-letter table for re-upload.
+
+    The probe lists ``*.parquet`` under ``path`` driver-side (the same
+    listing Spark's own file index performs) and probes footers on
+    executors, so cost scales with file COUNT across the cluster, not
+    bytes.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet"))) or sorted(
+        glob.glob(path)
+    )
+    listing = spark.createDataFrame([(f,) for f in files], "file string")
+
+    probe_schema = StructType(
+        [StructField("file", StringType()), StructField("error", StringType())]
+    )
+
+    def probe(batches):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+        import pyarrow.parquet as pq_  # noqa: PLC0415
+
+        for pdf in batches:
+            bad_files, errors = [], []
+            for f in pdf["file"]:
+                try:
+                    pq_.ParquetFile(f)  # footer parse only
+                except Exception as exc:  # noqa: BLE001 — any unreadable file
+                    bad_files.append(f)
+                    errors.append(f"{type(exc).__name__}: {exc}"[:500])
+            yield pd.DataFrame({"file": bad_files, "error": errors})
+
+    quarantined = listing.mapInPandas(probe, probe_schema)
+    good = spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+    return good, quarantined
+
+
 def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register fixture tables as temp views for the SQL API path
     (reference: gold_dim_branch.py:32-37 `SELECT ... FROM PARQUET.path`)."""

@@ -156,3 +156,46 @@ def test_jsonl_corrupt_line_quarantined(spark, tmp_path):
     bad = df.filter("_corrupt_record IS NOT NULL").collect()
     assert len(bad) == 1 and "broken" in bad[0]["_corrupt_record"]
     df.unpersist()
+
+
+def test_parquet_quarantine_skips_and_logs_corrupt_files(spark, tmp_path):
+    """A truncated and a garbage .parquet file must not fail the batch:
+    good rows read exactly, both bad files logged with their errors."""
+    import shutil
+
+    from incremental_data_pipeline_spark.sources.readers import (
+        load_table,
+        read_parquet_quarantine,
+    )
+    from tests.conftest import SF_DIR
+
+    land = tmp_path / "bronze"
+    land.mkdir()
+    src = os.path.join(SF_DIR, "nation.parquet")
+    shutil.copy(src, land / "a.parquet")
+    (land / "b.parquet").write_bytes(b"PAR1 this is rubbish")
+    intact = open(src, "rb").read()
+    (land / "c.parquet").write_bytes(intact[: len(intact) // 2])
+
+    good, quarantined = read_parquet_quarantine(spark, str(land))
+    want = load_table(spark, SF_DIR, "nation").count()
+    assert good.count() == want
+    rows = {os.path.basename(r["file"]): r["error"] for r in quarantined.collect()}
+    assert set(rows) == {"b.parquet", "c.parquet"}
+    assert all(e for e in rows.values())
+
+
+def test_parquet_quarantine_clean_dir_is_empty(spark, tmp_path):
+    import shutil
+
+    from incremental_data_pipeline_spark.sources.readers import (
+        read_parquet_quarantine,
+    )
+    from tests.conftest import SF_DIR
+
+    land = tmp_path / "bronze"
+    land.mkdir()
+    shutil.copy(os.path.join(SF_DIR, "nation.parquet"), land / "a.parquet")
+    good, quarantined = read_parquet_quarantine(spark, str(land))
+    assert quarantined.count() == 0
+    assert good.count() > 0
