@@ -15,13 +15,17 @@ from pyspark.sql import functions as F
 
 from incremental_data_pipeline_spark.operators.cdc import new_rows
 
+# Above this many rows, surrogate-key assignment auto-selects the
+# range-partitioned prefix-sum path instead of one global window task.
+SCALABLE_KEY_THRESHOLD = 1_000_000
+
 
 def assign_surrogate_keys(
     df: DataFrame,
     key_col: str,
     order_by: list[str],
     base: int = 0,
-    scalable: bool = False,
+    scalable: bool | None = None,
 ) -> DataFrame:
     """key = base + row_number() ordered by the natural key.
 
@@ -30,18 +34,30 @@ def assign_surrogate_keys(
     monotonically_increasing_id()`) — two inconsistent generators, one of
     which funnels all rows through a single task and the other of which
     leaves ~2^33-sized gaps. Normalized here to one generator with two
-    physical strategies:
+    physical strategies, chosen AUTOMATICALLY by default:
 
-    - ``scalable=False`` (default): global-order ``row_number`` — exact,
-      deterministic, matches the SQL oracle; fine for dimension-sized data
-      (dims are small even at 100 TB fact scale).
-    - ``scalable=True``: sort within partitions only, then offset each
-      partition by the cumulative count of the partitions before it
-      (zipWithIndex-style prefix sum, all DataFrame-side). Keys are still
-      dense from base+1 and unique, ordering is only partition-local —
-      use for billion-row key assignment where a single-task sort is
-      unacceptable.
+    - ``scalable=None`` (default): probe the input with an
+      early-terminating ``limit(threshold+1).count()`` (reads at most
+      threshold+1 rows, never a full scan) and pick the scalable path
+      above ``SCALABLE_KEY_THRESHOLD`` rows — a forgotten default can no
+      longer funnel a billion-row key assignment through one task, while
+      dimension-sized inputs keep the cheap single-window plan.
+    - ``scalable=True``: range-partition on the order keys, number within
+      partitions, offset each partition by the cumulative count of the
+      partitions before it (zipWithIndex-style prefix sum, all
+      DataFrame-side). Because the range partitioning follows the same
+      keys, the result is the EXACT global row_number whenever
+      ``order_by`` is a unique ordering (which ``build_dim`` guarantees
+      by deduplicating on the natural key first — the oracle-checked
+      ``dim_build_scalable_keys`` proves key-for-key equality). With
+      ties, keys stay dense and unique but tie order is unspecified —
+      the same contract row_number itself gives.
+    - ``scalable=False``: the literal single-window global sort, for
+      callers that know the input is tiny and want zero extra jobs.
     """
+    if scalable is None:
+        probe = df.limit(SCALABLE_KEY_THRESHOLD + 1).count()
+        scalable = probe > SCALABLE_KEY_THRESHOLD
     if not scalable:
         w = Window.orderBy(*order_by)
         return df.withColumn(key_col, (F.lit(base) + F.row_number().over(w)).cast("long"))
@@ -69,7 +85,7 @@ def build_dim(
     attrs: list[str],
     surrogate_key: str,
     existing: DataFrame | None = None,
-    scalable_keys: bool = False,
+    scalable_keys: bool | None = None,
 ) -> DataFrame:
     """Generic SCD1 dimension builder (replaces the four copy-pasted
     gold_dim_*.py notebooks).

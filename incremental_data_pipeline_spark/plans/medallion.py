@@ -120,11 +120,18 @@ class MedallionPipeline:
         natural_keys: list[str],
         attrs: list[str],
         surrogate_key: str,
-        scalable_keys: bool = False,
+        scalable_keys: bool | None = False,
     ) -> DataFrame:
         """Initial-vs-incremental bootstrap (I3) + SCD1 upsert, one code path
         for every dimension (replaces 4 copy-pasted notebooks and their
-        divergent key generators — SURVEY §2.9 #1-#5)."""
+        divergent key generators — SURVEY §2.9 #1-#5).
+
+        ``scalable_keys=False`` here (vs the generic operators' size-probe
+        auto-default): a gold DIMENSION is small by definition — dims stay
+        dimension-sized even at 100 TB fact scale — so per-batch probe jobs
+        and range-exchange shuffles buy nothing. Callers keying something
+        that is NOT dimension-sized should pass ``None`` (auto) or
+        ``True``."""
         existing = self.read("gold", table) if self.exists("gold", table) else None
         dim = build_dim(source, natural_keys, attrs, surrogate_key, existing, scalable_keys)
         atomic_overwrite(dim, self.path("gold", table))

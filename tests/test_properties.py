@@ -267,3 +267,25 @@ def test_merge_partial_aggs_invariant_any_cut(spark, rows, cut):
         s, n = want.get(k, (0, 0))
         want[k] = (s + v, n + 1)
     assert got == want
+
+
+def test_surrogate_keys_auto_selects_by_size(spark, monkeypatch):
+    """scalable=None probes size with an early-terminating limit-count:
+    small inputs keep the single-window plan (no range exchange), inputs
+    over the threshold switch to the range-partitioned prefix sum — and
+    the keys are identical either way for unique order keys."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import scd
+
+    df = spark.range(100).select(F.col("id").alias("nk"))
+    small = scd.assign_surrogate_keys(df, "sk", ["nk"])
+    plan_small = small._jdf.queryExecution().optimizedPlan().toString()
+    assert "repartitionbyexpression" not in plan_small.lower().replace(" ", "")
+
+    monkeypatch.setattr(scd, "SCALABLE_KEY_THRESHOLD", 10)
+    big = scd.assign_surrogate_keys(df, "sk", ["nk"])
+    plan_big = big._jdf.queryExecution().optimizedPlan().toString()
+    assert "repartitionbyexpression" in plan_big.lower().replace(" ", "")
+    assert [r["sk"] for r in big.orderBy("nk").collect()] == list(range(1, 101))
+    assert [r["sk"] for r in small.orderBy("nk").collect()] == list(range(1, 101))
