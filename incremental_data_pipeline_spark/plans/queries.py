@@ -49,6 +49,25 @@ def dec_sum(col, alias: str, scale: int = 2):
     result — which makes the value bit-identical to the DuckDB oracle."""
     return F.sum(F.col(col).cast(f"decimal(18,{scale})")).cast("double").alias(alias)
 
+_SCRATCH_ROOT: str | None = None
+
+
+def scratch_dir(prefix: str) -> str:
+    """Per-invocation scratch dir under ONE per-process root with ONE
+    atexit cleanup hook — repeated query invocations in a long-lived
+    process (bench iterations, test sessions) previously stacked one
+    rmtree handler each."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="idps_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 
 # --------------------------------------------------------------------------
 # Flagship: pricing summary (reference silver ad-hoc agg, silver_notebook.py:47-50,
@@ -545,17 +564,13 @@ def medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runs the real stateful pipeline (watermark store on disk, replay-safe
     bronze sink, SCD1 dims across two incremental batches, broadcast fact
     build) and returns the gold fact."""
-    import atexit
     import datetime
-    import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.plans.medallion import MedallionPipeline
 
-    base = tempfile.mkdtemp(prefix="medallion_e2e_")
     # The returned DataFrame scans files under `base` lazily, so removal
-    # must wait until after the caller materializes it: clean at exit.
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    # must wait until after the caller materializes it: cleaned at exit.
+    base = scratch_dir("medallion_e2e_")
     pipe = MedallionPipeline(spark, base)
     events = load_table(spark, sf_dir, "events")
 
@@ -1533,17 +1548,13 @@ def stream_scd1_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     RETURNED projection re-ranks over the natural key so the result is
     invariant to how the source splits into micro-batches — the oracle
     match holds for any trigger/file split, not just the 1-file fixture."""
-    import atexit
-    import shutil
-    import tempfile
 
     from pyspark.sql import Window
 
     from incremental_data_pipeline_spark.operators.scd import build_dim
     from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
 
-    base = tempfile.mkdtemp(prefix="stream_scd1_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("stream_scd1_")
     dim_path = os.path.join(base, "dim_user")
 
     def apply_batch(batch: DataFrame, _epoch: int) -> None:
@@ -1586,15 +1597,11 @@ def stream_scd2_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     history columns (valid_from/valid_to chains) are asserted in tests
     rather than the oracle because which INTERMEDIATE versions exist
     legitimately depends on micro-batch boundaries."""
-    import atexit
-    import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.operators.scd import upsert_scd2_ordered
     from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
 
-    base = tempfile.mkdtemp(prefix="stream_scd2_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("stream_scd2_")
     dim_path = os.path.join(base, "dim_user_hist")
 
     def apply_batch(batch: DataFrame, _epoch: int) -> None:
@@ -2379,15 +2386,11 @@ def csv_ingest_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the header row, quoted fields — then ingested via read_csv_source
     with an explicit schema (no inferSchema scan). Oracle reads the
     original parquet: a lossless ingest means identical rows."""
-    import atexit
     import csv as _csv
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
-    base = tempfile.mkdtemp(prefix="csv_ingest_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("csv_ingest_")
     csv_path = os.path.join(base, "nation.csv")
     tbl = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pylist()
     with open(csv_path, "w", newline="", encoding="utf-8-sig") as f:  # BOM
@@ -2418,16 +2421,13 @@ def parquet_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads exactly the intact rows, and the quarantine probe logs both bad
     files — the skip is never silent. Oracle: full nation row count plus
     the planted corrupt-file count."""
-    import atexit
     import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.sources.readers import (
         read_parquet_quarantine,
     )
 
-    base = tempfile.mkdtemp(prefix="pq_quarantine_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("pq_quarantine_")
     land = os.path.join(base, "bronze_nation")
     os.makedirs(land)
     src = os.path.join(sf_dir, "nation.parquet")
@@ -2462,15 +2462,11 @@ def jsonl_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ingested via read_jsonl_source with an explicit schema, then
     aggregated per language. Oracle reads the original parquet: a lossless
     ingest means identical aggregates."""
-    import atexit
     import json as _json
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
-    base = tempfile.mkdtemp(prefix="jsonl_ingest_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("jsonl_ingest_")
     jsonl_path = os.path.join(base, "docs.jsonl")
     tbl = pq.read_table(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang", "n_chars"]
@@ -2505,15 +2501,11 @@ def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern for continuously arriving training-data shards), aggregated
     per language in complete mode. Oracle reads the original parquet: a
     lossless streaming ingest means identical aggregates to batch."""
-    import atexit
     import json as _json
-    import shutil
-    import tempfile
 
     import pyarrow.parquet as pq
 
-    base = tempfile.mkdtemp(prefix="stream_jsonl_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("stream_jsonl_")
     drop_dir = os.path.join(base, "drops")
     os.makedirs(drop_dir)
     tbl = pq.read_table(
@@ -2557,9 +2549,6 @@ def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-by-version — current, one back, two back — proving retained
     versions stay readable and retention can't touch the current pointer,
     all under the oracle gate."""
-    import atexit
-    import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.sources.maintenance import expire_versions
     from incremental_data_pipeline_spark.sources.sinks import (
@@ -2567,8 +2556,7 @@ def time_travel_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         versioned_overwrite,
     )
 
-    base = tempfile.mkdtemp(prefix="time_travel_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("time_travel_")
     path = os.path.join(base, "nation_versions")
     nation = load_table(spark, sf_dir, "nation")
     cur = 0
@@ -2811,15 +2799,11 @@ def corpus_medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup + Gopher repetition gate), gold is per-language corpus stats.
     One operator set, two domains — the reference's car-sales flow and an
     LLM data pipeline are the same engine."""
-    import atexit
-    import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.operators.text import gopher_repetition_filter
     from incremental_data_pipeline_spark.plans.medallion import MedallionPipeline
 
-    base = tempfile.mkdtemp(prefix="corpus_medallion_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("corpus_medallion_")
     pipe = MedallionPipeline(spark, base)
     docs = load_table(spark, sf_dir, "documents")
 
@@ -2876,14 +2860,10 @@ def compact_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     an aggregate over the COMPACTED table. The oracle aggregates the
     original fixture, so a hash match proves the rewrite is lossless; the
     file-count drop itself is asserted here and in tests/test_sinks.py."""
-    import atexit
-    import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.sources import maintenance
 
-    base = tempfile.mkdtemp(prefix="compact_e2e_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("compact_e2e_")
     path = os.path.join(base, "events")
     load_table(spark, sf_dir, "events").repartition(64).write.parquet(path)
     stats = maintenance.compact_table(spark, path)
@@ -2981,14 +2961,10 @@ def compact_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustered table — the oracle proves the rewrite lossless; the
     file-envelope tightening (data-skipping effect) is asserted in
     tests/test_sinks.py."""
-    import atexit
-    import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.sources import maintenance
 
-    base = tempfile.mkdtemp(prefix="zorder_e2e_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("zorder_e2e_")
     path = os.path.join(base, "events")
     load_table(spark, sf_dir, "events").repartition(16).write.parquet(path)
     maintenance.compact_table(spark, path, zorder_cols=["user_id", "value"])
@@ -4089,10 +4065,7 @@ def hybrid_backfill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge_partial_aggs. One merge implementation, one result — the oracle
     is the from-scratch full aggregate, so any seam at the handoff
     boundary (row lost, row double-counted) breaks the hash."""
-    import atexit
     import datetime
-    import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
 
@@ -4104,8 +4077,7 @@ def hybrid_backfill_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_events": F.count(F.lit(1)).cast("bigint"),
     }
-    base = tempfile.mkdtemp(prefix="hybrid_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("hybrid_")
     gold_path = os.path.join(base, "gold")
 
     # batch backfill primes gold with everything at or before the watermark
@@ -4153,12 +4125,8 @@ def orc_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning): events round-trip through an ORC copy and aggregate
     identically to the parquet original (the oracle reads parquet, so any
     loss or type drift in the ORC path breaks the hash)."""
-    import atexit
-    import shutil
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="orc_rt_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("orc_rt_")
     path = os.path.join(base, "events_orc")
     load_table(spark, sf_dir, "events").write.mode("overwrite").orc(path)
     return (
@@ -4194,14 +4162,10 @@ def stream_incremental_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     sees its own epoch already recorded in the current gold and skips,
     making the composed system exactly-once with no window between data
     commit and epoch commit."""
-    import atexit
-    import shutil
-    import tempfile
 
     from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
 
-    base = tempfile.mkdtemp(prefix="stream_gold_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("stream_gold_")
     gold_path = os.path.join(base, "gold_user_type")
     keys = ["user_id", "event_type"]
     sums = {
@@ -4278,12 +4242,8 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema read reconciles both file schemas, null-filling the old
     files — the additive-evolution contract a long-lived ingest layer
     needs. The oracle rebuilds the same null pattern from the source."""
-    import atexit
-    import shutil
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="schema_evo_")
-    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    base = scratch_dir("schema_evo_")
     path = os.path.join(base, "orders_evolving")
     orders = load_table(spark, sf_dir, "orders")
     v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(

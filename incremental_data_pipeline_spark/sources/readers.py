@@ -29,8 +29,14 @@ TABLES = (
 
 
 def _nanos_ts_columns(path: str) -> list[str]:
-    """Columns stored as TIMESTAMP(NANOS) parquet — Spark 4 can only read
-    them as raw int64 (spark.sql.legacy.parquet.nanosAsLong)."""
+    """Columns stored as INT64 TIMESTAMP(NANOS) parquet — Spark 4 can only
+    read those as raw int64 (spark.sql.legacy.parquet.nanosAsLong).
+
+    The physical type matters: legacy INT96 timestamps ALSO surface as
+    ``timestamp[ns]`` in pyarrow's schema, but Spark reads INT96 natively
+    as TimestampType — flagging them here would apply an int64 ``div``
+    to a real timestamp column and break analysis. So only INT64 columns
+    whose arrow type is nanosecond qualify."""
     f = path
     if os.path.isdir(path):
         files = glob.glob(os.path.join(path, "*.parquet"))
@@ -39,14 +45,23 @@ def _nanos_ts_columns(path: str) -> list[str]:
         f = files[0]
     try:
         schema = pq.read_schema(f)
+        meta = pq.read_metadata(f)
     except Exception:
         return []
     import pyarrow as pa
 
+    physical = {}
+    if meta.num_row_groups > 0:
+        rg = meta.row_group(0)
+        for i in range(rg.num_columns):
+            col = rg.column(i)
+            physical[col.path_in_schema] = col.physical_type
     return [
         field.name
         for field in schema
-        if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns"
+        if isinstance(field.type, pa.TimestampType)
+        and field.type.unit == "ns"
+        and physical.get(field.name, "INT64") == "INT64"
     ]
 
 

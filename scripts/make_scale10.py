@@ -1,0 +1,102 @@
+"""Derive a BENCH-ONLY 10x replica of the sf0.1 fixture (~sf1).
+
+The driver ships fixtures up to sf0.1; the scale story needs one honest
+measured point a decade up. This script key-offsets 10 replicas of every
+sf0.1 table so join cardinalities and key distributions scale exactly 10x
+(each replica is a disjoint key universe joined to the shared
+region/nation dims — the same shape TPC-H scaling produces). Content
+columns are perturbed per replica (text suffix, one embedding coordinate
+nudged) so dedup/similarity workloads grow IN SIZE but not in duplicate
+rate — replicating verbatim would make every document a 10-way duplicate
+and measure a different (pathological) workload, not scale.
+
+Output: .scale/sf1/{table}.parquet directories (gitignored, regenerate on
+demand). Correctness gates never read this data — bench only.
+
+Usage: python scripts/make_scale10.py [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from incremental_data_pipeline_spark.session import get_spark
+from incremental_data_pipeline_spark.sources.readers import load_table
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+STRIDE = 10_000_000  # > every key domain at sf0.1
+
+# table -> columns that get the replica offset (key universes disjoint)
+OFFSET_KEYS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_AS_IS = ["region", "nation"]
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else str(
+        Path(__file__).resolve().parent.parent / ".scale" / "sf1"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="make_scale10", master="local[32]",
+                      shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("__r"))
+
+    for name in COPY_AS_IS:
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet")
+        )
+        print("copied", name)
+
+    for name, keys in OFFSET_KEYS.items():
+        df = load_table(spark, SRC, name).crossJoin(reps)
+        for k in keys:
+            df = df.withColumn(
+                k, (F.col(k) + F.col("__r").cast("long") * STRIDE).cast("long")
+            )
+        if name == "documents":
+            # per-replica suffix: sizes scale 10x, duplicate RATE does not
+            df = df.withColumn(
+                "text", F.concat(F.col("text"), F.lit(" r"), F.col("__r"))
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        if name == "embeddings":
+            # nudge one coordinate per replica: near-identical geometry,
+            # but replicas are not bit-identical vectors
+            df = df.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, j: F.when(
+                        j == F.col("__r") % 64,
+                        (x + F.col("__r").cast("float") * F.lit(0.001)).cast(
+                            "float"
+                        ),
+                    ).otherwise(x),
+                ),
+            )
+        df = df.drop("__r").repartition(32)
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+        print("scaled 10x", name)
+
+    spark.stop()
+    print("done ->", out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -199,3 +199,25 @@ def test_parquet_quarantine_clean_dir_is_empty(spark, tmp_path):
     good, quarantined = read_parquet_quarantine(spark, str(land))
     assert quarantined.count() == 0
     assert good.count() > 0
+
+
+def test_int96_timestamps_not_misread_as_nanos(spark, tmp_path):
+    """Legacy INT96 parquet timestamps surface as timestamp[ns] in arrow
+    schemas but Spark reads them natively — the nanos-column probe must
+    NOT flag them (it would div an actual timestamp by 1000)."""
+    from incremental_data_pipeline_spark.sources.readers import (
+        _nanos_ts_columns,
+        load_table,
+    )
+
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        df = spark.sql("SELECT 1 AS id, TIMESTAMP '2024-01-01 00:00:00' AS ts")
+        out = str(tmp_path / "t96.parquet")
+        df.coalesce(1).write.parquet(out)
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    assert _nanos_ts_columns(out) == []
+    got = load_table(spark, str(tmp_path), "t96")
+    assert got.schema["ts"].dataType.typeName() == "timestamp"
+    assert got.count() == 1
