@@ -3071,7 +3071,12 @@ def sample_capped_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.cap_per_stratum(docs, "source", 15, ["doc_id"], salt="cap1")
 
 
-def _semantic_dedup_oracle(nlist: int, threshold: float) -> str:
+def _semantic_dedup_oracle(target_cell: int, threshold: float) -> str:
+    """Dynamic-nlist SemDeDup oracle: nlist = ceil(N/target_cell) computed
+    in SQL (same integer math as ``similarity.auto_nlist``), so cell
+    occupancy — and with it the quadratic within-cell pair scan — stays
+    ~target_cell as the corpus grows instead of fattening linearly. A
+    fixed nlist=8 measured 32x runtime at 10x data; this is the fix."""
     cos_cv = (
         f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
         f"(sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
@@ -3082,7 +3087,12 @@ def _semantic_dedup_oracle(nlist: int, threshold: float) -> str:
     )
     return f"""
     WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
-    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs WHERE vec_id < {nlist}),
+    params AS (
+      SELECT GREATEST(4, LEAST(65536, (count(*) + {target_cell} - 1) // {target_cell}))
+        AS nlist
+      FROM vecs),
+    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs
+              WHERE vec_id < (SELECT nlist FROM params)),
     assign AS (
       SELECT vec_id, v AS cv, cid,
         row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cv} DESC, cid ASC) AS rnk
@@ -3097,13 +3107,17 @@ def _semantic_dedup_oracle(nlist: int, threshold: float) -> str:
     """
 
 
-@query("semantic_dedup_emb", _semantic_dedup_oracle(nlist=8, threshold=0.8))
+@query("semantic_dedup_emb", _semantic_dedup_oracle(target_cell=256, threshold=0.8))
 def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup: cluster into 8 codebook cells (zero
-    -shuffle per-row argmax), drop any vector with a lower-id >= 0.8-cosine
-    neighbor in its cell. Pair scan is quadratic only in cell occupancy."""
+    """SemDeDup-style semantic dedup with corpus-sized cell count
+    (nlist = auto_nlist(N), oracle re-derives it from count(*)): per-row
+    argmax cell assignment stays zero-shuffle, and the quadratic
+    within-cell pair scan stays bounded at ~target_cell occupancy as the
+    corpus grows — the fixed nlist=8 variant measured 32x runtime at 10x
+    data before this change."""
     emb = load_table(spark, sf_dir, "embeddings")
-    codebook = _cached_codebook(emb, sf_dir, 8, "prefix")
+    nlist = _sim.auto_nlist(emb.count(), target_cell=256)
+    codebook = _cached_codebook(emb, sf_dir, nlist, "prefix")
     return _sim.semantic_dedup(emb, codebook, threshold=0.8)
 
 
