@@ -57,6 +57,10 @@ HEADLINE = [
     "text_bigram_coverage",
     "incremental_agg_merge",
     "snapshot_diff_orders",
+    # round-4: corpus-sized bucket params + hierarchical codebook
+    "ann_lsh_auto_topk",
+    "ann_ivf_auto_topk",
+    "ann_ivf2_topk",
 ]
 
 

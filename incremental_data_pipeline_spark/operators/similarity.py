@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from incremental_data_pipeline_spark.functions.util import fan_out
-from incremental_data_pipeline_spark.functions.vector import cosine_q, quantize
+from incremental_data_pipeline_spark.functions.vector import cosine_q, dot_q, quantize
 
 
 MAX_AUTO_PLANES = 24  # 2^24 buckets — occupancy ~60 rows even at 1e9 vectors
@@ -78,6 +78,17 @@ def auto_nlist(
     if n_rows <= 0:
         return min_nlist
     return max(min_nlist, min(max_nlist, (n_rows + target_cell - 1) // target_cell))
+
+
+def let(value: Column, body) -> Column:
+    """Bind ``value`` once per row and reference it cheaply inside
+    ``body`` — a single-element-array ``transform`` acting as a let
+    expression. Catalyst's CollapseProject inlines a named column into
+    EVERY downstream reference, so an expression like a quantized vector
+    or an argmax feeding an N-way transform re-evaluates per element
+    (measured 4-10x blowup on the IVF assign at sf1); a lambda variable
+    is evaluated exactly once."""
+    return F.transform(F.array(value), body).getItem(0)
 
 
 def hyperplanes(num_planes: int, dim: int, table: int = 0) -> list[list[int]]:
@@ -166,11 +177,15 @@ def lsh_topk(
         num_planes = auto_planes(corpus.count())
     planes = hyperplanes(num_planes, dim)
     q = queries.select(
-        F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv")
-    ).withColumn("bucket", _bucket(F.col("qv"), planes))
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col).alias("qv"),
+        let(quantize(vec_col), lambda v: _bucket(v, planes)).alias("bucket"),
+    )
     c = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
-    ).withColumn("bucket", _bucket(F.col("cv"), planes))
+        F.col(id_col).alias("neighbor_id"),
+        quantize(vec_col).alias("cv"),
+        let(quantize(vec_col), lambda v: _bucket(v, planes)).alias("bucket"),
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -224,23 +239,34 @@ def embedding_near_dup(
     """
     if num_planes is None:
         num_planes = auto_planes(corpus.count())
-    b = fan_out(corpus).select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
+    base = fan_out(corpus)
     if num_tables == 1:
-        b = b.withColumn("bucket", _bucket(F.col("v"), hyperplanes(num_planes, dim)))
+        bucket = let(
+            quantize(vec_col),
+            lambda v: _bucket(v, hyperplanes(num_planes, dim)),
+        )
     else:
         # Prefix the table index so equal bit-strings from different plane
         # sets never collide into one bucket.
-        b = b.withColumn(
-            "bucket",
-            F.explode(
-                F.array(
+        bucket = F.explode(
+            let(
+                quantize(vec_col),
+                lambda v: F.array(
                     *[
-                        F.concat(F.lit(f"{t}:"), _bucket(F.col("v"), hyperplanes(num_planes, dim, t)))
+                        F.concat(
+                            F.lit(f"{t}:"),
+                            _bucket(v, hyperplanes(num_planes, dim, t)),
+                        )
                         for t in range(num_tables)
                     ]
-                )
-            ),
+                ),
+            )
         )
+    b = base.select(
+        F.col(id_col).alias("vid"),
+        quantize(vec_col).alias("v"),
+        bucket.alias("bucket"),
+    )
     left = b.select(
         F.col("vid").alias("left_id"), F.col("v").alias("lv"), "bucket"
     )
@@ -330,12 +356,201 @@ def ivf_topk(
             )
         return F.transform(F.slice(cell_scores(vcol), 1, n), lambda s: -s["neg_id"])
 
+    # let-bind the quantized vector: CollapseProject would otherwise inline
+    # the quantize into every per-centroid reference inside top_cells.
     c = fan_out(corpus).select(
-        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("cv")
-    ).withColumn("cell", top_cells(F.col("cv"), 1).getItem(0))
-    q = (
-        queries.select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("qv"))
-        .withColumn("cell", F.explode(top_cells(F.col("qv"), nprobe)))
+        F.col(id_col).alias("neighbor_id"),
+        quantize(vec_col).alias("cv"),
+        let(quantize(vec_col), lambda v: top_cells(v, 1).getItem(0)).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col).alias("qv"),
+        F.explode(
+            let(quantize(vec_col), lambda v: top_cells(v, nprobe))
+        ).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hierarchical_codebook(
+    centroids: list[tuple[int, list[int]]],
+) -> tuple[list[tuple[int, list[int]]], dict[int, list[tuple[int, list[int]]]]]:
+    """Split a flat codebook into two levels: the first ceil(sqrt(nlist))
+    centroids become SUPER-centroids, and every fine centroid maps to its
+    best super by the same (cosine desc, id asc) argmax rule rows use.
+
+    Why: flat IVF assignment costs N×nlist dot products — with
+    nlist ∝ N/target_cell that term is N²/target, the one superlinear
+    residue the sf1 measurement surfaced. Two levels cost
+    N×(s + nlist/s) ≈ N×2√nlist. The mapping is computed driver-side over
+    the tiny codebook (nlist×s integer dots, exact Python ints; the
+    float divide matches the engines' IEEE doubles bit-for-bit, so the
+    DuckDB twin re-derives the identical mapping).
+
+    Reachability invariant: a super's fine list can only be empty when the
+    super is a duplicate of a lower-id super — and then NO row can select
+    it either (same tie-break), so every reachable super has >= 1 fine
+    member and two-level assignment never drops a row.
+    """
+    import math
+
+    n = len(centroids)
+    s = max(1, math.ceil(math.sqrt(n)))
+    supers = centroids[:s]
+
+    def score(a: list[int], b: list[int]) -> float:
+        # scaled dot: dot(a,b)/|b| — argmax-equivalent to cosine for a
+        # fixed a, and the SAME double expression Spark and DuckDB
+        # evaluate, so the mapping is identical in all three places.
+        d = sum(x * y for x, y in zip(a, b))
+        return d / math.sqrt(sum(y * y for y in b))
+
+    fine_by_super: dict[int, list[tuple[int, list[int]]]] = {
+        sid: [] for sid, _ in supers
+    }
+    for cid, vec in centroids:
+        _, neg_best = max((score(vec, svec), -sid) for sid, svec in supers)
+        fine_by_super[-neg_best].append((cid, vec))
+    return supers, fine_by_super
+
+
+def ivf2_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Two-level IVF-flat approximate top-k: rows pick their best SUPER
+    cell (argmax over √nlist literals), then their best FINE cell within
+    it (argmax over that super's members) — same deterministic
+    (cosine desc, id asc) rule at both levels, so the DuckDB oracle
+    reproduces the assignment exactly. Queries probe their best super's
+    top-``nprobe`` fine cells (cross-super misses are the accepted
+    approximation, the standard IMI trade).
+
+    Scale shape: assignment is still a zero-shuffle per-row expression,
+    but the literal work drops from nlist to ~2√nlist scored dots per
+    row — and each scored dot is ONE integer dot product: assignment
+    ranks by ``dot(v, c) / |c|`` (argmax-equivalent to cosine, since
+    |v| is constant within a row) with the centroid norm precomputed
+    driver-side as a double literal, instead of the 3-dot full cosine
+    per (row, centroid) that made the flat auto-nlist variant's
+    interpreted HOF cost dominate at sf1. The rule stays deterministic
+    ((score desc, id asc)) and the oracle reproduces the identical
+    doubles. The candidate equi-join on fine cell id is unchanged from
+    ``ivf_topk``.
+    """
+    import math
+
+    supers, fine = hierarchical_codebook(centroids)
+
+    def _norm(vec: list[int]) -> float:
+        return math.sqrt(sum(x * x for x in vec))  # exact int, then IEEE sqrt
+
+    skeys = [sid for sid, _ in supers]
+    smatrix = F.lit([v for _, v in supers]).cast("array<array<bigint>>")
+    sids = F.lit(skeys).cast("array<int>")
+    snorms = F.lit([_norm(v) for _, v in supers]).cast("array<double>")
+    map_vecs = F.map_from_arrays(
+        F.lit(skeys).cast("array<int>"),
+        F.lit([[v for _, v in fine[sid]] for sid in skeys]).cast(
+            "array<array<array<bigint>>>"
+        ),
+    )
+    map_ids = F.map_from_arrays(
+        F.lit(skeys).cast("array<int>"),
+        F.lit([[cid for cid, _ in fine[sid]] for sid in skeys]).cast(
+            "array<array<int>>"
+        ),
+    )
+    map_norms = F.map_from_arrays(
+        F.lit(skeys).cast("array<int>"),
+        F.lit([[_norm(v) for _, v in fine[sid]] for sid in skeys]).cast(
+            "array<array<double>>"
+        ),
+    )
+
+    def best_super(vcol: Column) -> Column:
+        return -F.array_max(
+            F.transform(
+                smatrix,
+                lambda c, i: F.struct(
+                    (
+                        dot_q(vcol, c).cast("double")
+                        / F.element_at(snorms, i + F.lit(1))
+                    ).alias("score"),
+                    (-F.element_at(sids, i + F.lit(1))).alias("neg_id"),
+                ),
+            )
+        )["neg_id"]
+
+    def fine_cells(vraw: Column, n: int) -> Column:
+        # HOF "let" bindings: a named column computed with withColumn gets
+        # collapse-inlined by Catalyst into EVERY downstream reference, so
+        # the per-row quantize and super argmax would re-evaluate per fine
+        # centroid (measured 10x+ blowup). Wrapping each intermediate in a
+        # single-element array transform binds it to a lambda variable —
+        # evaluated exactly once per row, referenced cheaply inside.
+        def with_q(qv: Column) -> Column:
+            def with_super(scol: Column) -> Column:
+                fine_t = F.struct(
+                    F.element_at(map_vecs, scol).alias("fv"),
+                    F.element_at(map_ids, scol).alias("fi"),
+                    F.element_at(map_norms, scol).alias("fn"),
+                )
+
+                def rank_fine(t: Column) -> Column:
+                    scored = F.reverse(
+                        F.array_sort(
+                            F.transform(
+                                t["fv"],
+                                lambda c, i: F.struct(
+                                    (
+                                        dot_q(qv, c).cast("double")
+                                        / F.element_at(t["fn"], i + F.lit(1))
+                                    ).alias("score"),
+                                    (-F.element_at(t["fi"], i + F.lit(1))).alias(
+                                        "neg_id"
+                                    ),
+                                ),
+                            )
+                        )
+                    )
+                    return F.transform(
+                        F.slice(scored, 1, n), lambda st: -st["neg_id"]
+                    )
+
+                return let(fine_t, rank_fine)
+
+            return let(best_super(qv), with_super)
+
+        return let(quantize(vraw), with_q)
+
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(vec_col).alias("cv"),
+        fine_cells(F.col(vec_col), 1).getItem(0).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col).alias("qv"),
+        F.explode(fine_cells(F.col(vec_col), nprobe)).alias("cell"),
     )
     scored = (
         c.join(F.broadcast(q), "cell")
@@ -423,41 +638,65 @@ def semantic_dedup(
     nlist ~ N/target_cell_size keeps every cell's pair count bounded, the
     whole point of clustering before comparing. No global all-pairs step.
     """
+    import math
+
     matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
     ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+    # Per-centroid norms as literals: assignment ranks by dot(v,c)/|c|
+    # (argmax-equivalent to cosine — |v| is constant within a row), one
+    # integer dot per (row, centroid) instead of three.
+    norms = F.lit(
+        [math.sqrt(sum(x * x for x in vec)) for _, vec in centroids]
+    ).cast("array<double>")
 
     def best_cell(vcol: Column) -> Column:
-        scores = F.reverse(
-            F.array_sort(
-                F.transform(
-                    matrix,
-                    lambda c, i: F.struct(
-                        cosine_q(vcol, c).alias("cos"),
-                        (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
-                    ),
-                )
+        return -F.array_max(
+            F.transform(
+                matrix,
+                lambda c, i: F.struct(
+                    (
+                        dot_q(vcol, c).cast("double")
+                        / F.element_at(norms, i + F.lit(1))
+                    ).alias("score"),
+                    (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
+                ),
             )
-        )
-        return -scores.getItem(0)["neg_id"]
+        )["neg_id"]
 
     cells = fan_out(corpus).select(
-        F.col(id_col), quantize(vec_col).alias("__v")
-    ).withColumn("cell", best_cell(F.col("__v")))
+        F.col(id_col),
+        quantize(vec_col).alias("__v"),
+        let(quantize(vec_col), best_cell).alias("cell"),
+    )
+    # Per-row norm computed ONCE before the barrier: the pair scan then
+    # costs one integer dot per candidate pair (dot/(na*nb), identical
+    # doubles to the full cosine) instead of three.
+    from incremental_data_pipeline_spark.functions.vector import norm_q
+
+    cells = cells.withColumn("__n", norm_q(F.col("__v")))
     # The cell relation feeds BOTH self-join sides and the final join-back;
     # without a barrier the per-row argmax over the codebook (the dominant
     # narrow-map cost) re-executes three times. Materialize once — same
     # pattern as the connected-components edge checkpoint.
     cells = cells.localCheckpoint(eager=False)
     a = cells.select(
-        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"), "cell"
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cell",
     )
     b = cells.select(
-        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"), "cell"
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cell",
     )
     dropped = (
         a.join(b, "cell")
         .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cosine_q(F.col("__va"), F.col("__vb")) >= F.lit(threshold))
+        .filter(
+            (
+                dot_q(F.col("__va"), F.col("__vb")).cast("double")
+                / (F.col("__na") * F.col("__nb"))
+            )
+            >= F.lit(threshold)
+        )
         .select(F.col("__idb").alias(id_col))
         .distinct()
         .withColumn("__dropped", F.lit(True))

@@ -1906,6 +1906,90 @@ def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.ivf_topk(emb, queries_df, codebook, k=3, nprobe=2)
 
 
+def _ivf2_auto_oracle(target_cell: int, nprobe: int, k: int) -> str:
+    """DuckDB twin of ``ivf2_topk`` with auto nlist: two-level assignment
+    (row -> best super -> best fine within super) as two windowed argmax
+    steps, fine->super mapping re-derived with the same rule. Assignment
+    ranks by the scaled dot ``dot(v,c)/|c|`` (argmax-equivalent to
+    cosine; |v| constant per row) — the exact doubles the Spark side
+    computes against its precomputed-norm literals — while the final
+    candidate ranking uses the full cosine."""
+
+    def score(a: str, b: str) -> str:
+        return (
+            f"CAST({_dot(a, b)} AS DOUBLE) / "
+            f"sqrt(CAST({_dot(b, b)} AS DOUBLE))"
+        )
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"CAST({_dot(a, b)} AS DOUBLE) / "
+            f"(sqrt(CAST({_dot(a, a)} AS DOUBLE)) * sqrt(CAST({_dot(b, b)} AS DOUBLE)))"
+        )
+
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
+    params AS (
+      SELECT GREATEST(4, LEAST(65536, (count(*) + {target_cell} - 1) // {target_cell}))
+        AS nlist
+      FROM vecs),
+    sparams AS (SELECT CAST(ceil(sqrt(nlist)) AS BIGINT) AS s FROM params),
+    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs
+              WHERE vec_id < (SELECT nlist FROM params)),
+    supers AS (SELECT cid AS sid, ce AS se FROM cents
+               WHERE cid < (SELECT s FROM sparams)),
+    f2s AS (
+      SELECT cid, ce, sid FROM (
+        SELECT c.cid, c.ce, s.sid,
+          row_number() OVER (PARTITION BY c.cid
+                             ORDER BY {score('ce', 'se')} DESC, s.sid ASC) AS rn
+        FROM cents c CROSS JOIN supers s) WHERE rn = 1),
+    rsuper AS (
+      SELECT vec_id, v, sid FROM (
+        SELECT vec_id, v, s.sid,
+          row_number() OVER (PARTITION BY vec_id
+                             ORDER BY {score('v', 'se')} DESC, s.sid ASC) AS rn
+        FROM vecs CROSS JOIN supers s) WHERE rn = 1),
+    cells AS (
+      SELECT vec_id AS neighbor_id, cv, cell FROM (
+        SELECT r.vec_id, r.v AS cv, f.cid AS cell,
+          row_number() OVER (PARTITION BY r.vec_id
+                             ORDER BY {score('v', 'ce')} DESC, f.cid ASC) AS rn
+        FROM rsuper r JOIN f2s f ON f.sid = r.sid) WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, qv, cell FROM (
+        SELECT r.vec_id, r.v AS qv, f.cid AS cell,
+          row_number() OVER (PARTITION BY r.vec_id
+                             ORDER BY {score('v', 'ce')} DESC, f.cid ASC) AS rn
+        FROM rsuper r JOIN f2s f ON f.sid = r.sid
+        WHERE r.vec_id >= 20 AND r.vec_id < 40) WHERE rn <= {nprobe}),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos('qv', 'cv')} AS cosine
+      FROM cells JOIN probes USING (cell)
+      WHERE neighbor_id != query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER) AS rank
+      FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_ivf2_topk", _ivf2_auto_oracle(target_cell=256, nprobe=2, k=3))
+def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (two-level) IVF ANN: per-row assignment drops from
+    nlist to ~2*sqrt(nlist) dot products — with nlist ∝ N this removes
+    the N×nlist assign term the sf1 measurement surfaced as the last
+    superlinear residue. Both levels use the deterministic
+    (cosine desc, id asc) argmax, so the oracle re-derives the full
+    super->fine->cell assignment from count(*) alone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nlist = _sim.auto_nlist(emb.count(), target_cell=256)
+    codebook = _cached_codebook(emb, sf_dir, nlist, "prefix")
+    queries_df = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    return _sim.ivf2_topk(emb, queries_df, codebook, k=3, nprobe=2)
+
+
 @query("ann_ivf_kmeans_topk")  # rows-only: MLlib-trained centroids are
 # impl-specific — no SQL engine reproduces the codebook. Search recall vs
 # the prefix codebook is asserted in tests/test_similarity.py.
@@ -3076,10 +3160,13 @@ def _semantic_dedup_oracle(target_cell: int, threshold: float) -> str:
     in SQL (same integer math as ``similarity.auto_nlist``), so cell
     occupancy — and with it the quadratic within-cell pair scan — stays
     ~target_cell as the corpus grows instead of fattening linearly. A
-    fixed nlist=8 measured 32x runtime at 10x data; this is the fix."""
-    cos_cv = (
+    fixed nlist=8 measured 32x runtime at 10x data; this is the fix.
+    Assignment ranks by the scaled dot ``dot(v,c)/|c|`` (argmax-
+    equivalent to cosine), matching the Spark side's precomputed-norm
+    literals; the dedup comparison itself stays full cosine."""
+    score_cv = (
         f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
-        f"(sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+        f"sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE))"
     )
     cos_ab = (
         f"CAST({_dot('a.v', 'b.v')} AS DOUBLE) / "
@@ -3095,7 +3182,7 @@ def _semantic_dedup_oracle(target_cell: int, threshold: float) -> str:
               WHERE vec_id < (SELECT nlist FROM params)),
     assign AS (
       SELECT vec_id, v AS cv, cid,
-        row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cv} DESC, cid ASC) AS rnk
+        row_number() OVER (PARTITION BY vec_id ORDER BY {score_cv} DESC, cid ASC) AS rnk
       FROM vecs CROSS JOIN cents),
     cells AS (SELECT vec_id, cv AS v, cid AS cell FROM assign WHERE rnk = 1),
     dropped AS (
