@@ -308,3 +308,38 @@ def test_auto_planes_bounds_bucket_occupancy(spark):
     # assertion rules out degenerate all-in-one-bucket widths, which is
     # what a forgotten fixed B produces at scale.
     assert max_occ <= 16 * target, (n, b, max_occ)
+
+
+def test_hierarchical_codebook_duplicate_supers_stay_consistent(spark):
+    """With two identical super-centroids, the lower id absorbs all fine
+    members AND all rows (same tie-break rule), so the unreachable super's
+    empty fine list can never drop a row — verified by searching a corpus
+    containing exact duplicates of both supers."""
+    from incremental_data_pipeline_spark.operators import similarity as sim
+
+    vecs = {
+        0: [1000000] + [0] * 63,          # super 0
+        1: [1000000] + [0] * 63,          # super 1 — exact duplicate
+        2: [0] * 63 + [1000000],          # super 2, distinct direction
+        3: [707107] * 2 + [0] * 62,
+        4: [0, 1000000] + [0] * 62,
+        5: [500000, 500000] + [0] * 62,
+        6: [0] * 62 + [707107, 707107],
+        7: [1000000] + [0] * 63,          # row duplicate of the supers
+        8: [0] * 63 + [999999],
+    }
+    cb = sorted((i, v) for i, v in vecs.items() if i < 4)
+    supers, fine = sim.hierarchical_codebook(cb)
+    sids = [sid for sid, _ in supers]
+    assert sids == [0, 1]
+    assert fine[1] == []            # duplicate super: empty, unreachable
+    assert {cid for cid, _ in fine[0]} >= {0, 1}
+
+    df = spark.createDataFrame(
+        [(i, [float(x) / 1e6 for x in v]) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>",
+    )
+    out = sim.ivf2_topk(df, df.filter("vec_id < 9"), cb, k=2, nprobe=2)
+    rows = out.collect()
+    # every query got candidates (no row vanished into the empty super)
+    assert {r["query_id"] for r in rows} == set(range(9))
