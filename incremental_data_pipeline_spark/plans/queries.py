@@ -1574,6 +1574,80 @@ def stream_scd1_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bronze_partition_retention",
+    """
+    WITH tagged AS (SELECT strftime(ts, '%Y-%m-%d') AS d FROM events),
+    keep AS (SELECT DISTINCT d FROM tagged ORDER BY d DESC LIMIT 7)
+    SELECT d, CAST(count(*) AS BIGINT) AS n_events
+    FROM tagged JOIN keep USING (d)
+    GROUP BY d
+    """,
+)
+def bronze_partition_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window raw-layer retention: events land day-partitioned
+    (dynamic partition overwrite), then maintenance.expire_partitions
+    keeps the last 7 day-directories — the 'retain N days of bronze'
+    policy, partition deletes only, no rewrite of survivors. The oracle
+    reconstructs the expected surviving window, so an off-by-one in the
+    retention cut or a partition lost to the expiry breaks the hash."""
+    from incremental_data_pipeline_spark.sources.maintenance import (
+        expire_partitions,
+    )
+    from incremental_data_pipeline_spark.sources.sinks import (
+        overwrite_partitions,
+    )
+
+    base = scratch_dir("bronze_retention_")
+    path = os.path.join(base, "bronze_events")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.date_format("ts", "yyyy-MM-dd").alias("d")
+    )
+    overwrite_partitions(ev, path, ["d"])
+    expired = expire_partitions(path, "d", keep_last_n=7)
+    assert all(isinstance(x, str) for x in expired)
+    return (
+        spark.read.parquet(path)
+        # partition-dir values are strings; Spark type-infers DATE, the
+        # oracle keeps VARCHAR — pin the public type.
+        .groupBy(F.col("d").cast("string").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
+    "stream_static_enrich",
+    """
+    SELECT c.c_mktsegment AS segment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events e JOIN customer c ON e.user_id % 1500 = c.c_custkey - 1
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the streaming events source enriched against a
+    BATCH dimension (customer segment), then aggregated — the standard
+    'enrich a stream with a slowly-changing lookup' shape. The static
+    side re-resolves per micro-batch (so a dim refresh is picked up
+    without restarting the query) and Spark broadcasts it under AQE —
+    the stream side never shuffles for the join. The user->customer
+    mapping is a deterministic mod so the DuckDB twin reproduces it."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        (F.col("c_custkey") - 1).alias("cust_mod"), "c_mktsegment"
+    )
+    ev = _stream.read_stream(spark, sf_dir, "events").select(
+        (F.col("user_id") % 1500).alias("cust_mod"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    joined = ev.join(F.broadcast(cust), "cust_mod")
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+    return _stream.run_to_memory(agg, "complete")
+
+
+@query(
     "stream_scd2_dim",
     """
     SELECT user_id, event_type AS last_event_type FROM (

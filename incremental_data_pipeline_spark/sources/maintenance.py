@@ -246,3 +246,25 @@ def vacuum_swap_debris(path: str) -> list[str]:
         _shutil.rmtree(old, ignore_errors=True)
         removed.append(old)
     return removed
+
+
+def expire_partitions(path: str, partition_col: str, keep_last_n: int) -> list[str]:
+    """Partition-level retention for a date-partitioned table: keep the
+    lexicographically-LAST ``keep_last_n`` ``col=value`` directories (ISO
+    dates sort chronologically) and delete the rest — the bronze-layer
+    "keep a rolling window of raw days" policy. Returns the expired
+    partition values (ascending). Driver-side directory bookkeeping only,
+    like ``expire_versions``; the next scan simply lists fewer
+    directories, and partition pruning on survivors is unaffected.
+    Single-writer contract as documented by the swap-based sinks."""
+    import os as _os
+    import shutil as _shutil
+
+    if keep_last_n < 1:
+        raise ValueError(f"keep_last_n must be >= 1, got {keep_last_n}")
+    prefix = f"{partition_col}="
+    parts = sorted(d for d in _os.listdir(path) if d.startswith(prefix))
+    expired = parts[:-keep_last_n]
+    for d in expired:
+        _shutil.rmtree(_os.path.join(path, d), ignore_errors=True)
+    return [d[len(prefix):] for d in expired]

@@ -278,3 +278,21 @@ def test_vacuum_swap_debris_spares_live_backup(spark, tmp_path):
     os.rename(path, path + ".__old__")
     assert maintenance.vacuum_swap_debris(path) == []
     assert sinks.recover_interrupted_swap(path)
+
+
+def test_expire_partitions_keeps_last_n(spark, tmp_path):
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    path = str(tmp_path / "days")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in range(1, 11) for i in range(3)],
+        "id long, d string",
+    )
+    sinks.overwrite_partitions(df, path, ["d"])
+    expired = maintenance.expire_partitions(path, "d", keep_last_n=4)
+    assert expired == [f"2024-01-{d:02d}" for d in range(1, 7)]
+    left = spark.read.parquet(path)
+    assert left.count() == 12
+    assert left.select("d").distinct().count() == 4
+    with pytest.raises(ValueError):
+        maintenance.expire_partitions(path, "d", keep_last_n=0)
