@@ -150,6 +150,11 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "shipping_priority": (1, 0),     # one fact shuffle, dims broadcast
         "supplier_nation_profit": (1, 0),
         "window_frame_stats": (1, 0),    # one shuffle on the partition key
+        # ANN family: corpus never shuffles for the candidate join (query
+        # side broadcast); the only exchange is the per-query top-k window
+        "ann_ivf2_topk": (1, 0),
+        "ann_ivf_auto_topk": (1, 0),
+        "ann_lsh_auto_topk": (1, 0),
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
