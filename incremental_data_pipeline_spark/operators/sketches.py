@@ -86,6 +86,108 @@ def kmv_distinct(
     return agg.select("k_used", "kth_hash", est, ok)
 
 
+def _bottom_k(df: DataFrame, cols: list[str], k: int) -> DataFrame:
+    """Bottom-k distinct public hashes of ``cols`` — the KMV sketch body.
+
+    One distinct aggregation (map-side partial) then TakeOrdered(k); the
+    result is k rows regardless of input size, so everything downstream
+    is control-plane sized."""
+    return df.select(hash64(cols).alias("hv")).distinct().orderBy("hv").limit(k)
+
+
+def kmv_set_ops(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """One-row KMV estimates of |A ∪ B|, |A ∩ B| and Jaccard over the
+    distinct values of ``cols`` in two relations.
+
+    KMV sketches are mergeable: bottom-k(bottom-k(A) ∪ bottom-k(B)) IS
+    the KMV sketch of A ∪ B, so the union estimate is the plain KMV
+    estimator on the merged sketch. For the intersection, any hash in the
+    union sketch that belongs to A must appear in A's own bottom-k (it is
+    among the k smallest of a superset of A's hashes), so membership
+    reduces to semi-joins against the two k-row sketches; with
+    ρ = |K ∩ A ∩ B| / |K|, est_intersect = ρ · est_union
+    [Beyer et al., SIGMOD 2007]. When the union has fewer than k distinct
+    values every estimate is exact.
+
+    Scale shape: one distinct-agg shuffle per side; everything after is
+    k-row frames. Output columns: ``k_used``, ``kth_hash``, ``n_both``,
+    ``est_union``, ``est_intersect``, ``est_jaccard``."""
+    ka = _bottom_k(df_a, cols, k)
+    kb = _bottom_k(df_b, cols, k)
+    merged = ka.unionByName(kb).distinct().orderBy("hv").limit(k)
+    flagged = (
+        merged.join(ka.withColumnRenamed("hv", "ha"), merged.hv == F.col("ha"), "left")
+        .join(kb.withColumnRenamed("hv", "hb"), merged.hv == F.col("hb"), "left")
+        .select(
+            "hv",
+            (F.col("ha").isNotNull() & F.col("hb").isNotNull()).alias("in_both"),
+        )
+    )
+    agg = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+        F.sum(F.col("in_both").cast("long")).cast("long").alias("n_both"),
+    )
+    est_union = F.when(
+        F.col("k_used") < k, F.col("k_used").cast("double")
+    ).otherwise(
+        (F.col("k_used") - F.lit(1)).cast("double")
+        * F.lit(HASH_SPACE)
+        / F.col("kth_hash").cast("double")
+    )
+    rho = F.when(F.col("k_used") > 0, F.col("n_both").cast("double") / F.col("k_used"))
+    return agg.select(
+        "k_used",
+        "kth_hash",
+        "n_both",
+        est_union.alias("est_union"),
+        (rho * est_union).alias("est_intersect"),
+        rho.alias("est_jaccard"),
+    )
+
+
+def kmv_set_ops_oracle_sql(
+    inner_a: str, inner_b: str, value_expr: str, k: int = 256
+) -> str:
+    """DuckDB twin of ``kmv_set_ops``: same md5-prefix hash, same bottom-k
+    merge, same ρ·est_union intersection estimator — bit-identical."""
+    hash_sql = "('0x' || substring(md5(CAST({v} AS VARCHAR)), 1, 8))::BIGINT"
+    ha = hash_sql.format(v=value_expr)
+    return f"""
+    WITH ka AS (SELECT DISTINCT {ha} AS hv FROM ({inner_a}) ORDER BY hv LIMIT {k}),
+    kb AS (SELECT DISTINCT {ha} AS hv FROM ({inner_b}) ORDER BY hv LIMIT {k}),
+    merged AS (
+      SELECT hv FROM (SELECT hv FROM ka UNION SELECT hv FROM kb)
+      ORDER BY hv LIMIT {k}),
+    flagged AS (
+      SELECT m.hv,
+             (m.hv IN (SELECT hv FROM ka) AND m.hv IN (SELECT hv FROM kb))
+               AS in_both
+      FROM merged m),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS k_used,
+             max(hv) AS kth_hash,
+             CAST(sum(CASE WHEN in_both THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      FROM flagged)
+    SELECT k_used, kth_hash, n_both,
+      CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+           ELSE (k_used - 1) * {HASH_SPACE!r} / CAST(kth_hash AS DOUBLE)
+      END AS est_union,
+      (CASE WHEN k_used > 0 THEN CAST(n_both AS DOUBLE) / k_used END)
+        * (CASE WHEN k_used < {k} THEN CAST(k_used AS DOUBLE)
+                ELSE (k_used - 1) * {HASH_SPACE!r} / CAST(kth_hash AS DOUBLE)
+           END) AS est_intersect,
+      CASE WHEN k_used > 0 THEN CAST(n_both AS DOUBLE) / k_used END
+        AS est_jaccard
+    FROM agg
+    """
+
+
 def kmv_oracle_sql(inner: str, value_expr: str, k: int = 256) -> str:
     """DuckDB twin of ``kmv_distinct`` over ``value_expr`` drawn from the
     ``inner`` relation (single hashed expression, no salt)."""

@@ -3186,6 +3186,31 @@ def kmv_distinct_orderparts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kmv_setops_partkeys",
+    _sketches.kmv_set_ops_oracle_sql(
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'",
+        "SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'",
+        "l_partkey",
+        k=256,
+    ),
+)
+def kmv_setops_partkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra: estimated union / intersection / Jaccard between
+    the distinct parts returned ('R') and those accepted ('A') — the
+    mergeable-sketch answer to "how much do these two key universes
+    overlap" without ever shuffling either full key set to one place.
+    Every estimate (not just the row count) is reproduced bit-for-bit by
+    the DuckDB oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return _sketches.kmv_set_ops(
+        li.filter(F.col("l_returnflag") == "R"),
+        li.filter(F.col("l_returnflag") == "A"),
+        ["l_partkey"],
+        k=256,
+    )
+
+
+@query(
     "sample_weighted_docs",
     """
     SELECT doc_id, lang, source, n_chars FROM documents

@@ -62,6 +62,47 @@ def test_kmv_estimate_accuracy_and_prefilter(spark):
     assert pf["est_distinct"] == row["est_distinct"]
 
 
+def test_kmv_set_ops_accuracy_and_exact_small(spark):
+    from incremental_data_pipeline_spark.operators import sketches
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R")
+    b = li.filter(F.col("l_returnflag") == "A")
+    sa = {r[0] for r in a.select("l_partkey").distinct().collect()}
+    sb = {r[0] for r in b.select("l_partkey").distinct().collect()}
+    row = sketches.kmv_set_ops(a, b, ["l_partkey"], k=256).collect()[0]
+    exact_union, exact_inter = len(sa | sb), len(sa & sb)
+    if row["k_used"] < 256:
+        # under-filled sketch is exact by construction
+        assert row["est_union"] == float(exact_union)
+        assert row["est_intersect"] == float(exact_inter)
+    else:
+        # KMV stderr ~ 1/sqrt(k); intersection inherits union error + rho noise
+        assert abs(row["est_union"] - exact_union) / exact_union < 0.25
+        assert abs(row["est_intersect"] - exact_inter) / max(exact_inter, 1) < 0.4
+    # disjoint sets estimate ~zero intersection
+    lo = li.filter(F.col("l_partkey") % 2 == 0)
+    hi = li.filter(F.col("l_partkey") % 2 == 1)
+    d = sketches.kmv_set_ops(lo, hi, ["l_partkey"], k=128).collect()[0]
+    assert d["n_both"] == 0 and d["est_intersect"] == 0.0
+
+
+def test_kmv_set_ops_empty_side(spark):
+    from incremental_data_pipeline_spark.operators import sketches
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    nation = load_table(spark, SF_DIR, "nation")
+    empty = nation.filter(F.lit(False))
+    row = sketches.kmv_set_ops(nation, empty, ["n_nationkey"], k=64).collect()[0]
+    assert row["n_both"] == 0
+    assert row["est_union"] == float(nation.count())
+    assert row["est_intersect"] == 0.0
+    both_empty = sketches.kmv_set_ops(empty, empty, ["n_nationkey"], k=64).collect()[0]
+    assert both_empty["k_used"] == 0
+    assert both_empty["est_jaccard"] is None
+
+
 def test_kmv_small_cardinality_is_exact(spark):
     from incremental_data_pipeline_spark.operators import sketches
     from incremental_data_pipeline_spark.sources.readers import load_table
