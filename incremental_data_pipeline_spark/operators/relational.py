@@ -222,3 +222,71 @@ def sessionize(
         Window.unboundedPreceding, 0
     )
     return df.withColumn("session_idx", F.sum(is_new).over(running).cast("long"))
+
+
+def bloom_build(
+    keys_df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 5,
+) -> list[int]:
+    """Build a Bloom-filter bitmap (list of ``m_bits/64`` longs) over the
+    distinct values of ``keys_df[key_col]``.
+
+    This is the manual twin of Spark's AQE runtime bloom filter
+    (spark.sql.optimizer.runtime.bloomFilter.*) for when the build side is
+    known up front: the bitmap is built DISTRIBUTED (per-hash positions ->
+    per-word bit_or aggregation, one tiny shuffle of <= m/64 groups) and
+    only the finished O(m)-bit bitmap is collected — a control-plane
+    transfer independent of build-side row count, unlike broadcasting the
+    key set itself. Positions use xxhash64(key, seed) which is
+    deterministic across executors and sessions.
+    """
+    n_words = m_bits // 64
+    k = F.col(key_col).cast("string")
+    pos = [
+        F.pmod(F.xxhash64(k, F.lit(i)), F.lit(m_bits)) for i in range(n_hashes)
+    ]
+    words = (
+        keys_df.select(F.explode(F.array(*pos)).alias("p"))
+        .select(
+            (F.col("p") / 64).cast("long").alias("w"),
+            F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(F.col("p"), F.lit(64)).cast("int")).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[r["w"]] = r["bits"]
+    return bitmap
+
+
+def bloom_prefilter(
+    fact: DataFrame,
+    bitmap: list[int],
+    key_col: str,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Keep only fact rows whose ``key_col`` MAY be in the bloom ``bitmap``
+    (no false negatives; false positives are removed by the subsequent
+    exact join).
+
+    Scale shape: the membership test is a pure Tungsten expression over a
+    literal array — it runs inside the scan stage, BEFORE the join
+    shuffle, so at 100 TB the shuffle moves only rows that can match
+    (~selectivity + fp-rate), where a plain shuffle join would move every
+    row. This is exactly what a runtime semi-join reduction buys, made
+    explicit and testable.
+    """
+    m_bits = len(bitmap) * 64
+    lit_words = F.array(*[F.lit(x).cast("long") for x in bitmap])
+    k = F.col(key_col).cast("string")
+    cond = F.lit(True)
+    for i in range(n_hashes):
+        p = F.pmod(F.xxhash64(k, F.lit(i)), F.lit(m_bits))
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        mask = F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int"))
+        cond = cond & (word.bitwiseAND(mask) != 0)
+    return fact.filter(cond)

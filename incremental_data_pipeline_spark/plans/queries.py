@@ -2248,6 +2248,44 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bloom_prejoin_revenue",
+    """
+    SELECT p.p_brand,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 5
+    GROUP BY 1
+    """,
+)
+def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction: revenue of lineitems for small parts
+    (p_size <= 5), with the fact side pre-filtered by a bloom bitmap built
+    from the filtered dim keys BEFORE the join shuffle. At 100 TB the
+    shuffle then moves only ~selectivity of the fact table instead of all
+    of it; the exact join afterwards removes bloom false positives, so the
+    result — and the oracle — is the plain join. The join itself is
+    forced off broadcast (merge hint) to model the
+    dim-too-big-to-broadcast case this pattern exists for."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
+    bitmap = relational.bloom_build(p, "p_partkey", m_bits=1 << 16, n_hashes=5)
+    pruned = relational.bloom_prefilter(li, bitmap, "l_partkey", n_hashes=5)
+    joined = pruned.join(
+        p.hint("merge"), pruned.l_partkey == p.p_partkey
+    )
+    return joined.groupBy("p_brand").agg(
+        dec_sum("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+@query(
     "asof_join_last_order",
     """
     WITH ev AS (SELECT event_id, user_id, ts FROM events),
