@@ -149,3 +149,46 @@ def quota_by_score(
         .filter(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    stratum_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    key_cols: list[str],
+    salt: str = "",
+) -> DataFrame:
+    """Fill a per-stratum TOKEN budget (not a row quota): rows are taken in
+    deterministic hash order within each stratum until the running token
+    total would exceed the stratum's budget — the "2B tokens of code, 500M
+    of forum posts" mix primitive, where document lengths vary too much for
+    row counts to control the mix. A row is kept iff its INCLUSIVE running
+    sum fits the budget, so the selection is a pure function of the corpus
+    (replay-safe) and never overshoots.
+
+    Strata absent from ``budgets`` get budget 0 (dropped) — an explicit
+    recipe beats a silent pass-through.
+
+    Scale shape: one shuffle on the stratum + a running-sum window. A
+    stratum is one partition's worth of WINDOW STATE but the running sum
+    carries one long, and rows past the budget could be pre-pruned by a
+    two-phase variant (hash_sample at ~budget/total_tokens, then exact
+    fill) when a stratum is reducer-hot."""
+    order_key = sample_key(key_cols, salt)
+    budget = None
+    for value, b in sorted(budgets.items()):
+        cond = F.col(stratum_col) == F.lit(value)
+        budget = F.when(cond, F.lit(b)) if budget is None else budget.when(cond, F.lit(b))
+    budget = F.lit(0) if budget is None else budget.otherwise(F.lit(0))
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_key.asc(), *[F.col(c).asc() for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.withColumn("__cum", running)
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

@@ -1260,6 +1260,41 @@ def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_token_budget_mix",
+    """
+    WITH ordered AS (
+      SELECT doc_id, lang, source, n_chars,
+        SUM(n_chars) OVER (
+          PARTITION BY lang
+          ORDER BY ('0x' || substring(md5('tok1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 1000000 ASC, doc_id ASC
+          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars FROM ordered
+    WHERE cum <= CASE lang WHEN 'en' THEN 40000 WHEN 'zh' THEN 8000
+                           WHEN 'de' THEN 5000 ELSE 0 END
+    """,
+)
+def sample_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: fill per-language TOKEN budgets (chars
+    as the token proxy here) in deterministic hash order — the data-recipe
+    primitive where document lengths vary too much for row quotas to
+    control the mix. Inclusive running sum, so the budget is never
+    overshot; languages outside the recipe are dropped explicitly."""
+    from incremental_data_pipeline_spark.operators import sampling as _sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _sampling.token_budget_sample(
+        docs,
+        "lang",
+        "n_chars",
+        {"en": 40000, "zh": 8000, "de": 5000},
+        ["doc_id"],
+        salt="tok1",
+    ).select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
     "sample_quota_longest",
     """
     SELECT doc_id, lang, n_chars FROM (

@@ -286,3 +286,51 @@ def test_semantic_dedup_all_unique_keeps_everything(spark):
     out = sim.semantic_dedup(df, cb, threshold=0.99)
     assert out.filter("NOT kept").count() == 0
     assert out.count() == 6
+
+
+def test_token_budget_sample_semantics(spark):
+    """Budget is never overshot, fill is maximal in hash order, absent
+    strata are dropped, and the selection is partitioning-invariant."""
+    from incremental_data_pipeline_spark.operators import sampling
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    budgets = {"en": 9000, "zh": 2500}
+    out = sampling.token_budget_sample(
+        docs, "lang", "n_chars", budgets, ["doc_id"], salt="t"
+    )
+    rows = out.select("doc_id", "lang", "n_chars").collect()
+    by_lang: dict[str, int] = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + r["n_chars"]
+    assert set(by_lang) <= set(budgets), "a stratum outside the recipe leaked"
+    for lang, total in by_lang.items():
+        assert total <= budgets[lang], (lang, total)
+    # maximal fill: the next doc in hash order must not fit
+    ordered = (
+        docs.withColumn("__h", sampling.sample_key(["doc_id"], "t"))
+        .orderBy("__h", "doc_id")
+        .select("doc_id", "lang", "n_chars")
+        .collect()
+    )
+    chosen = {r["doc_id"] for r in rows}
+    cum: dict[str, int] = {}
+    for r in ordered:
+        if r["lang"] not in budgets:
+            continue
+        cum[r["lang"]] = cum.get(r["lang"], 0) + r["n_chars"]
+        expect_in = cum[r["lang"]] <= budgets[r["lang"]]
+        assert (r["doc_id"] in chosen) == expect_in, r
+    # partitioning invariance
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = {
+            r["doc_id"]
+            for r in sampling.token_budget_sample(
+                docs, "lang", "n_chars", budgets, ["doc_id"], salt="t"
+            ).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert again == chosen
