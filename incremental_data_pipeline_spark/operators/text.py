@@ -407,3 +407,44 @@ def pii_scrub(
         n = n + F.regexp_count(F.col(col), F.lit(pat)).cast("int")
         scrubbed = F.regexp_replace(scrubbed, pat, f"[{name.upper()}]")
     return df.withColumn("n_redactions", n).withColumn(out, scrubbed)
+
+
+def build_postings(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """Inverted index as a relation: one (term, doc, tf) row per distinct
+    term-document pair. Built with one explode + one (term, doc) agg —
+    at corpus scale the index is WRITTEN partitioned/bucketed by ``term``
+    so a query's scan prunes to exactly the posting lists it touches.
+    Document frequency (the rarest-first planning stat) is a groupBy away
+    and oracle-checked via `corpus_vocab_topk`."""
+    return (
+        df.select(F.col(id_col), F.explode(tokens(col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def search_all_terms(
+    postings: DataFrame, terms: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Boolean AND search over the inverted index: documents containing
+    EVERY query term, ranked by summed term frequency.
+
+    Scale shape: the `term IN (...)` filter reaches the posting-list scan
+    (partition pruning on a term-partitioned index), so only the query
+    terms' lists are read; the AND is then one groupBy on the doc id with
+    a having-count — cost is the size of the touched posting lists, never
+    the corpus. (The classic rarest-first semi-join cascade is this same
+    plan with the lists applied in df-order; the single-agg form does it
+    in one shuffle.)"""
+    hits = postings.filter(F.col("term").isin(*terms))
+    return (
+        hits.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.sum("tf").cast("long").alias("relevance"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .drop("n_terms")
+    )

@@ -1200,6 +1200,34 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _text.corpus_vocab_topk(docs, "text", 20)
 
 
+_SEARCH_TERMS = ("dup", "window", "stream")
+
+
+@query(
+    "inverted_search_docs",
+    f"""
+    WITH postings AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN {_SEARCH_TERMS!r}
+      GROUP BY term, doc_id)
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS relevance
+    FROM postings
+    GROUP BY doc_id
+    HAVING count(*) = {len(_SEARCH_TERMS)}
+    """,
+)
+def inverted_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND search through an inverted index: documents containing
+    all three query terms, ranked by summed term frequency. The term
+    filter lands on the posting scan (partition pruning on a
+    term-partitioned index at corpus scale); the AND is one doc-id agg
+    over the touched posting lists only."""
+    docs = load_table(spark, sf_dir, "documents")
+    postings = _text.build_postings(docs, "doc_id", "text")
+    return _text.search_all_terms(postings, list(_SEARCH_TERMS), "doc_id")
+
+
 @query(
     "doc_chunking",
     """

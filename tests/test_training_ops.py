@@ -334,3 +334,44 @@ def test_token_budget_sample_semantics(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert again == chosen
+
+
+def test_inverted_search_matches_bruteforce_and_prunes_partitions(spark, tmp_path):
+    """AND-search equals the brute-force per-doc token check, and against a
+    term-partitioned stored index the query reads ONLY the query terms'
+    posting lists (partition pruning)."""
+    from incremental_data_pipeline_spark.operators import text as text_ops
+
+    docs = _docs(spark)
+    postings = text_ops.build_postings(docs, "doc_id", "text")
+    terms = ["dup", "window", "stream"]
+    got = {
+        (r["doc_id"], r["relevance"])
+        for r in text_ops.search_all_terms(postings, terms, "doc_id").collect()
+    }
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    brute = {
+        (
+            r["doc_id"],
+            sum(1 for x in r["t"] if x in terms),
+        )
+        for r in toks.collect()
+        if all(w in r["t"] for w in terms)
+    }
+    assert got == brute and got
+
+    idx_path = str(tmp_path / "postings")
+    postings.write.partitionBy("term").parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    plan = (
+        text_ops.search_all_terms(stored, terms, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [term" in plan.replace("\n", " "), plan[:1500]
+    got_stored = {
+        (r["doc_id"], r["relevance"])
+        for r in text_ops.search_all_terms(stored, terms, "doc_id").collect()
+    }
+    assert got_stored == got
