@@ -4530,6 +4530,47 @@ def pagerank_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "triangle_count_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN pairs e3 ON e3.a = e1.b AND e3.b = e2.b),
+    per_node AS (
+      SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node),
+    nodes AS (SELECT a AS node FROM pairs UNION SELECT b FROM pairs)
+    SELECT nodes.node AS part_node,
+           CAST(coalesce(per_node.n_triangles, 0) AS BIGINT) AS n_triangles
+    FROM nodes LEFT JOIN per_node ON nodes.node = per_node.node
+    """,
+)
+def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the part co-purchase graph (parts sharing an
+    order are adjacent) via degree orientation — the wedge join is bounded
+    by O(sqrt(m)) out-degree per node even on power-law graphs, so the
+    plan survives hub products that co-occur with everything. The oracle
+    counts the same triangles by id-ordered 3-way join."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    co = li.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    )
+    edges = co.select(
+        F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+    )
+    return _graph.triangle_count(edges).select(
+        F.col("node").alias("part_node"), "n_triangles"
+    )
+
+
+@query(
     "schema_evolution_read",
     """
     SELECT o_orderkey, o_totalprice,

@@ -375,3 +375,48 @@ def test_inverted_search_matches_bruteforce_and_prunes_partitions(spark, tmp_pat
         for r in text_ops.search_all_terms(stored, terms, "doc_id").collect()
     }
     assert got_stored == got
+
+
+def test_triangle_count_known_graph_and_orientation_bound(spark):
+    """Known-graph truth (K4 plus a pendant), robustness to duplicate /
+    reversed / self-loop inputs, and the orientation bound: max oriented
+    out-degree stays at O(sqrt(m)) on a star-plus-clique graph where the
+    hub's undirected degree is far larger."""
+    from incremental_data_pipeline_spark.operators import graph
+
+    # K4 on {1,2,3,4} (4 triangles, each node in 3) + pendant 5-1 (0 tri)
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [(1, 1), (5, 1), (1, 5), (2, 3)]
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in graph.triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 5: 0}
+
+    # hub 0 connected to 60 spokes, spokes form a chain: hub degree 60,
+    # but oriented out-degree of every node must stay small
+    star = [(0, i) for i in range(1, 61)] + [(i, i + 1) for i in range(1, 60)]
+    sdf = spark.createDataFrame(star, "src long, dst long")
+    from pyspark.sql import functions as F
+
+    canon = sdf.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .count()
+    )
+    wd = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("count").alias("da")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("count").alias("db")), "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = wd.select(F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"))
+    max_out = oriented.groupBy("u").count().agg(F.max("count")).collect()[0][0]
+    assert max_out <= 4, max_out  # hub emits ~0 oriented edges
+    # chain triangles: (i, i+1) spokes + hub edges -> triangle (0, i, i+1)
+    tri_total = (
+        graph.triangle_count(sdf).agg(F.sum("n_triangles")).collect()[0][0]
+    )
+    assert tri_total == 59 * 3  # 59 triangles, 3 nodes each
