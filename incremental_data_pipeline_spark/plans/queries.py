@@ -4769,3 +4769,228 @@ def supplier_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # injected once the whole registry exists (module bottom, import-order-safe).
 ORACLE["corpus_curation"] = _curation_oracle()
 ORACLE["corpus_medallion_e2e"] = _corpus_medallion_oracle()
+
+
+# --------------------------------------------------------------------------
+# Round-4 additions: temporal warehouse joins, behavioral funnels, and
+# association analysis — the gold-layer analytics a medallion warehouse
+# serves once the incremental plumbing (SURVEY §2) is in place.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pit_join_scd2",
+    """
+    WITH versions AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             DATE '1995-01-01' AS valid_from
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) + 1000,
+             DATE '1998-01-01'
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT o.o_orderkey, v.c_custkey, v.bal_cents
+    FROM orders o JOIN versions v
+      ON o.o_custkey = v.c_custkey
+     AND v.valid_from <= CAST(o.o_orderdate AS DATE)
+    QUALIFY row_number() OVER (PARTITION BY o.o_orderkey
+                               ORDER BY v.valid_from DESC) = 1
+    """,
+)
+def pit_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join: resolve every fact row against the SCD2 dim
+    version that was current AT THE FACT'S OWN event time (not today's
+    version) — the lookup that makes SCD2 history useful downstream
+    (reference keeps only is_current semantics; this is the read side a
+    versioned dim exists for). Customers get a balance version effective
+    1995-01-01 and every third customer a +1000 re-version effective
+    1998-01-01, so orders straddling the change date resolve to different
+    versions of the same customer.
+
+    Scale shape: the naive formulation is a theta-join (key equal AND
+    valid_from <= event_date, pick latest) — quadratic per key in version
+    count. This routes through ``relational.asof_join``: union both sides,
+    ONE shuffle on the key, and a running last-non-null over the
+    event-time order — linear in rows regardless of how many versions a
+    key accumulates. The oracle does the theta-join + QUALIFY directly,
+    so a wrong version pick (off-by-one at the boundary, ties broken
+    wrong) breaks the hash."""
+    import datetime
+
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    v1 = c.select(
+        "c_custkey",
+        cents.alias("bal_cents"),
+        F.lit(datetime.date(1995, 1, 1)).alias("valid_from"),
+    )
+    v2 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (cents + F.lit(1000)).alias("bal_cents"),
+        F.lit(datetime.date(1998, 1, 1)).alias("valid_from"),
+    )
+    versions = v1.unionByName(v2)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.to_date("o_orderdate").alias("order_day"),
+    )
+    res = relational.asof_join(
+        o, versions, ["c_custkey"], "order_day", "valid_from", ["bal_cents"]
+    )
+    return res.select("o_orderkey", "c_custkey", "bal_cents")
+
+
+@query(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click'
+        AND e.ts > v.t1 AND e.ts <= v.t1 + INTERVAL 1 HOUR
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > c.t2 AND e.ts <= c.t2 + INTERVAL 24 HOUR
+      GROUP BY e.user_id)
+    SELECT CAST(1 AS INT) AS stage, 'view' AS name,
+           CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT CAST(2 AS INT), 'click_within_1h', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT CAST(3 AS INT), 'purchase_within_24h', CAST(count(*) AS BIGINT) FROM p
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-stage funnel with per-stage conversion windows: first
+    view -> first click within 1h of it -> first purchase within 24h of
+    the click, counted per stage. Stage N's anchor time depends on stage
+    N-1's RESULT (not just its existence), so this is inherently
+    multi-pass — three aggregations, each joined to the previous stage's
+    per-user anchor.
+
+    Scale shape: every stage is a groupBy/join keyed on user_id, so all
+    three passes share one partitioning; the stage frames shrink
+    monotonically (funnel property), so passes get cheaper, and each
+    per-user anchor frame carries exactly one row per surviving user.
+    Time-window comparisons stay on full-precision timestamps (µs) in
+    both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 24 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def _stage(df: DataFrame, stage: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        _stage(v, 1, "view")
+        .unionByName(_stage(c, 2, "click_within_1h"))
+        .unionByName(_stage(p, 3, "purchase_within_24h"))
+    )
+
+
+@query(
+    "basket_lift",
+    """
+    WITH pf AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    cnt AS (SELECT l_partkey, count(*) AS n FROM pf GROUP BY l_partkey),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pf),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM pf a JOIN pf b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(support AS BIGINT) AS support,
+           CAST(support * tot.n_orders AS DOUBLE)
+             / CAST(ca.n * cb.n AS DOUBLE) AS lift
+    FROM pairs
+    JOIN cnt ca ON part_a = ca.l_partkey
+    JOIN cnt cb ON part_b = cb.l_partkey
+    CROSS JOIN tot
+    WHERE support >= 3
+    ORDER BY support DESC, part_a, part_b
+    LIMIT 20
+    """,
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: co-purchase pair support and lift
+    (P(a,b) / P(a)P(b)) over order baskets, top-20 by support with a
+    deterministic total-order tie-break. The recommender/affinity
+    primitive over transactional facts.
+
+    Scale shape: the pair generator self-joins the (order, part) facts ON
+    THE ORDER KEY, so fan-out is C(basket_size, 2) per order — bounded by
+    the max basket (13 here), never corpus². Per-part counts and the
+    1-row order total are broadcast back onto the pair aggregate. Lift is
+    computed exactly: integer numerator (support × n_orders) and integer
+    denominator (n_a × n_b) with ONE double division — IEEE-identical in
+    both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pf = li.select("l_orderkey", "l_partkey").distinct()
+    cnt = pf.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = pf.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = pf.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = pf.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ca), "part_a")
+        .join(F.broadcast(cb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            (
+                (F.col("support") * F.col("n_orders")).cast("double")
+                / (F.col("na") * F.col("nb")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(20)
+    )
