@@ -15,7 +15,7 @@ expression text runs under Spark's `expr` and in the DuckDB oracle).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from incremental_data_pipeline_spark.functions.util import fan_out, observation_result
@@ -512,4 +512,83 @@ def simhash_near_dup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact set-similarity join (PPJoin-style, lossless)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold via PREFIX
+    FILTERING — lossless, unlike the ``max_df`` cap (which drops signal
+    from frequent shingles) or MinHash-LSH (probabilistic recall).
+
+    The pigeonhole argument (Chaudhuri/Ganti/Kaushik SSJoin; Xiao et al.
+    PPJoin): order every document's shingles by GLOBAL rarity (ascending
+    document frequency, ties by shingle). If Jaccard(A,B) >= t then
+    |A∩B| >= ceil(t·|A|), so the intersection cannot fit entirely in A's
+    last ceil(t·|A|)-1 shingles — at least one shared shingle lies in A's
+    first |A| - ceil(t·|A|) + 1 (its PREFIX), and symmetrically for B.
+    Joining prefix postings against prefix postings therefore finds every
+    qualifying pair, and exact verification on the candidates removes
+    false positives.
+
+    Scale shape: posting lists shrink from per-shingle document frequency
+    to per-shingle PREFIX frequency — and because prefixes keep each
+    document's globally RAREST shingles, frequent shingles (the
+    mega-bucket stragglers) fall out of most documents' prefixes
+    naturally rather than by a lossy cap. Candidate volume is
+    sum(prefix_df_i²) over rare shingles; verification joins only
+    candidate pairs to their token sets, so cost is candidate-bounded,
+    never corpus². The rarity ranking itself is two shuffles (shingle-df
+    agg, per-doc row_number).
+    """
+    s = doc_shingles(df, id_col, text_col, n)
+    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        s.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    # prefix length |x| - ceil(t·|x|) + 1; a float-rounding overshoot in
+    # ceil only LENGTHENS the prefix (safe direction).
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(id_col, "shingle")
+    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = s.select(F.col(id_col).alias("doc_a"), "shingle")
+    sb = s.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )

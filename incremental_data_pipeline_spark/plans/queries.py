@@ -4994,3 +4994,202 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@query(
+    "dedup_prefix_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i / (sa.sz + sb.sz - i) >= 0.6
+    """,
+)
+def dedup_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS near-dup pairs via prefix filtering (PPJoin-style): the
+    oracle computes textbook all-pairs Jaccard with NO cap and NO
+    sketch, so the hash match proves the prefix filter drops zero
+    qualifying pairs — the guarantee neither ``max_df``-capped Jaccard
+    (lossy on frequent shingles) nor MinHash-LSH (probabilistic recall)
+    can make. See ``dedup.prefix_filter_jaccard_pairs`` for the
+    pigeonhole argument and the candidate-bounded scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.prefix_filter_jaccard_pairs(docs, "doc_id", "text", 3, 0.6)
+
+
+@query(
+    "ivm_join_delta",
+    """
+    SELECT c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view, by the delta rule:
+    with V = (O ⋈ C) aggregated per nation, O = O_old ∪ ΔO and
+    C = C_old ∪ ΔC,
+
+        V = agg(O_old ⋈ C_old)  ∪+  agg(ΔO ⋈ C)  ∪+  agg(O_old ⋈ ΔC)
+
+    (∪+ = merge of additive partials; ΔO ⋈ C covers both ΔO⋈C_old and
+    ΔO⋈ΔC). The query materializes the base view from the OLD sides only
+    (orders before 2000-01-01, customers not divisible by 10), computes
+    the two delta terms, and folds them in with ``cdc.merge_partial_aggs``
+    — never rejoining O_old with C_old. The oracle aggregates the FULL
+    join directly, so the hash match proves the delta algebra is exact.
+
+    Scale shape: at 100 TB the base view is a stored per-key rollup; each
+    refresh costs O(|ΔO| + |ΔC| + matched history of ΔC), not a history
+    rescan. Partial sums stay DECIMAL through the merge (associative,
+    order-free) and cast to double only at the end."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    is_new_o = F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    o_old, o_new = o.filter(~is_new_o), o.filter(is_new_o)
+    is_new_c = F.col("c_custkey") % 10 == 0
+    c_old, c_new = c.filter(~is_new_c), c.filter(is_new_c)
+
+    price_d = F.col("o_totalprice").cast("decimal(18,2)")
+    sums = {
+        "n_orders": F.count(F.lit(1)),
+        "revenue": F.sum(price_d),
+    }
+
+    def view_agg(orders_side: DataFrame, cust_side: DataFrame) -> DataFrame:
+        j = orders_side.join(cust_side, F.col("o_custkey") == F.col("c_custkey"))
+        return j.groupBy("c_nationkey").agg(
+            *[e.alias(name) for name, e in sums.items()]
+        )
+
+    base = view_agg(o_old, c_old)
+    delta = o_new.join(c, F.col("o_custkey") == F.col("c_custkey")).unionByName(
+        o_old.join(c_new, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    merged = cdc.merge_partial_aggs(
+        base, delta, ["c_nationkey"], sums
+    )
+    return merged.select(
+        "c_nationkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )
+
+
+@query(
+    "gapfill_interpolate",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, CAST(ts AS DATE)),
+    bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+               FROM events),
+    spine AS (
+      SELECT u.user_id,
+             CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u CROSS JOIN bounds),
+    joined AS (
+      SELECT s.user_id, s.day, d.cents FROM spine s
+      LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+    ctx AS (
+      SELECT user_id, day, cents,
+        last_value(cents IGNORE NULLS) OVER wb AS prev_v,
+        last_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wb AS prev_d,
+        first_value(cents IGNORE NULLS) OVER wf AS next_v,
+        first_value(CASE WHEN cents IS NOT NULL THEN day END IGNORE NULLS)
+          OVER wf AS next_d
+      FROM joined
+      WINDOW
+        wb AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT user_id, day,
+      CASE
+        WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+        WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+          CAST(prev_v AS DOUBLE)
+          + CAST(next_v - prev_v AS DOUBLE)
+            * (CAST(date_diff('day', prev_d, day) AS DOUBLE)
+               / CAST(date_diff('day', prev_d, next_d) AS DOUBLE))
+        ELSE NULL
+      END AS cents_filled
+    FROM ctx
+    """,
+)
+def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification with LINEAR INTERPOLATION: per-user daily
+    purchase totals on a generated calendar spine; days with no
+    observation get prev + (next-prev) · elapsed/span between their
+    bracketing observations (edges stay NULL — no extrapolation). The
+    sensor/metric gap-repair primitive, one step past carry-forward
+    (``forward_fill_last_purchase``).
+
+    Scale shape: the spine is users × days-in-range (generated from a
+    1-row bounds aggregate, never joined wide); the bracketing
+    observations come from two running windows (last/first ignorenulls)
+    over the same user_id partitioning as the spine join — no self-join,
+    no per-gap search. Interpolation arithmetic performs the identical
+    IEEE op sequence in both engines (double cast, one divide, one
+    multiply, one add), so even the float column hash-matches."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    users = ev.select("user_id").distinct()
+    spine = users.crossJoin(F.broadcast(bounds)).select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    ctx = joined.select(
+        "user_id",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_d")).cast("double") / F.datediff(
+        F.col("next_d"), F.col("prev_d")
+    ).cast("double")
+    filled = (
+        F.when(F.col("cents").isNotNull(), F.col("cents").cast("double"))
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v").cast("double")
+            + (F.col("next_v") - F.col("prev_v")).cast("double") * frac,
+        )
+        .otherwise(F.lit(None).cast("double"))
+    )
+    return ctx.select("user_id", "day", filled.alias("cents_filled"))

@@ -188,3 +188,32 @@ def test_minhash_signature_matches_python_reference(spark):
     assert set(got) == set(rows)
     for doc_id, text in rows.items():
         assert got[doc_id] == py_sig(text), f"doc {doc_id}"
+
+
+def test_prefix_filter_is_lossless(spark):
+    """Prefix filtering must find EXACTLY the pairs that uncapped all-pairs
+    Jaccard finds — the pigeonhole guarantee, checked on the fixture corpus
+    plus a handcrafted near-dup pair whose shared shingles are the CORPUS'S
+    MOST FREQUENT (the case a max_df cap or a too-short prefix would lose)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # Two synthetic docs built from each other: Jaccard well above 0.6.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base + " lambda"
+    extra = spark.createDataFrame(
+        [(900001, base), (900002, near)], ["doc_id", "text"]
+    )
+    corpus = docs.unionByName(extra)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.prefix_filter_jaccard_pairs(
+            corpus, "doc_id", "text", 3, 0.6
+        ).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            corpus, "doc_id", "text", 3, 0.6, max_df=None
+        ).collect()
+    }
+    assert (900001, 900002) in want  # the construction actually qualifies
+    assert got == want
