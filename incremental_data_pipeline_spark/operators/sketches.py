@@ -204,3 +204,77 @@ def kmv_oracle_sql(inner: str, value_expr: str, k: int = 256) -> str:
            TRUE AS prefilter_ok
     FROM mins
     """
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (deterministic, cross-engine reproducible)
+# ---------------------------------------------------------------------------
+
+
+def cms_counters(
+    df: DataFrame, cols: list[str], width: int = 1024, depth: int = 3
+) -> DataFrame:
+    """Count-min sketch counter table [Cormode & Muthukrishnan 2005] over
+    the rows of ``df``: ``depth`` independent hash rows of ``width``
+    counters, as (d, cell, n) rows. The frequency twin of the KMV
+    cardinality sketch, with the same determinism discipline: row hashes
+    are the public md5-prefix ``hash64`` salted per depth ("cms0",
+    "cms1", ...), so any engine rebuilds the identical counters.
+
+    Scale shape: each input row expands to ``depth`` (d, cell) pairs in
+    the map stage, then ONE map-side-combined shuffle collapses them to
+    at most depth×width counters — a fixed-size summary regardless of
+    input row count, mergeable across batches by summing cells (the
+    incremental path: fold a batch's counters into the stored sketch,
+    never rescan history)."""
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("d"),
+                        (hash64(cols, f"cms{j}") % width).cast("int").alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p")
+    ).select("p.d", "p.cell")
+    return pairs.groupBy("d", "cell").agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def cms_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    cols: list[str],
+    width: int = 1024,
+    depth: int = 3,
+    est_alias: str = "cms_est",
+) -> DataFrame:
+    """Point-query the sketch for each row of ``keys``: the estimate is
+    min over the ``depth`` counters the key hashes to — never an
+    undercount; overcounts only from cell collisions (bounded by
+    e·N/width with probability 1 - e^-depth).
+
+    Scale shape: keys explode to ``depth`` cells, equi-join the
+    (≤ depth×width)-row counter table — broadcast-sized by construction —
+    then a min-agg per key. No shuffle of the full data."""
+    cells = keys.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).cast("int").alias("d"),
+                        (hash64(cols, f"cms{j}") % width).cast("int").alias("cell"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(*cols, "p.d", "p.cell")
+    return (
+        cells.join(F.broadcast(counters), ["d", "cell"], "left")
+        .groupBy(*cols)
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias(est_alias))
+    )

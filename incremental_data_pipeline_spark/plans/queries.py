@@ -5193,3 +5193,208 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
     )
     return ctx.select("user_id", "day", filled.alias("cents_filled"))
+
+
+def _cms_hash_sql(expr: str, j: int, width: int) -> str:
+    return (
+        f"('0x' || substring(md5(concat_ws('|', 'cms{j}', "
+        f"CAST({expr} AS VARCHAR))), 1, 8))::BIGINT % {width}"
+    )
+
+
+def _cms_oracle(width: int = 1024, depth: int = 3, k: int = 20) -> str:
+    hash_cols = ", ".join(
+        f"{_cms_hash_sql('l_partkey', j, width)} AS c{j}" for j in range(depth)
+    )
+    counter_ctes = ",\n    ".join(
+        f"counters{j} AS (SELECT c{j} AS cell, count(*) AS n FROM h GROUP BY c{j})"
+        for j in range(depth)
+    )
+    least = ", ".join(f"x{j}.n" for j in range(depth))
+    joins = " ".join(
+        f"JOIN counters{j} x{j} ON t.c{j} = x{j}.cell" for j in range(depth)
+    )
+    return f"""
+    WITH h AS (SELECT l_partkey, {hash_cols} FROM lineitem),
+    {counter_ctes},
+    exact AS (SELECT l_partkey, count(*) AS exact_n FROM lineitem
+              GROUP BY l_partkey),
+    top AS (SELECT l_partkey, exact_n FROM exact
+            ORDER BY exact_n DESC, l_partkey LIMIT {k}),
+    topc AS (SELECT l_partkey, exact_n,
+                    {", ".join(f"{_cms_hash_sql('l_partkey', j, width)} AS c{j}" for j in range(depth))}
+             FROM top)
+    SELECT t.l_partkey, CAST(t.exact_n AS BIGINT) AS exact_n,
+           CAST(least({least}) AS BIGINT) AS cms_est,
+           CAST(least({least}) - t.exact_n AS BIGINT) AS overcount
+    FROM topc t {joins}
+    """
+
+
+@query("cms_heavy_hitters", _cms_oracle())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter frequency estimation with a COUNT-MIN SKETCH: build a
+    3×1024 deterministic counter table over lineitem part keys, then
+    point-query the true top-20 parts and report estimate vs exact (the
+    overcount column is the CMS error — never negative, bounded by cell
+    collisions). The oracle rebuilds the identical counters from the
+    same salted md5 hashes, so sketch construction, cell assignment, AND
+    the min-over-rows estimator are all hash-checked cross-engine —
+    the same oracle-reproducible-sketch discipline as KMV
+    (``operators/sketches.py``).
+
+    Scale shape: the sketch is one map-side-combined shuffle collapsing
+    to ≤ 3072 counters — a fixed-size, MERGEABLE summary (fold per-batch
+    counters by summing cells) that replaces a 100 TB groupBy when only
+    approximate frequencies of probe keys are needed; estimation joins
+    the broadcast-sized counter table, shuffling nothing."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    counters = _sk.cms_counters(li, ["l_partkey"], 1024, 3)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.col("exact_n").desc(), "l_partkey").limit(20)
+    est = _sk.cms_estimate(counters, top.select("l_partkey"), ["l_partkey"], 1024, 3)
+    return top.join(est, "l_partkey").select(
+        "l_partkey",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).cast("bigint").alias("overcount"),
+    )
+
+
+@query(
+    "stream_click_purchase_timeout",
+    """
+    WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT c.user_id, c.ts, p.p_ts
+      FROM clicks c LEFT JOIN purch p
+        ON p.user_id = c.user_id
+       AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 1 HOUR),
+    wm AS (SELECT least(
+        (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+         WHERE event_type = 'click'),
+        (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+         WHERE event_type = 'purchase')) AS w_us)
+    SELECT user_id,
+           CAST(count(p_ts) AS BIGINT) AS n_matched,
+           CAST(sum(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_expired
+    FROM j CROSS JOIN wm
+    WHERE p_ts IS NOT NULL
+       OR epoch_us(ts + INTERVAL 1 HOUR) < w_us
+    GROUP BY user_id
+    """,
+)
+def stream_click_purchase_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark timeout: the
+    abandoned-funnel detector. Matched (click, purchase-within-1h) pairs
+    emit as both sides arrive; a click whose hour expires unmatched emits
+    ONCE, null-padded, when the event-time watermark passes click_ts + 1h
+    — the semantics an inner join cannot express (absence is the signal).
+
+    Determinism contract with the oracle: outer emission is
+    watermark-driven, and the query-global watermark is the MIN over both
+    sides' watermark operators, each millisecond-truncated (Spark tracks
+    watermarks in ms) — here clicks stop hours before purchases, so the
+    click side's max pins the watermark. After the drain the final
+    no-data micro-batch holds it at least(floor_ms(max click ts),
+    floor_ms(max purchase ts)), and an unmatched click emits only where
+    click_ts + 1h < that value; the oracle reproduces the cutoff exactly.
+    State stays bounded by the same eviction (a left row leaves the
+    buffer when its window expires), which is what lets the join run
+    forever on unbounded streams."""
+    ev = _stream.read_stream(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = _stream.stream_interval_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        "p_ts",
+        within="1 hour",
+        delay="0 seconds",
+        how="left_outer",
+    )
+    pairs = _stream.run_to_memory(joined, "append")
+    return pairs.groupBy("user_id").agg(
+        F.count("p_ts").alias("n_matched"),
+        F.sum(F.col("p_ts").isNull().cast("long")).alias("n_expired"),
+    )
+
+
+@query(
+    "profile_drift_orders",
+    """
+    WITH olds AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket FROM orders
+      WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+    news AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS INT) AS bucket FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'),
+    ob AS (SELECT bucket, count(*) AS n_old FROM olds GROUP BY bucket),
+    nb AS (SELECT bucket, count(*) AS n_new FROM news GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM olds) AS t_old,
+                   (SELECT count(*) FROM news) AS t_new)
+    SELECT COALESCE(ob.bucket, nb.bucket) AS bucket,
+           CAST(COALESCE(n_old, 0) AS BIGINT) AS n_old,
+           CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+           CAST(COALESCE(n_old, 0) AS DOUBLE) / t_old AS rate_old,
+           CAST(COALESCE(n_new, 0) AS DOUBLE) / t_new AS rate_new,
+           abs(CAST(COALESCE(n_new, 0) AS DOUBLE) / t_new
+               - CAST(COALESCE(n_old, 0) AS DOUBLE) / t_old) AS rate_shift
+    FROM ob FULL JOIN nb ON ob.bucket = nb.bucket
+    CROSS JOIN tot
+    """,
+)
+def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two snapshots of the same table
+    (orders before vs since 2000-01-01): per price-bucket row counts and
+    rates on both sides, full-outer-joined so a bucket that exists in only
+    one snapshot (mass appearing or vanishing — the classic drift signal)
+    still surfaces, with the absolute rate shift per bucket. The
+    monitoring gate that catches upstream schema/unit changes before they
+    poison a trained model or a gold rollup.
+
+    Scale shape: two filtered bucket aggregations (map-side combined, one
+    shuffle each over ≤ bucket-count groups), a bucket-keyed full outer
+    join over tiny aggregates, and broadcast 1-row totals. History is
+    scanned once per side with the date filter pushed to parquet. All
+    rates are single IEEE divisions of exact integers; the shift is one
+    subtraction of identically-computed doubles — deterministic in both
+    engines."""
+    o = load_table(spark, sf_dir, "orders")
+    split = F.lit("2000-01-01").cast("timestamp")
+    bucket = F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket")
+    olds = o.filter(F.col("o_orderdate") < split).select(bucket)
+    news = o.filter(F.col("o_orderdate") >= split).select(bucket)
+    ob = olds.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_old"))
+    nb = news.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_new"))
+    tot = olds.agg(F.count(F.lit(1)).alias("t_old")).crossJoin(
+        news.agg(F.count(F.lit(1)).alias("t_new"))
+    )
+    j = (
+        ob.join(nb, "bucket", "full")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).cast("bigint").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            (
+                F.coalesce("n_old", F.lit(0)).cast("double") / F.col("t_old")
+            ).alias("rate_old"),
+            (
+                F.coalesce("n_new", F.lit(0)).cast("double") / F.col("t_new")
+            ).alias("rate_new"),
+            F.abs(
+                F.coalesce("n_new", F.lit(0)).cast("double") / F.col("t_new")
+                - F.coalesce("n_old", F.lit(0)).cast("double") / F.col("t_old")
+            ).alias("rate_shift"),
+        )
+    )
+    return j

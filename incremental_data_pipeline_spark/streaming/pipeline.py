@@ -147,9 +147,10 @@ def stream_interval_join(
     right_ts: str,
     within: str = "1 hour",
     delay: str = "35 days",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner interval join: pair a left event with every
-    right event of the same key whose timestamp lands in
+    """Stream-stream interval join: pair a left event with every right
+    event of the same key whose timestamp lands in
     [left_ts, left_ts + within]. The funnel-analysis primitive
     (click → purchase within the hour).
 
@@ -159,7 +160,15 @@ def stream_interval_join(
     unbounded, which is what lets the join run forever on unbounded
     streams. Inner results emit as soon as both sides arrive (append mode);
     the watermark only governs state cleanup and late-drop.
-    """
+
+    ``how='left_outer'`` adds the TIMEOUT semantics: a left row whose join
+    window expires with no match is emitted once, null-padded, WHEN the
+    watermark passes ``left_ts + within`` — the abandoned-funnel detector
+    (clicks that never converted). Outer emission is watermark-driven, so
+    pick ``delay`` small enough that the final no-data micro-batch's
+    watermark (global max event time − delay) flushes the expired rows."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"stream_interval_join supports inner/left_outer; got {how!r}")
     l = left.withWatermark(left_ts, delay)
     r = right.withWatermark(right_ts, delay).select(
         F.col(key).alias("__rkey"), F.col(right_ts).alias(right_ts)
@@ -169,7 +178,7 @@ def stream_interval_join(
         (F.col(key) == F.col("__rkey"))
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {within}")),
-        "inner",
+        how,
     ).drop("__rkey")
 
 

@@ -420,3 +420,34 @@ def test_triangle_count_known_graph_and_orientation_bound(spark):
         graph.triangle_count(sdf).agg(F.sum("n_triangles")).collect()[0][0]
     )
     assert tri_total == 59 * 3  # 59 triangles, 3 nodes each
+
+
+def test_cms_never_undercounts_and_merges(spark):
+    """CMS guarantees est >= exact for every key; and counters built on two
+    disjoint halves, merged by summing cells, must equal counters built on
+    the whole — the incremental-maintenance property."""
+    from incremental_data_pipeline_spark.operators import sketches
+
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_orderkey")
+    counters = sketches.cms_counters(li, ["l_partkey"], 256, 3)
+    exact = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = sketches.cms_estimate(
+        counters, exact.select("l_partkey"), ["l_partkey"], 256, 3
+    )
+    joined = exact.join(est, "l_partkey")
+    under = joined.filter(F.col("cms_est") < F.col("exact_n")).count()
+    assert under == 0
+
+    lo = li.filter(F.col("l_orderkey") % 2 == 0)
+    hi = li.filter(F.col("l_orderkey") % 2 == 1)
+    merged = (
+        sketches.cms_counters(lo, ["l_partkey"], 256, 3)
+        .unionByName(sketches.cms_counters(hi, ["l_partkey"], 256, 3))
+        .groupBy("d", "cell")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    full = {(r["d"], r["cell"]): r["n"] for r in counters.collect()}
+    got = {(r["d"], r["cell"]): r["n"] for r in merged.collect()}
+    assert got == full
