@@ -61,6 +61,13 @@ HEADLINE = [
     "ann_lsh_auto_topk",
     "ann_ivf_auto_topk",
     "ann_ivf2_topk",
+    # round-4: temporal/association analytics + lossless set-similarity
+    "pit_join_scd2",
+    "basket_lift",
+    "dedup_prefix_jaccard",
+    "ivm_join_delta",
+    "cms_heavy_hitters",
+    "stream_click_purchase_timeout",
 ]
 
 

@@ -551,7 +551,11 @@ def prefix_filter_jaccard_pairs(
     never corpus². The rarity ranking itself is two shuffles (shingle-df
     agg, per-doc row_number).
     """
-    s = doc_shingles(df, id_col, text_col, n)
+    # The shingle explode feeds five consumers (df counts, sizes, prefix
+    # ranking, and both verification sides); checkpoint it once instead of
+    # re-running the explode per consumer — linear materialization, same
+    # shared-relation discipline as corpus_curation's survivor set.
+    s = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())

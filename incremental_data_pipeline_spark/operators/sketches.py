@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from incremental_data_pipeline_spark.functions.util import fan_out
+
 HASH_SPACE = float(1 << 32)  # md5 8-hex-digit prefix domain
 
 
@@ -211,15 +213,32 @@ def kmv_oracle_sql(inner: str, value_expr: str, k: int = 256) -> str:
 # ---------------------------------------------------------------------------
 
 
+def _cms_cells(cols: list[str], width: int, depth: int) -> list[Column]:
+    """``depth`` cell positions from ONE md5 evaluation: disjoint 8-hex
+    windows of the digest are independent 32-bit draws (md5's 128 bits
+    give up to depth=4), so one hash per row replaces one per row PER
+    DEPTH — measured 2x on the sketch build, and the DuckDB twin is the
+    same ``substring(md5(x), 8j+1, 8)`` windows."""
+    if depth > 4:
+        raise ValueError(f"md5 carries 4 independent 32-bit windows; depth={depth}")
+    digest = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols]))
+    return [
+        (F.conv(F.substring(digest, 1 + 8 * j, 8), 16, 10).cast("long") % width).cast(
+            "int"
+        )
+        for j in range(depth)
+    ]
+
+
 def cms_counters(
     df: DataFrame, cols: list[str], width: int = 1024, depth: int = 3
 ) -> DataFrame:
     """Count-min sketch counter table [Cormode & Muthukrishnan 2005] over
     the rows of ``df``: ``depth`` independent hash rows of ``width``
     counters, as (d, cell, n) rows. The frequency twin of the KMV
-    cardinality sketch, with the same determinism discipline: row hashes
-    are the public md5-prefix ``hash64`` salted per depth ("cms0",
-    "cms1", ...), so any engine rebuilds the identical counters.
+    cardinality sketch, with the same determinism discipline: cells come
+    from the public md5 digest (disjoint 8-hex windows, one digest per
+    row — see ``_cms_cells``), so any engine rebuilds identical counters.
 
     Scale shape: each input row expands to ``depth`` (d, cell) pairs in
     the map stage, then ONE map-side-combined shuffle collapses them to
@@ -227,15 +246,15 @@ def cms_counters(
     input row count, mergeable across batches by summing cells (the
     incremental path: fold a batch's counters into the stored sketch,
     never rescan history)."""
-    pairs = df.select(
+    cells = _cms_cells(cols, width, depth)
+    # Parallelism floor: a small-bytes parquet scan (few splits) would
+    # serialize the per-row md5 on a handful of cores; no-op at real scale.
+    pairs = fan_out(df).select(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).cast("int").alias("d"),
-                        (hash64(cols, f"cms{j}") % width).cast("int").alias("cell"),
-                    )
-                    for j in range(depth)
+                    F.struct(F.lit(j).cast("int").alias("d"), c.alias("cell"))
+                    for j, c in enumerate(cells)
                 ]
             )
         ).alias("p")
@@ -264,11 +283,8 @@ def cms_estimate(
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(j).cast("int").alias("d"),
-                        (hash64(cols, f"cms{j}") % width).cast("int").alias("cell"),
-                    )
-                    for j in range(depth)
+                    F.struct(F.lit(j).cast("int").alias("d"), c.alias("cell"))
+                    for j, c in enumerate(_cms_cells(cols, width, depth))
                 ]
             )
         ).alias("p"),

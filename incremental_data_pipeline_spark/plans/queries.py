@@ -5196,9 +5196,11 @@ def gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _cms_hash_sql(expr: str, j: int, width: int) -> str:
+    # One md5 digest per key; depth-j cell = the j-th disjoint 8-hex window
+    # (sketches._cms_cells twin).
     return (
-        f"('0x' || substring(md5(concat_ws('|', 'cms{j}', "
-        f"CAST({expr} AS VARCHAR))), 1, 8))::BIGINT % {width}"
+        f"('0x' || substring(md5(CAST({expr} AS VARCHAR)), {1 + 8 * j}, 8))"
+        f"::BIGINT % {width}"
     )
 
 
@@ -5398,3 +5400,190 @@ def profile_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return j
+
+
+def _ann_recall_oracle(num_planes: int = 8, k: int = 3) -> str:
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    bucketed AS (SELECT vec_id, v, {_bucket_sql(num_planes)} AS bucket FROM vecs),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM bucketed
+          WHERE vec_id < 20),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT)
+            AS rank
+        FROM (
+          SELECT query_id, c.vec_id AS neighbor_id, {_COSINE_SQL} AS cosine
+          FROM vecs c CROSS JOIN q
+          CROSS JOIN LATERAL (SELECT c.v AS cv) t
+          WHERE c.vec_id != query_id))
+      WHERE rank <= {k}),
+    lshr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT)
+            AS rank
+        FROM (
+          SELECT query_id, c.vec_id AS neighbor_id, {_COSINE_SQL} AS cosine
+          FROM bucketed c JOIN q USING (bucket)
+          CROSS JOIN LATERAL (SELECT c.v AS cv) t
+          WHERE c.vec_id != query_id))
+      WHERE rank <= {k}),
+    hits AS (SELECT e.query_id, e.neighbor_id
+             FROM exact e JOIN lshr l
+               ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+             / (SELECT count(*) FROM exact) AS recall
+    """
+
+
+@query("ann_lsh_recall", _ann_recall_oracle())
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the hyperplane-LSH ANN path against the exact
+    brute-force ranking, as a query: |LSH top-k ∩ exact top-k| / |exact
+    top-k| over the 20-query probe set. Approximate search is only
+    shippable with its accuracy measured, not guessed — this turns the
+    recall audit into a first-class, oracle-checked operator (both
+    engines rebuild both rankings and must agree on the hit set AND the
+    ratio).
+
+    Scale shape: the exact side is the brute-force verifier (broadcast
+    query side — affordable precisely because the probe set is small);
+    the LSH side is the bucket-bounded production path. The audit runs on
+    a sampled probe set at 100 TB, which is exactly what this query
+    models."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _sim.brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = _sim.lsh_topk(emb, queries, k=3, num_planes=8, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(lsh, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_exact.crossJoin(n_hits).select(
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+@query(
+    "shard_balance_report",
+    """
+    WITH sharded AS (
+      SELECT ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16
+               AS shard,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+    tot AS (SELECT count(*) AS n_total FROM sharded)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(*) * 16 AS DOUBLE) / n_total AS balance_ratio
+    FROM sharded CROSS JOIN tot
+    GROUP BY shard, n_total
+    """,
+)
+def shard_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-sharding for training-data export: every document
+    lands in one of 16 shards by public md5 hash (stable across engines,
+    sessions, and re-runs — a re-export reproduces byte-identical shard
+    membership), with a per-shard balance audit (doc count, token mass,
+    and the ratio to perfect balance) so a skewed shard is caught BEFORE
+    a data loader starves on it.
+
+    Scale shape: one map-side-combined shuffle over 16 groups; the 1-row
+    total broadcasts. At 100 TB the same query audits thousands of
+    shards; the hash assignment itself is the partitioner used to WRITE
+    the export (repartition on shard), so audit and layout agree by
+    construction."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    sharded = docs.select(
+        (_sk.hash64(["doc_id"]) % 16).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    tot = sharded.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sharded.crossJoin(F.broadcast(tot))
+        .groupBy("shard", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "n_tokens",
+            ((F.col("n_docs") * 16).cast("double") / F.col("n_total")).alias(
+                "balance_ratio"
+            ),
+        )
+    )
+
+
+@query(
+    "gdpr_erasure_audit",
+    """
+    WITH erase AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+    after AS (
+      SELECT e.* FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM erase x WHERE x.user_id = e.user_id)),
+    b AS (SELECT event_type, count(*) AS n_before FROM events GROUP BY 1),
+    a AS (SELECT event_type, count(*) AS n_after FROM after GROUP BY 1),
+    leftover AS (
+      SELECT count(*) AS n_leftover FROM after
+      WHERE user_id % 37 = 0)
+    SELECT b.event_type,
+           CAST(b.n_before AS BIGINT) AS n_before,
+           CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+           CAST(b.n_before - COALESCE(a.n_after, 0) AS BIGINT) AS n_erased,
+           CAST(leftover.n_leftover AS BIGINT) AS n_leftover
+    FROM b LEFT JOIN a ON b.event_type = a.event_type
+    CROSS JOIN leftover
+    """,
+)
+def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade with a verifiable audit: a deletion
+    request set (here every 37th user) is anti-joined out of the events
+    history, and the result is a per-event-type before/after/erased
+    ledger PLUS an n_leftover column that must be zero — the compliance
+    proof a regulator audit asks for, produced by the same job that does
+    the erase.
+
+    Scale shape: the request set is small by nature — broadcast (or
+    bloom-prefilter, ``relational.bloom_prefilter``) the anti-join so the
+    100 TB history never shuffles; the physical rewrite rides the
+    partition-overwrite sink (``sources/sinks.py``) touching only
+    partitions that contain matches. Before/after ledgers are two
+    map-side-combined aggregations over ≤ |event_type| groups."""
+    ev = load_table(spark, sf_dir, "events")
+    erase = ev.filter(F.col("user_id") % 37 == 0).select("user_id").distinct()
+    after = ev.join(F.broadcast(erase), "user_id", "left_anti")
+    before_agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_before"))
+    after_agg = after.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_after"))
+    leftover = after.filter(F.col("user_id") % 37 == 0).agg(
+        F.count(F.lit(1)).alias("n_leftover")
+    )
+    return (
+        before_agg.join(after_agg, "event_type", "left")
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "event_type",
+            "n_before",
+            F.coalesce("n_after", F.lit(0)).cast("bigint").alias("n_after"),
+            (F.col("n_before") - F.coalesce("n_after", F.lit(0)))
+            .cast("bigint")
+            .alias("n_erased"),
+            "n_leftover",
+        )
+    )
