@@ -181,3 +181,46 @@ def triangle_count(
     return all_nodes.join(per_node, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Minimum-hop distance from a seed set by synchronous frontier
+    expansion: round h joins the previous frontier to the edge list and
+    anti-joins everything already labeled, so each node is labeled exactly
+    once with its first (= minimum) hop count. Returns (node, hop) for
+    every node within ``max_hops``.
+
+    Scale shape: the same iterative discipline as ``connected_components``
+    — per-round frames are ``localCheckpoint``-ed so lineage stays O(1)
+    instead of O(rounds), each round is one equi-join shuffle on the edge
+    key plus an anti-join against the (monotonically growing) visited set,
+    and the loop is driver-controlled with a FIXED hop budget (the caller
+    chooses the radius, so the plan is unrollable and oracle-checkable).
+    An exhausted frontier short-circuits the remaining rounds."""
+    e = edges.select(src, dst).distinct()
+    visited = (
+        seeds.distinct()
+        .withColumn("hop", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e[src])
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("hop", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -5587,3 +5587,195 @@ def gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_leftover",
         )
     )
+
+
+@query(
+    "bfs_khop_parts",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+    edges AS (SELECT a AS src, b AS dst FROM pairs
+              UNION ALL SELECT b, a FROM pairs),
+    h0 AS (SELECT p_partkey AS node FROM part WHERE p_partkey < 10),
+    h1 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN h0 ON e.src = h0.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)),
+    h2 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN h1 ON e.src = h1.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)
+        AND e.dst NOT IN (SELECT node FROM h1)),
+    h3 AS (
+      SELECT DISTINCT e.dst AS node FROM edges e JOIN h2 ON e.src = h2.node
+      WHERE e.dst NOT IN (SELECT node FROM h0)
+        AND e.dst NOT IN (SELECT node FROM h1)
+        AND e.dst NOT IN (SELECT node FROM h2))
+    SELECT node, CAST(0 AS INT) AS hop FROM h0
+    UNION ALL SELECT node, CAST(1 AS INT) FROM h1
+    UNION ALL SELECT node, CAST(2 AS INT) FROM h2
+    UNION ALL SELECT node, CAST(3 AS INT) FROM h3
+    """,
+)
+def bfs_khop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability (BFS, radius 3) from a seed set over the
+    undirected part co-purchase graph — the blast-radius query
+    (recall/contamination spread, related-item discovery). Every reached
+    node is labeled with its MINIMUM hop distance; the oracle unrolls
+    the same three frontier expansions as chained anti-joined CTEs, so a
+    node labeled at the wrong depth (frontier leak, missed dedup) breaks
+    the hash. See ``graph.bfs_hops`` for the per-round checkpointing and
+    the fixed-budget loop discipline."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    co = (
+        li.alias("l1")
+        .join(
+            li.alias("l2"),
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    edges = co.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        co.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 10)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return _graph.bfs_hops(edges, seeds, max_hops=3)
+
+
+@query(
+    "interleave_sources",
+    """
+    WITH srcs AS (
+      SELECT source,
+             CAST(row_number() OVER (ORDER BY source) AS BIGINT) - 1 AS sidx
+      FROM (SELECT DISTINCT source FROM documents)),
+    stot AS (SELECT CAST(count(*) AS BIGINT) AS s FROM srcs),
+    ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS rn
+      FROM documents)
+    SELECT r.doc_id, r.source, r.rn,
+           (r.rn - 1) * stot.s + srcs.sidx AS position
+    FROM ranked r JOIN srcs USING (source) CROSS JOIN stot
+    """,
+)
+def interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic round-robin interleaving across corpus sources — the
+    training-data ORDER itself as an operator: position
+    (rank_within_source − 1) × n_sources + source_index gives source-
+    alternating order (doc k of every source before doc k+1 of any), so
+    a data loader streaming by position never sees a long single-source
+    run, and a re-export reproduces the identical order.
+
+    Scale shape: deliberately NO global row_number (a single-partition
+    sort at 100 TB); the position is a CLOSED FORM from the per-source
+    rank (partitioned window, scalable) and a broadcast source-index
+    table. Positions have gaps once smaller sources exhaust — harmless
+    for ordering, and the price of staying shuffle-free. Writing sorted
+    output is then a rangepartition-by-position write, Spark's normal
+    distributed sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1)
+            .cast("bigint")
+            .alias("sidx"),
+        )
+    )
+    stot = srcs.agg(F.count(F.lit(1)).alias("s"))
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .cast("bigint")
+        .alias("rn"),
+    )
+    return (
+        ranked.join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(stot))
+        .select(
+            "doc_id",
+            "source",
+            "rn",
+            ((F.col("rn") - 1) * F.col("s") + F.col("sidx")).alias("position"),
+        )
+    )
+
+
+def _join_est_oracle(width: int = 2048, depth: int = 3) -> str:
+    hash_cols = ", ".join(
+        f"{_cms_hash_sql('user_id', j, width)} AS c{j}" for j in range(depth)
+    )
+    counter_ctes = ",\n    ".join(
+        f"counters{j} AS (SELECT c{j} AS cell, count(*) AS n FROM h GROUP BY c{j})"
+        for j in range(depth)
+    )
+    est_rows = " UNION ALL ".join(
+        f"SELECT CAST(sum(n * n) AS BIGINT) AS est FROM counters{j}"
+        for j in range(depth)
+    )
+    return f"""
+    WITH h AS (SELECT user_id, {hash_cols} FROM events),
+    {counter_ctes},
+    ests AS ({est_rows}),
+    exact AS (
+      SELECT CAST(sum(n * n) AS BIGINT) AS exact_size
+      FROM (SELECT count(*) AS n FROM events GROUP BY user_id))
+    SELECT exact.exact_size,
+           (SELECT min(est) FROM ests) AS cms_est,
+           CAST((SELECT min(est) FROM ests) - exact.exact_size AS DOUBLE)
+             / exact.exact_size AS rel_overcount
+    FROM exact
+    """
+
+
+@query("join_size_estimate", _join_est_oracle())
+def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN CARDINALITY ESTIMATION from sketches — the optimizer-statistics
+    primitive: |A ⋈_k B| = Σ_v f_A(v)·f_B(v), estimated per CMS depth row
+    as the inner product of the two counter rows and min-ed across depths
+    [AMS/CMS join-size estimation, Alon-Matias-Szegedy 1996; Cormode-
+    Muthukrishnan 2005]. Here the skew-heavy case: the events self-join
+    on user_id (Σ n_u² — exactly what a naive optimizer underestimates
+    and a shuffle planner needs before committing to a strategy).
+
+    The estimate is an overcount by construction (cell collisions add
+    non-negative cross terms); the oracle rebuilds identical counters
+    from the same md5-window hashes and must agree on exact size,
+    estimate, AND relative error.
+
+    Scale shape: the answer comes from two fixed-size sketches (one
+    map-side-combined shuffle each at build, mergeable incrementally) —
+    the 100 TB join never runs; estimation cost is O(width·depth)."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    counters = _sk.cms_counters(ev, ["user_id"], 2048, 3)
+    ests = counters.groupBy("d").agg(F.sum(F.col("n") * F.col("n")).alias("est"))
+    est_min = ests.agg(F.min("est").cast("bigint").alias("cms_est"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_size"))
+    )
+    return exact.crossJoin(est_min).select(
+        "exact_size",
+        "cms_est",
+        (
+            (F.col("cms_est") - F.col("exact_size")).cast("double")
+            / F.col("exact_size")
+        ).alias("rel_overcount"),
+    )
