@@ -5779,3 +5779,150 @@ def join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("exact_size")
         ).alias("rel_overcount"),
     )
+
+
+@query(
+    "skew_advisor_events",
+    """
+    WITH freq AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows FROM freq)
+    SELECT f.user_id, CAST(f.n AS BIGINT) AS n,
+           CAST(f.n * stats.n_keys AS DOUBLE) / stats.n_rows AS skew_factor,
+           CAST(CASE WHEN f.n * stats.n_keys <= stats.n_rows THEN 1
+                     ELSE CAST(ceil(CAST(f.n * stats.n_keys AS DOUBLE)
+                                    / stats.n_rows) AS BIGINT)
+                END AS BIGINT) AS suggested_salts
+    FROM freq f CROSS JOIN stats
+    ORDER BY f.n DESC, f.user_id LIMIT 10
+    """,
+)
+def skew_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key SKEW ADVISOR: per-key frequency of the hottest join keys,
+    each with its skew factor (count ÷ mean count) and a suggested salt
+    fan-out for ``relational.salted_join`` (ceil of the skew factor —
+    enough salts to bring the hot key's per-reducer share back to the
+    mean). The diagnosis step that decides between a plain shuffle join,
+    AQE skew splitting, and explicit salting BEFORE a 100 TB shuffle
+    commits to the wrong strategy.
+
+    Scale shape: one map-side-combined frequency aggregation, a 1-row
+    stats broadcast, and a top-k (TakeOrdered) — the advisor never
+    shuffles the fact table it advises about. skew_factor is one double
+    division of exact integers; suggested_salts applies ceil to that same
+    division (integer-guarded at exactly-mean)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    freq = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = freq.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    out = (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            (
+                (F.col("n") * F.col("n_keys")).cast("double") / F.col("n_rows")
+            ).alias("skew_factor"),
+            F.when(F.col("n") * F.col("n_keys") <= F.col("n_rows"), F.lit(1))
+            .otherwise(
+                F.ceil(
+                    (F.col("n") * F.col("n_keys")).cast("double") / F.col("n_rows")
+                )
+            )
+            .cast("bigint")
+            .alias("suggested_salts"),
+        )
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(10)
+    )
+    return out
+
+
+@query(
+    "min_cost_supplier",
+    """
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT l_partkey, l_suppkey, unit_cost FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_partkey
+        ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+      FROM unit)
+    WHERE rn = 1
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (the TPC-H Q2 shape: argmin per group
+    over an aggregated relation, derived here from observed lineitem unit
+    prices since the fixtures carry no partsupp). The correlated-subquery
+    formulation (`WHERE cost = (SELECT min ...)`) rescans per group; this
+    is the scalable rewrite — aggregate once, ONE partitioned window with
+    a deterministic tie-break, and Catalyst's WindowGroupLimit keeps only
+    the per-group minimum ahead of the final filter.
+
+    Unit cost is a single division of two exact decimal sums, identical
+    in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+        ).alias("unit_cost")
+    )
+    return relational.topk_per_group(
+        unit, ["l_partkey"], [F.col("unit_cost").asc(), F.col("l_suppkey").asc()], 1
+    ).select("l_partkey", "l_suppkey", "unit_cost")
+
+
+@query(
+    "important_parts_threshold",
+    """
+    WITH value_by_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS part_value
+      FROM lineitem GROUP BY l_partkey),
+    total AS (
+      SELECT CAST(SUM(CAST(part_value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM value_by_part)
+    SELECT l_partkey, part_value
+    FROM value_by_part CROSS JOIN total
+    WHERE part_value * n_parts > total_value * 1.5
+    """,
+)
+def important_parts_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts carrying more than 1.5x the MEAN per-part traded value (the
+    TPC-H Q11 shape: a HAVING clause against a GLOBAL scalar aggregate,
+    with the threshold adaptive to the corpus rather than a magic
+    fraction that degenerates as part count scales). The correlated form
+    re-aggregates the table inside the predicate; here the global stats
+    are ONE extra 1-row aggregate over the already-grouped relation,
+    broadcast into the filter — nothing recomputes per group, and the
+    detail table is scanned and shuffled once. Sums are exact decimals;
+    the compare multiplies identically on both engines (value × n_parts
+    vs total × 2)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    by_part = li.groupBy("l_partkey").agg(
+        dec_sum("l_extendedprice", "part_value")
+    )
+    total = by_part.agg(
+        F.sum(F.col("part_value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("part_value") * F.col("n_parts") > F.col("total_value") * 1.5
+        )
+        .select("l_partkey", "part_value")
+    )
