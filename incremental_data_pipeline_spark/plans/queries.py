@@ -4952,26 +4952,38 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic total-order tie-break. The recommender/affinity
     primitive over transactional facts.
 
-    Scale shape: the pair generator self-joins the (order, part) facts ON
-    THE ORDER KEY, so fan-out is C(basket_size, 2) per order — bounded by
-    the max basket (13 here), never corpus². Per-part counts and the
-    1-row order total are broadcast back onto the pair aggregate. Lift is
+    Scale shape: baskets are assembled ONCE (collect_set per order — one
+    shuffle on the order key) and pairs explode NARROWLY from the sorted
+    basket array via nested array transforms, so pair generation costs
+    C(basket_size, 2) per order with NO self-join and no second shuffle
+    of the facts — the max basket (13 here) bounds the fan-out, never
+    corpus². Per-part counts re-derive from the exploded baskets, and
+    the 1-row order total broadcasts onto the pair aggregate. Lift is
     computed exactly: integer numerator (support × n_orders) and integer
     denominator (n_a × n_b) with ONE double division — IEEE-identical in
     both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    pf = li.select("l_orderkey", "l_partkey").distinct()
-    cnt = pf.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    tot = pf.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a = pf.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .localCheckpoint(eager=True)  # feeds pair explode, counts, and total
     )
-    b = pf.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    cnt = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    pair_structs = F.flatten(
+        F.transform(
+            "parts",
+            lambda x, i: F.transform(
+                F.slice("parts", i + 2, F.size("parts")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "ok")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 3)

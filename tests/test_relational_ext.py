@@ -155,6 +155,16 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "ann_ivf2_topk": (1, 0),
         "ann_ivf_auto_topk": (1, 0),
         "ann_lsh_auto_topk": (1, 0),
+        # round-4 additions
+        "pit_join_scd2": (1, 0),          # as-of union: ONE shuffle on the key
+        "basket_lift": (3, 0),            # basket agg + pair agg + part counts
+        "min_cost_supplier": (2, 0),      # unit-cost agg + per-part window
+        "important_parts_threshold": (2, 0),
+        "skew_advisor_events": (2, 0),    # freq agg + stats partial
+        "cms_heavy_hitters": (4, 0),      # sketch build + exact agg + probes
+        "join_size_estimate": (3, 0),
+        "interleave_sources": (3, 0),     # per-source window; NO global sort
+        "profile_drift_orders": (2, 1),   # tiny full-outer takes one SMJ
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
