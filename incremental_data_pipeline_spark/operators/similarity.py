@@ -709,3 +709,48 @@ def semantic_dedup(
             F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 1,
+) -> DataFrame:
+    """HARD-NEGATIVE MINING for contrastive training: per query, the top-k
+    most-similar corpus vectors with a DIFFERENT label — the examples a
+    metric-learning loss gains the most from, as opposed to random
+    negatives (trivially separable) or same-label neighbors (positives).
+    Same exact-cosine discipline as ``brute_force_topk`` with the label
+    inequality applied BEFORE ranking, so rank k means k-th hardest
+    negative, not k-th neighbor that happens to be negative.
+
+    Scale shape: identical to the brute-force verifier — query side
+    broadcast, corpus side fanned out and never shuffled, per-query
+    window top-k. For production-size mining swap the candidate source
+    for the LSH/IVF bucket join and keep the same label filter."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col).alias("qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize(vec_col).alias("cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("query_label"))
+        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "cosine", "rank")
+    )

@@ -5938,3 +5938,139 @@ def important_parts_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_partkey", "part_value")
     )
+
+
+@query(
+    "hard_negative_mining",
+    f"""
+    WITH vecs AS (SELECT vec_id, label, {_QV} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+          FROM vecs WHERE vec_id < 20),
+    scored AS (
+      SELECT query_id, c.vec_id AS neighbor_id, c.label AS neg_label,
+             {_COSINE_SQL} AS cosine
+      FROM vecs c CROSS JOIN q
+      CROSS JOIN LATERAL (SELECT c.v AS cv) t
+      WHERE c.label != query_label)
+    SELECT query_id, neighbor_id, neg_label, cosine, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INTEGER)
+          AS rank
+      FROM scored)
+    WHERE rank <= 2
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 hardest negatives (most-similar different-label vectors) per
+    probe embedding — the contrastive-training miner. See
+    ``similarity.hard_negatives`` for semantics and the broadcast/fan-out
+    scale shape; the oracle re-ranks the label-filtered candidates
+    exactly, so a positive leaking into the negative set or a rank
+    computed before the label filter breaks the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=2)
+
+
+@query(
+    "train_val_test_split",
+    """
+    WITH assigned AS (
+      SELECT lang,
+        CASE
+          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               < 429496729 THEN 'val'
+          WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               < 858993459 THEN 'test'
+          ELSE 'train'
+        END AS split
+      FROM documents),
+    per_lang AS (SELECT lang, count(*) AS n_lang FROM assigned GROUP BY lang)
+    SELECT a.lang, a.split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / p.n_lang AS frac_of_lang
+    FROM assigned a JOIN per_lang p ON a.lang = p.lang
+    GROUP BY a.lang, a.split, p.n_lang
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by public content
+    hash, with a per-language leakage/balance audit (every (lang, split)
+    cell's count and its share of the language). Hash-split beats random
+    split for training pipelines because membership is a PURE FUNCTION of
+    the document id: re-runs, backfills, and incremental batches can
+    never migrate a document across splits (the subtle leak when
+    rand()-split pipelines re-execute).
+
+    Scale shape: the assignment is a narrow expression in the scan stage;
+    the audit is one map-side-combined aggregation over |lang|×3 groups
+    plus a broadcast per-language total. The same hash thresholds shard
+    any future table identically — cross-table split consistency for
+    free."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+
+    docs = load_table(spark, sf_dir, "documents")
+    hv = _sk.hash64(["doc_id"])
+    assigned = docs.select(
+        "lang",
+        F.when(hv < int(0.1 * _sk.HASH_SPACE), F.lit("val"))
+        .when(hv < int(0.2 * _sk.HASH_SPACE), F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    per_lang = assigned.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        assigned.groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .join(F.broadcast(per_lang), "lang")
+        .select(
+            "lang",
+            "split",
+            "n_docs",
+            (F.col("n_docs").cast("double") / F.col("n_lang")).alias(
+                "frac_of_lang"
+            ),
+        )
+    )
+
+
+@query(
+    "rolling_active_users",
+    """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    bounds AS (SELECT CAST(min(ts) AS DATE) AS lo, CAST(max(ts) AS DATE) AS hi
+               FROM events),
+    cover AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM ud)
+    SELECT c.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS active_7d
+    FROM cover c CROSS JOIN bounds
+    WHERE c.day BETWEEN bounds.lo AND bounds.hi
+    GROUP BY c.day
+    """,
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — the engagement KPI that's
+    quadratic if done naively (per-day distinct over a sliding self-join).
+    Scalable formulation: each (user, active-day) fact is exploded
+    NARROWLY to the ≤7 window days it contributes to, then ONE
+    count-distinct aggregation keyed by day — fan-out bounded by the
+    window length, no range join, no per-day rescan. The generated cover
+    days are clipped to the observed calendar so edge windows match the
+    oracle exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    cover = ud.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("day"),
+    )
+    return (
+        cover.crossJoin(F.broadcast(bounds))
+        .filter(F.col("day").between(F.col("lo"), F.col("hi")))
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_7d"))
+    )
