@@ -143,11 +143,15 @@ def interval_count_join(
     window_seconds: int,
     anchor_id: str,
     count_alias: str = "n_in_window",
+    direction: str = "after",
 ) -> DataFrame:
     """Bucketed batch range join: for every anchor row, count probe rows
     of the same key with timestamp in (anchor_ts, anchor_ts + window]
     (e.g. "clicks within the hour after each purchase" — the batch twin of
-    the streaming interval join).
+    the streaming interval join). ``direction='before'`` flips the window
+    to [anchor_ts - window, anchor_ts): probes STRICTLY BEFORE the anchor
+    — the leakage-safe direction for point-in-time feature joins, where a
+    training label at t may only see history < t.
 
     Scale shape: a naive theta-join on the time inequality is quadratic
     per key. Bucketing both sides to ``window_seconds``-wide epochs makes
@@ -161,12 +165,15 @@ def interval_count_join(
     precision, and second-truncated epochs would misjudge rows within 1 s
     of the window edges (the SQL twin compares full-precision timestamps).
     """
+    if direction not in ("after", "before"):
+        raise ValueError(f"direction must be 'after' or 'before'; got {direction!r}")
     w_us = window_seconds * 1_000_000
     epoch = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     p = probes.select(
         *key_cols, epoch(F.col(ts_col)).alias("__pts"),
         F.floor(epoch(F.col(ts_col)) / w_us).alias("__b"),
     )
+    bucket_shift = 1 if direction == "after" else -1
     a = anchors.select(
         *key_cols, F.col(anchor_id), epoch(F.col(ts_col)).alias("__ats"),
     ).withColumn(
@@ -174,16 +181,20 @@ def interval_count_join(
         F.explode(
             F.array(
                 F.floor(F.col("__ats") / w_us),
-                F.floor(F.col("__ats") / w_us) + 1,
+                F.floor(F.col("__ats") / w_us) + bucket_shift,
             )
         ),
     )
+    in_window = (
+        (F.col("__pts") > F.col("__ats"))
+        & (F.col("__pts") <= F.col("__ats") + w_us)
+        if direction == "after"
+        else (F.col("__pts") < F.col("__ats"))
+        & (F.col("__pts") >= F.col("__ats") - w_us)
+    )
     matched = (
         a.join(p, [*key_cols, "__b"])
-        .filter(
-            (F.col("__pts") > F.col("__ats"))
-            & (F.col("__pts") <= F.col("__ats") + w_us)
-        )
+        .filter(in_window)
         .groupBy(anchor_id)
         .agg(F.count(F.lit(1)).alias(count_alias))
     )

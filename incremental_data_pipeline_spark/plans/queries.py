@@ -6074,3 +6074,107 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").alias("active_7d"))
     )
+
+
+@query(
+    "pit_feature_join",
+    """
+    WITH labels AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT l.event_id, l.user_id,
+           CAST(count(c.ts) AS BIGINT) AS n_clicks_1h_before
+    FROM labels l LEFT JOIN clicks c
+      ON c.user_id = l.user_id
+     AND c.ts < l.ts AND c.ts >= l.ts - INTERVAL 1 HOUR
+    GROUP BY l.event_id, l.user_id
+    """,
+)
+def pit_feature_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE point-in-time feature join: for every training label
+    (a purchase), count the same user's clicks STRICTLY BEFORE the label
+    time within a 1-hour lookback — the feature-store correctness
+    primitive. A plain window join that includes t itself (or anything
+    after) trains on the future; the strict < and the 'before' window
+    direction are the whole point, and the oracle's explicit inequality
+    pair breaks the hash on any off-by-one at either window edge.
+
+    Scale shape: routes through ``relational.interval_count_join(
+    direction='before')`` — the bucketed equi-join (each anchor probes
+    its own and the PREVIOUS bucket), so cost is per-key window density,
+    never a per-key quadratic theta join; zero-history labels survive
+    with count 0 via the final left join. Comparisons run on integer
+    microsecond epochs in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    labels = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = relational.interval_count_join(
+        labels,
+        clicks,
+        ["user_id"],
+        "ts",
+        3600,
+        "event_id",
+        count_alias="n_clicks_1h_before",
+        direction="before",
+    )
+    return out.select("event_id", "user_id", "n_clicks_1h_before")
+
+
+@query(
+    "user_feature_snapshot",
+    """
+    WITH anchor AS (SELECT max(ts) AS t0 FROM events),
+    feats AS (
+      SELECT user_id,
+        sum(CASE WHEN event_type = 'purchase'
+                  AND ts >= t0 - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS n_purch_7d,
+        sum(CASE WHEN event_type = 'click'
+                  AND ts >= t0 - INTERVAL 7 DAY THEN 1 ELSE 0 END) AS n_clicks_7d,
+        sum(CASE WHEN event_type = 'purchase'
+                  AND ts >= t0 - INTERVAL 7 DAY
+                 THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+          AS purch_cents_7d,
+        min(epoch_us(t0) - epoch_us(ts)) AS us_since_last_event
+      FROM events CROSS JOIN anchor
+      GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_purch_7d AS BIGINT) AS n_purch_7d,
+           CAST(n_clicks_7d AS BIGINT) AS n_clicks_7d,
+           CAST(purch_cents_7d AS BIGINT) AS purch_cents_7d,
+           CAST(us_since_last_event AS BIGINT) AS us_since_last_event
+    FROM feats
+    """,
+)
+def user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store materialization: one behavioral feature row per user
+    as of the corpus anchor time (trailing-7-day purchase/click counts,
+    spend in integer cents, and recency in exact microseconds) — the
+    batch-computed snapshot a serving layer would look up at inference.
+
+    Scale shape: ONE pass over the history with conditional aggregation
+    (every feature is a CASE inside the same map-side-combined groupBy
+    — adding features adds columns, not scans or joins) and a broadcast
+    1-row anchor. Recency and windows use integer µs arithmetic, exact
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("t0"))
+    week_ago = F.col("t0") - F.expr("INTERVAL 7 DAY")
+    in_7d = F.col("ts") >= week_ago
+    is_purch = F.col("event_type") == "purchase"
+    is_click = F.col("event_type") == "click"
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.sum((is_purch & in_7d).cast("long")).alias("n_purch_7d"),
+            F.sum((is_click & in_7d).cast("long")).alias("n_clicks_7d"),
+            F.sum(F.when(is_purch & in_7d, cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("purch_cents_7d"),
+            F.min(F.unix_micros(F.col("t0")) - F.unix_micros(F.col("ts")))
+            .cast("bigint")
+            .alias("us_since_last_event"),
+        )
+    )
