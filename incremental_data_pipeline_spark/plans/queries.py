@@ -6178,3 +6178,167 @@ def user_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("us_since_last_event"),
         )
     )
+
+
+@query(
+    "winsorize_values",
+    """
+    WITH fences AS (
+      SELECT quantile_cont(value, 0.01) AS p01,
+             quantile_cont(value, 0.99) AS p99
+      FROM events)
+    SELECT event_id,
+           CAST(round(CASE WHEN value < p01 THEN p01
+                           WHEN value > p99 THEN p99
+                           ELSE value END * 100) AS BIGINT) AS capped_cents,
+           CAST(value < p01 OR value > p99 AS BOOLEAN) AS was_capped
+    FROM events CROSS JOIN fences
+    """,
+)
+def winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile capping) of a numeric feature: values
+    outside the exact [p1, p99] fences are clamped to the fence, with a
+    flag recording which rows were touched — the standard tail-taming
+    step before a scale-sensitive model consumes the column. Exact
+    (interpolated) percentiles, not approx sketches, so both engines
+    derive identical fences; capped output is quantized to integer cents
+    for an order-free hash.
+
+    Scale shape: one exact-percentile aggregation (single shuffle with
+    sorted-run partials) producing a 1-row fence table broadcast into a
+    narrow map over the detail — the detail never shuffles. At extreme
+    scale swap percentile for approx_percentile and lose oracle
+    exactness, not the plan shape."""
+    ev = load_table(spark, sf_dir, "events")
+    q = F.expr("percentile(value, array(0.01D, 0.99D))")
+    fences = ev.agg(q[0].alias("p01"), q[1].alias("p99"))
+    capped = (
+        F.when(F.col("value") < F.col("p01"), F.col("p01"))
+        .when(F.col("value") > F.col("p99"), F.col("p99"))
+        .otherwise(F.col("value"))
+    )
+    return ev.crossJoin(F.broadcast(fences)).select(
+        "event_id",
+        F.round(capped * 100).cast("bigint").alias("capped_cents"),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99"))).alias(
+            "was_capped"
+        ),
+    )
+
+
+@query(
+    "mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, med.med,
+             quantile_cont(abs(e.value - med.med), 0.5) AS mad
+      FROM events e JOIN med ON e.event_type = med.event_type
+      GROUP BY e.event_type, med.med)
+    SELECT e.event_id, e.event_type,
+           CAST(round(e.value * 100) AS BIGINT) AS value_cents
+    FROM events e JOIN mad ON e.event_type = mad.event_type
+    WHERE abs(e.value - mad.med) > 3 * mad.mad
+    """,
+)
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection by MEDIAN ABSOLUTE DEVIATION per group:
+    rows farther than 3×MAD from their group median. Unlike the z-score
+    (events_value_outliers) and the Tukey fence (iqr family), MAD's
+    breakdown point is 50% — the estimator itself survives a
+    contaminated column, which is the realistic data-quality setting.
+
+    Scale shape: two exact-percentile passes (median, then median of
+    absolute deviations — MAD is inherently two-pass), each one shuffle
+    with the tiny per-group stats broadcast back; the detail table never
+    shuffles. Both engines interpolate percentiles identically and apply
+    the same |x−med| > 3·mad comparison."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type", "med").agg(
+        F.expr("percentile(abs(value - med), 0.5D)").alias("mad")
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .filter(F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "encoding_advisor",
+    """
+    WITH stats AS (
+      SELECT 'l_returnflag' AS col_name,
+             CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_distinct,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(octet_length(encode(l_returnflag))) AS BIGINT) AS n_bytes
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_shipinstruct_like', count(DISTINCT l_linestatus), count(*),
+             sum(octet_length(encode(l_linestatus)))
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_orderkey', count(DISTINCT l_orderkey), count(*),
+             count(*) * 8
+      FROM lineitem)
+    SELECT col_name, n_distinct, n_rows, n_bytes,
+           CAST(n_distinct AS DOUBLE) / n_rows AS distinct_ratio,
+           CASE WHEN n_distinct * 20 <= n_rows THEN 'dictionary'
+                ELSE 'plain' END AS advice
+    FROM stats
+    """,
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout advisor: per-column cardinality, row count, and byte
+    mass with a dictionary-vs-plain encoding recommendation (dictionary
+    pays when a column repeats ≥20×) — the profiling step behind parquet
+    encoding and Z-order column choices (``compact_zorder_events``
+    consumes exactly this kind of signal).
+
+    Scale shape: each column's profile is one aggregation; Spark computes
+    all three in a single pass here (unioned single-column aggregates
+    over one cached scan — at 100 TB you'd run one multi-aggregate pass
+    with approx_count_distinct instead, same plan shape, sketched
+    cardinality)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def prof(col_name_out: str, col: str, fixed_bytes: int | None = None) -> DataFrame:
+        nbytes = (
+            (F.count(F.lit(1)) * fixed_bytes).cast("bigint")
+            if fixed_bytes is not None
+            else F.sum(F.octet_length(F.encode(F.col(col), "UTF-8"))).cast("bigint")
+        )
+        return li.agg(
+            F.lit(col_name_out).alias("col_name"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.count(F.lit(1)).alias("n_rows"),
+            nbytes.alias("n_bytes"),
+        )
+
+    stats = (
+        prof("l_returnflag", "l_returnflag")
+        .unionByName(prof("l_shipinstruct_like", "l_linestatus"))
+        .unionByName(prof("l_orderkey", "l_orderkey", fixed_bytes=8))
+    )
+    return stats.select(
+        "col_name",
+        "n_distinct",
+        "n_rows",
+        "n_bytes",
+        (F.col("n_distinct").cast("double") / F.col("n_rows")).alias(
+            "distinct_ratio"
+        ),
+        F.when(F.col("n_distinct") * 20 <= F.col("n_rows"), F.lit("dictionary"))
+        .otherwise(F.lit("plain"))
+        .alias("advice"),
+    )
