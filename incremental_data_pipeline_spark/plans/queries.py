@@ -6342,3 +6342,140 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("plain"))
         .alias("advice"),
     )
+
+
+@query(
+    "aqp_sample_revenue",
+    """
+    WITH sampled AS (
+      SELECT o_totalprice FROM orders
+      WHERE ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+            < 429496729),
+    est AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * 10
+               AS est_revenue
+      FROM sampled),
+    exact AS (
+      SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS exact_revenue
+      FROM orders)
+    SELECT n_sampled, est_revenue, exact_revenue,
+           (est_revenue - exact_revenue) / exact_revenue AS rel_err
+    FROM est CROSS JOIN exact
+    """,
+)
+def aqp_sample_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing on a DETERMINISTIC 10% hash sample:
+    total revenue estimated as 10× the sample sum, reported next to the
+    exact answer and the realized relative error — the AQP pattern
+    (sample once, answer many aggregates fast) with the same
+    hash-Bernoulli determinism as the sampling operators, so the
+    'approximate' answer is still bit-reproducible and oracle-checkable.
+
+    Scale shape: the sample predicate is a narrow expression AT THE SCAN
+    (only sampled rows survive into the aggregate), so the estimate costs
+    ~10% of the exact pass; the exact side here exists only to measure
+    the error. Decimal sums keep both engines' arithmetic identical; the
+    scale-up and error are single IEEE ops."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+
+    o = load_table(spark, sf_dir, "orders")
+    hv = _sk.hash64(["o_orderkey"])
+    sampled = o.filter(hv < int(0.1 * _sk.HASH_SPACE))
+    est = sampled.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double") * 10
+        ).alias("est_revenue"),
+    )
+    exact = o.agg(dec_sum("o_totalprice", "exact_revenue"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "n_sampled",
+        "est_revenue",
+        "exact_revenue",
+        (
+            (F.col("est_revenue") - F.col("exact_revenue")) / F.col("exact_revenue")
+        ).alias("rel_err"),
+    )
+
+
+@query(
+    "file_provenance_counts",
+    """
+    SELECT 'events.parquet' AS file_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events
+    """,
+)
+def file_provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row provenance down to the SOURCE FILE: per-file row counts and id
+    ranges via ``input_file_name()`` — the audit that answers "which
+    upload produced these rows" (bad-batch blame, re-ingest scoping,
+    min/max pruning stats per file). The fixture is one file per table,
+    so the oracle pins the basename and the whole-table stats; in
+    production the same query fans out per file and its min/max columns
+    are exactly what a file-skipping reader prunes on.
+
+    Scale shape: input_file_name is a zero-cost scan-stage expression;
+    the aggregate is one map-side-combined shuffle over #files groups."""
+    ev = load_table(spark, sf_dir, "events")
+    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    return ev.groupBy(fname.alias("file_name")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").cast("bigint").alias("min_id"),
+        F.max("event_id").cast("bigint").alias("max_id"),
+    )
+
+
+@query(
+    "revenue_share_window",
+    """
+    SELECT n_name, order_year, revenue,
+           revenue / CAST(sum(CAST(revenue AS DECIMAL(18,2)))
+                          OVER (PARTITION BY order_year) AS DOUBLE)
+             AS share_of_year
+    FROM (
+      SELECT n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+               AS order_year,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT))
+    """,
+)
+def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total window (the RATIO_TO_REPORT shape): each nation's
+    share of its year's revenue — aggregate once, then a window sum over
+    the ALREADY-AGGREGATED relation, so the window runs over ~|nations|×
+    |years| rows, not the fact table.
+
+    Determinism: a window sum over DOUBLES is partition-order-sensitive
+    (surfaced immediately by the oracle gate), so the window total
+    re-casts the 2-dp revenues to DECIMAL — associative, order-free —
+    and the share is ONE double division of identical operands. The same
+    decimal-through-the-aggregate discipline as every money sum in this
+    registry."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(dec_sum("o_totalprice", "revenue"))
+    )
+    w = Window.partitionBy("order_year")
+    return agg.select(
+        "n_name",
+        "order_year",
+        "revenue",
+        (
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
+        ).alias("share_of_year"),
+    )
