@@ -6479,3 +6479,198 @@ def revenue_share_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum(F.col("revenue").cast("decimal(18,2)")).over(w).cast("double")
         ).alias("share_of_year"),
     )
+
+
+@query(
+    "user_trend_slopes",
+    """
+    WITH pts AS (
+      SELECT user_id,
+             epoch_us(ts) // 1000000
+               - min(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'),
+    sums AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY user_id)
+    SELECT user_id, n,
+           CASE WHEN n * sxx - sx * sx != 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_cents_per_sec
+    FROM sums
+    """,
+)
+def user_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity TREND DETECTION as exact SQL: the OLS slope of purchase
+    value over time for every user, via the closed form
+    (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) — regression WITHOUT a UDF, a
+    Python loop, or an ML library. x is seconds since the user's first
+    purchase (bounding every product inside BIGINT), y is integer cents;
+    all five sufficient statistics come from ONE map-side-combined
+    aggregation, and the slope is a single division of exact integers —
+    bit-identical across engines. Degenerate users (single point or zero
+    x-variance) yield NULL, not a crash.
+
+    Scale shape: this is the feature-extraction pattern for millions of
+    entities — one shuffle on the entity key, five sums per group; adding
+    intercept/R² adds expressions, not passes."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    sec = (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000)).cast(
+        "long"
+    )
+    w = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        (sec - F.min(sec).over(w)).alias("x"),
+        F.round(F.col("value") * 100).cast("bigint").alias("y"),
+    )
+    sums = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "user_id",
+        "n",
+        F.when(den != 0, num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_sec"
+        ),
+    )
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS t_next
+      FROM events),
+    held AS (
+      SELECT user_id, cents, t_next - t AS dt_us
+      FROM seq WHERE t_next IS NOT NULL)
+    SELECT user_id,
+           CAST(sum(cents * dt_us) AS BIGINT) AS weighted_sum,
+           CAST(sum(dt_us) AS BIGINT) AS span_us,
+           CAST(sum(cents * dt_us) AS DOUBLE) / sum(dt_us) AS twap_cents
+    FROM held GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average (TWAP) per user: each observation's value is
+    weighted by how long it was the latest one (lead(ts) − ts), the
+    correct mean for irregularly-sampled state — a plain AVG over-weights
+    bursts (the financial/sensor staple). Weights are exact integer
+    microseconds, values integer cents, so the weighted sum is an exact
+    BIGINT and the final TWAP is one IEEE division — hash-stable.
+
+    Scale shape: one window pass for the holding interval (shuffle on the
+    entity key) and one aggregation reusing the same partitioning; a
+    deterministic (ts, event_id) tie-break keeps lead() reproducible
+    under concurrent-timestamp events."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("t_next"),
+    )
+    held = seq.filter(F.col("t_next").isNotNull()).select(
+        "user_id", "cents", (F.col("t_next") - F.col("t")).alias("dt_us")
+    )
+    return held.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dt_us")).cast("bigint").alias("weighted_sum"),
+        F.sum("dt_us").cast("bigint").alias("span_us"),
+        (
+            F.sum(F.col("cents") * F.col("dt_us")).cast("double") / F.sum("dt_us")
+        ).alias("twap_cents"),
+    )
+
+
+@query(
+    "cohort_ltv",
+    """
+    WITH first_seen AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id),
+    purchases AS (
+      SELECT e.user_id, f.cohort_week,
+             CAST(floor(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7)
+                  AS INT) AS week_n,
+             CAST(round(e.value * 100) AS BIGINT) AS cents
+      FROM events e JOIN first_seen f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase'),
+    weekly AS (
+      SELECT cohort_week, week_n,
+             CAST(sum(cents) AS BIGINT) AS rev_cents,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS active_users
+      FROM purchases GROUP BY cohort_week, week_n)
+    SELECT cohort_week, week_n, rev_cents, active_users,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY week_n
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_rev_cents
+    FROM weekly
+    """,
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LIFETIME-VALUE curves: users grouped by first-seen week,
+    revenue accumulated per weeks-since-signup — the running total whose
+    trajectory per cohort is the LTV curve a growth model fits
+    (complements ``retention_cohorts``, which tracks presence, not
+    value). Revenue stays integer cents end-to-end, so even the running
+    window sum is exact.
+
+    Scale shape: first-seen is one min-aggregation; the cohort tag joins
+    back broadcast; weekly rollup is one shuffle on (cohort, week); the
+    cumulative window runs over the tiny rolled-up relation, not the
+    events."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(first_seen), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_n"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    weekly = purchases.groupBy("cohort_week", "week_n").agg(
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_n")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return weekly.select(
+        "cohort_week",
+        "week_n",
+        "rev_cents",
+        "active_users",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
