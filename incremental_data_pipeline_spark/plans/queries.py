@@ -6674,3 +6674,103 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "active_users",
         F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
     )
+
+
+@query(
+    "active_day_streaks",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    grouped AS (
+      SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                        AS INT) AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak_len,
+             min(day) AS streak_start
+      FROM grouped GROUP BY user_id, grp)
+    SELECT user_id, streak_len, streak_start FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY streak_len DESC, streak_start ASC) AS rn
+      FROM streaks)
+    WHERE rn = 1
+    """,
+)
+def active_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user — the classic
+    GAPS-AND-ISLANDS: consecutive days share the constant (day −
+    row_number) island key, so streaks fall out of one window plus one
+    aggregation, no self-join and no iteration. Ties resolve to the
+    earliest streak for determinism.
+
+    Scale shape: everything is keyed on user_id — the distinct, the
+    window, the island aggregation, and the final per-user argmax share
+    one partitioning; Catalyst collapses them into a single shuffle's
+    worth of exchanges."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.withColumn(
+        "grp", F.date_sub("day", F.row_number().over(w))
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("day").alias("streak_start"),
+    )
+    return relational.topk_per_group(
+        streaks,
+        ["user_id"],
+        [F.col("streak_len").desc(), F.col("streak_start").asc()],
+        1,
+    ).select("user_id", "streak_len", "streak_start")
+
+
+@query(
+    "disorder_report",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             greatest(CAST(max(epoch_us(ts)) OVER (PARTITION BY user_id
+                 ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING) - epoch_us(ts) AS BIGINT), 0) AS late_us
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_out_of_order,
+           CAST(max(late_us) AS BIGINT) AS max_late_us,
+           quantile_cont(CAST(late_us AS DOUBLE), 0.99) AS p99_late_us
+    FROM seq GROUP BY event_type
+    """,
+)
+def disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile of an event stream IN ARRIVAL ORDER
+    (event_id): per event type, how many events arrived with a timestamp
+    behind the running maximum, and how far behind (max and exact p99
+    lateness in µs). This is the measurement that TUNES every
+    ``withWatermark`` delay in the streaming layer — a delay below the
+    real p99 silently drops data, one far above it bloats state; guessing
+    is how both happen.
+
+    Scale shape: one running-max window per arrival key and one
+    aggregation; lateness stays integer µs, and the single float output
+    (p99) is the same interpolated percentile in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    late = F.greatest(
+        (F.max(t).over(w) - t).cast("bigint"), F.lit(0).cast("bigint")
+    )
+    seq = ev.select("event_type", late.alias("late_us"))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("late_us") > 0).cast("long")).cast("bigint").alias(
+            "n_out_of_order"
+        ),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+        F.expr("percentile(CAST(late_us AS DOUBLE), 0.99D)").alias("p99_late_us"),
+    )
