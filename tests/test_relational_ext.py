@@ -244,3 +244,67 @@ def test_bloom_prefilter_no_false_negatives_and_prunes(spark):
     assert fact_scan != -1
     join_at = plan.find("SortMergeJoin")
     assert plan.find("xxhash64") < join_at or plan.rfind("xxhash64") > 0
+
+
+def test_bfs_hops_handcrafted_graph(spark):
+    """Min-hop labels on a known graph: chain 1-2-3-4 plus a shortcut 1-4
+    — node 4 must label hop 1 (via the shortcut), never hop 3; node 5 is
+    unreachable and must be absent."""
+    from incremental_data_pipeline_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (1, 4), (5, 5)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds, 3).collect()}
+    assert got == {1: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_interval_count_join_before_direction_edges(spark):
+    """direction='before' must be STRICT at the anchor (leakage guard) and
+    inclusive at the window start: probes at t-window and t-1 count, the
+    probe exactly AT the anchor does not."""
+    import datetime as dt
+
+    from incremental_data_pipeline_spark.operators.relational import (
+        interval_count_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    anchors = spark.createDataFrame(
+        [(1, 100, t0)], ["user_id", "event_id", "ts"]
+    )
+    probes = spark.createDataFrame(
+        [
+            (1, t0),                                  # at anchor: excluded
+            (1, t0 - dt.timedelta(seconds=1)),        # inside
+            (1, t0 - dt.timedelta(seconds=3600)),     # at window start: included
+            (1, t0 - dt.timedelta(seconds=3601)),     # too old
+            (1, t0 + dt.timedelta(seconds=1)),        # future: excluded
+        ],
+        ["user_id", "ts"],
+    )
+    out = interval_count_join(
+        anchors, probes, ["user_id"], "ts", 3600, "event_id",
+        count_alias="n", direction="before",
+    ).collect()
+    assert out[0]["n"] == 2
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """No returned negative may share the query's label, and ranks must be
+    contiguous from 1 per query."""
+    from incremental_data_pipeline_spark.operators.similarity import hard_negatives
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    out = hard_negatives(emb, emb.filter("vec_id < 10"), k=3).collect()
+    by_q = {}
+    for r in out:
+        assert labels[r["neighbor_id"]] == r["neg_label"]
+        assert r["neg_label"] != labels[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for q, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
