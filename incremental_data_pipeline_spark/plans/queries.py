@@ -6774,3 +6774,236 @@ def disorder_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("late_us").cast("bigint").alias("max_late_us"),
         F.expr("percentile(CAST(late_us AS DOUBLE), 0.99D)").alias("p99_late_us"),
     )
+
+
+@query(
+    "market_share_brand",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+      CAST(SUM(CASE WHEN p_brand = 'Brand#13'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS brand_revenue,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        AS DOUBLE) AS total_revenue,
+      CAST(SUM(CASE WHEN p_brand = 'Brand#13'
+        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+        ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+            AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    GROUP BY order_year
+    """,
+)
+def market_share_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one brand's share of total revenue per order year —
+    the nested-aggregation-with-CASE market-share pattern, collapsed to a
+    single conditional aggregate (no second grouping pass).
+
+    Scale shape: part broadcasts into the fact join; the only shuffles are
+    the fact-to-orders equi-join and one tiny per-year aggregation. Both
+    sums are decimal-exact, so the final double divide is the single
+    IEEE-deterministic float op."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    brand_vol = F.when(F.col("p_brand") == "Brand#13", vol).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    joined = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    res = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.sum(brand_vol).cast("double").alias("brand_revenue"),
+        F.sum(vol).cast("double").alias("total_revenue"),
+    )
+    return res.withColumn(
+        "mkt_share", F.col("brand_revenue") / F.col("total_revenue")
+    )
+
+
+@query(
+    "custdist_orders",
+    """
+    WITH c_orders AS (
+      SELECT c_custkey, count(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+)
+def custdist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts, with a
+    predicate INSIDE the outer-join condition (excluded orders must not
+    drop the customer — a WHERE would). Customers with no qualifying
+    orders land in the c_count = 0 bucket via count(col)'s null-skipping.
+
+    Scale shape: one equi-join shuffle on custkey feeding a same-keyed
+    aggregation (no extra exchange), then a tiny second aggregation over
+    at most a few hundred distinct counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("o_orderpriority") != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH ex AS (
+      SELECT vec_id, unnest(range(len(embedding))) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    dims AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i),
+    codes AS (
+      SELECT vec_id,
+        CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor((v - lo) * 255 / (hi - lo)) AS BIGINT) END AS code
+      FROM ex JOIN dims USING (i))
+    SELECT vec_id, CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(min(code) AS BIGINT) AS code_min,
+           CAST(max(code) AS BIGINT) AS code_max
+    FROM codes GROUP BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding corpus: per-dimension
+    min/max over the whole corpus defines the affine scale, each value
+    maps to floor((v - lo) * 255 / (hi - lo)) — the calibration+encode
+    pass every vector store / ANN index build runs before serving.
+    Returned as per-vector code aggregates so the check stays compact.
+
+    Scale shape: the calibration aggregate reduces to ONE tiny row per
+    dimension (64 rows) regardless of corpus size and broadcasts back
+    into the encode pass, so the corpus is scanned twice and shuffled
+    once (on vec_id for the final rollup). Every code is integer-exact:
+    float32 values promote to double exactly and both engines run the
+    identical IEEE op sequence before floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "val")
+    ).select("vec_id", "i", F.col("val").cast("double").alias("v"))
+    dims = ex.groupBy("i").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    codes = ex.join(F.broadcast(dims), "i").select(
+        "vec_id",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.floor(
+                (F.col("v") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo"))
+            )
+        )
+        .alias("code"),
+    )
+    return codes.groupBy("vec_id").agg(
+        F.sum("code").cast("bigint").alias("code_sum"),
+        F.min("code").cast("bigint").alias("code_min"),
+        F.max("code").cast("bigint").alias("code_max"),
+    )
+
+
+@query(
+    "price_band_pairs",
+    """
+    SELECT a.p_type AS p_type, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(CAST(abs(a.p_retailprice - b.p_retailprice)
+        AS DECIMAL(18,4))) AS DOUBLE) AS gap_sum
+    FROM part a JOIN part b
+      ON a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+      AND abs(a.p_retailprice - b.p_retailprice) <= 1.0
+    GROUP BY a.p_type
+    """,
+)
+def price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded theta-join: pairs of same-type parts whose prices differ by
+    at most 1.0. The oracle states it as the naive all-pairs theta join;
+    the engine converts it to an EQUI-join by flooring prices into
+    unit-width bands and probing each row against its own band ±1 — a
+    bound of |Δprice| ≤ w means band ids differ by at most 1, so the
+    3-way band fan-out loses no pair and finds each exactly once.
+
+    Scale shape: the quadratic blowup is confined to single (type, band)
+    buckets — the same bucket-bounding contract as the LSH/IVF dedup
+    family; the join itself is a plain shuffled equi-join on
+    (p_type, band)."""
+    part = load_table(spark, sf_dir, "part")
+    p = part.select(
+        "p_partkey",
+        "p_type",
+        F.col("p_retailprice").cast("double").alias("price"),
+    ).withColumn("band", F.floor("price").cast("long"))
+    probe = p.withColumn(
+        "nb",
+        F.explode(
+            F.array(
+                F.col("band") - 1, F.col("band"), F.col("band") + 1
+            )
+        ),
+    )
+    a, b = probe.alias("a"), p.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_type") == F.col("b.p_type"))
+        & (F.col("a.nb") == F.col("b.band"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.col("a.price") - F.col("b.price")) <= 1.0),
+    )
+    gap = F.abs(F.col("a.price") - F.col("b.price"))
+    return pairs.groupBy(F.col("a.p_type").alias("p_type")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(gap.cast("decimal(18,4)")).cast("double").alias("gap_sum"),
+    )
+
+
+@query(
+    "session_path_bigrams",
+    """
+    WITH seq AS (
+      SELECT event_type AS src,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS dst
+      FROM events)
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS n_trans
+    FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    """,
+)
+def session_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral sequence mining: the event-type transition matrix
+    (bigram counts over each user's time-ordered event stream) — the
+    input to Markov-chain attribution and next-event models. Ordering is
+    (ts, event_id) so replays are deterministic even with equal
+    timestamps.
+
+    Scale shape: one window shuffle on user_id, then a 25-cell (|types|²)
+    aggregation — the transition matrix never grows with data volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    )
+    return (
+        seq.filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
