@@ -294,3 +294,67 @@ def cms_estimate(
         .groupBy(*cols)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).cast("long").alias(est_alias))
     )
+
+
+def kmv_distinct_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimates: one bottom-k sketch per
+    group key, same estimator as ``kmv_distinct``. The per-group sketch is
+    what a rollup store keeps per dimension cell — k bounded rows per
+    group, mergeable across batches by re-taking the bottom k.
+
+    Scale shape: one distinct aggregation on (group, hash) with map-side
+    partials, then a per-group bottom-k window (the rank filter keeps at
+    most k rows per group before the final tiny aggregation). Groups are
+    assumed to be low-cardinality dimensions (event types, sources);
+    per-group data volume is bounded by the distinct-hash count, exactly
+    like the global sketch."""
+    from pyspark.sql import Window
+
+    hv = hash64(value_cols)
+    hashed = df.select(*group_cols, hv.alias("hv")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    mins = hashed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    agg = mins.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("k_used"),
+        F.max("hv").alias("kth_hash"),
+    )
+    est = (
+        F.when(F.col("k_used") < k, F.col("k_used").cast("double")).otherwise(
+            (F.col("k_used") - F.lit(1)).cast("double")
+            * F.lit(HASH_SPACE)
+            / F.col("kth_hash").cast("double")
+        )
+    ).alias("est_distinct")
+    return agg.select(*group_cols, "k_used", "kth_hash", est)
+
+
+def kmv_grouped_oracle_sql(
+    inner: str, group_expr: str, group_alias: str, value_expr: str, k: int = 256
+) -> str:
+    """DuckDB twin of ``kmv_distinct_by_group`` — same md5-prefix hash,
+    same per-group bottom-k, same estimator."""
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT {group_expr} AS {group_alias},
+             ('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM {inner}),
+    r AS (
+      SELECT {group_alias}, hv,
+             row_number() OVER (PARTITION BY {group_alias} ORDER BY hv) AS rn
+      FROM h),
+    mins AS (SELECT {group_alias}, hv FROM r WHERE rn <= {k})
+    SELECT {group_alias},
+           CAST(count(*) AS BIGINT) AS k_used,
+           max(hv) AS kth_hash,
+           CASE WHEN count(*) < {k} THEN CAST(count(*) AS DOUBLE)
+                ELSE (count(*) - 1) * {HASH_SPACE!r} / CAST(max(hv) AS DOUBLE)
+           END AS est_distinct
+    FROM mins GROUP BY {group_alias}
+    """

@@ -7007,3 +7007,130 @@ def session_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("src", "dst")
         .agg(F.count(F.lit(1)).alias("n_trans"))
     )
+
+
+@query(
+    "kmv_users_by_event_type",
+    _sketches.kmv_grouped_oracle_sql(
+        "events", "event_type", "event_type", "user_id", k=128
+    ),
+)
+def kmv_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user estimates from one KMV sketch per
+    type — the per-dimension-cell cardinality rollup a metrics store
+    keeps, bit-reproduced by the oracle (unlike HLL).
+
+    Scale shape: one (type, hash) distinct shuffle with map-side
+    partials, then a bottom-k window that keeps ≤ k rows per type; the
+    final aggregation is |types| × k rows regardless of event volume."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+
+    ev = load_table(spark, sf_dir, "events")
+    return _sk.kmv_distinct_by_group(ev, ["event_type"], ["user_id"], k=128)
+
+
+@query(
+    "customer_balance_rank_profile",
+    """
+    SELECT c_custkey, c_nationkey,
+      CAST(rank() OVER wv AS BIGINT) AS bal_rank,
+      CAST(dense_rank() OVER wv AS BIGINT) AS bal_dense_rank,
+      percent_rank() OVER wv AS bal_pct_rank,
+      cume_dist() OVER wv AS bal_cume_dist,
+      CAST(ntile(4) OVER wu AS INT) AS bal_quartile
+    FROM customer
+    WINDOW wv AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC),
+           wu AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def customer_balance_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function surface in one pass: rank, dense_rank,
+    percent_rank and cume_dist over the VALUE ordering (peer groups =
+    equal balances, so ties are engine-independent by definition), plus
+    ntile over a TIEBROKEN ordering — ntile splits peer groups by
+    position, so it is only deterministic with a unique sort key.
+
+    Scale shape: both windows share the c_nationkey partitioning — one
+    shuffle, two sorts, zero joins."""
+    cust = load_table(spark, sf_dir, "customer")
+    wv = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    wu = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(wv).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(wv).cast("bigint").alias("bal_dense_rank"),
+        F.percent_rank().over(wv).alias("bal_pct_rank"),
+        F.cume_dist().over(wv).alias("bal_cume_dist"),
+        F.ntile(4).over(wu).cast("int").alias("bal_quartile"),
+    )
+
+
+@query(
+    "order_span_overlap_pairs",
+    """
+    WITH spans AS (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS s,
+             CAST(max(l_shipdate) AS DATE) AS e
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_orderkey, o_custkey, o_orderdate)
+    SELECT a.o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_overlaps,
+           CAST(sum(date_diff('day',
+               greatest(a.s, b.s), least(a.e, b.e)) + 1) AS BIGINT)
+             AS overlap_days_sum
+    FROM spans a JOIN spans b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+      AND a.s <= b.e AND b.s <= a.e
+    GROUP BY a.o_custkey
+    """,
+)
+def order_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL-OVERLAP self-join, per entity: each order's fulfillment
+    span is [orderdate, last shipdate]; count pairs of the same
+    customer's orders whose spans overlap and total the shared days —
+    the concurrency measure behind in-flight-work and overlapping-session
+    analyses. Distinct from the point-in-interval joins
+    (`interval_count_join`): both sides are intervals.
+
+    Scale shape: spans build with one orderkey-grouped aggregation; the
+    overlap join is an equi-join on the entity key, so the quadratic
+    step is confined to one customer's orders per key — the same
+    bucket-bounding contract as the band/LSH joins. Day arithmetic stays
+    integer-exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("e_ts"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("s"),
+            F.to_date("e_ts").alias("e"),
+        )
+    )
+    a, b = spans.alias("a"), spans.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("a.s") <= F.col("b.e"))
+        & (F.col("b.s") <= F.col("a.e")),
+    )
+    overlap_days = (
+        F.datediff(
+            F.least(F.col("a.e"), F.col("b.e")),
+            F.greatest(F.col("a.s"), F.col("b.s")),
+        )
+        + 1
+    )
+    return pairs.groupBy(F.col("a.o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum(overlap_days.cast("bigint")).cast("bigint").alias(
+            "overlap_days_sum"
+        ),
+    )
