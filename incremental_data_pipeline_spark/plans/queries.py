@@ -7134,3 +7134,129 @@ def order_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_days_sum"
         ),
     )
+
+
+@query(
+    "measure_correlations",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
+          AS DOUBLE) AS sqq,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4)))
+          AS DOUBLE) AS spp,
+        CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4)))
+          AS DOUBLE) AS sdd,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+          AS DOUBLE) AS sqp,
+        CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4)))
+          AS DOUBLE) AS sqd,
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+          AS DOUBLE) AS spd
+      FROM lineitem)
+    SELECT CAST(n AS BIGINT) AS n_rows,
+      (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
+        AS corr_qty_price,
+      (n * sqd - sq * sd) / sqrt((n * sqq - sq * sq) * (n * sdd - sd * sd))
+        AS corr_qty_disc,
+      (n * spd - sp * sd) / sqrt((n * spp - sp * sp) * (n * sdd - sd * sd))
+        AS corr_price_disc
+    FROM m
+    """,
+)
+def measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over the lineitem measures via EXACT
+    MOMENTS: each product is ONE exact double multiply (all products carry
+    ≤ 4 decimal digits, inside double's 53-bit mantissa) and every sum
+    accumulates in decimal, so the moments are exact and
+    shuffle-order-independent, and the correlation formula is then a
+    fixed IEEE double op sequence — bit-identical across engines, unlike
+    a built-in ``corr`` whose streaming update order is engine-specific.
+
+    Scale shape: ONE map-side-combinable aggregation pass produces all
+    nine moments; the correlations are computed on a single reduced
+    row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def dsum(col):
+        # double multiply first (exact: all products carry <= 4 decimal
+        # digits, well inside double's 53-bit mantissa), THEN the decimal
+        # cast — decimal x decimal overflows DuckDB's int64 fast path.
+        return F.sum(col.cast("decimal(18,4)")).cast("double")
+
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q).alias("sq"),
+        dsum(p).alias("sp"),
+        dsum(d).alias("sd"),
+        dsum(q * q).alias("sqq"),
+        dsum(p * p).alias("spp"),
+        dsum(d * d).alias("sdd"),
+        dsum(q * p).alias("sqp"),
+        dsum(q * d).alias("sqd"),
+        dsum(p * d).alias("spd"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        n = F.col("n")
+        return (n * F.col(sxy) - F.col(sx) * F.col(sy)) / F.sqrt(
+            (n * F.col(sxx) - F.col(sx) * F.col(sx))
+            * (n * F.col(syy) - F.col(sy) * F.col(sy))
+        )
+
+    return m.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("corr_qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("corr_qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("corr_price_disc"),
+    )
+
+
+@query(
+    "source_lang_entropy",
+    """
+    WITH c AS (
+      SELECT source, lang, CAST(count(*) AS DOUBLE) AS c
+      FROM documents GROUP BY source, lang),
+    t AS (
+      SELECT source, lang, c,
+             sum(c) OVER (PARTITION BY source) AS tot
+      FROM c)
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_langs,
+      CAST(SUM(CAST(-((c / tot) * ln(c / tot)) AS DECIMAL(18,12)))
+        AS DOUBLE) AS entropy_nats
+    FROM t GROUP BY source
+    """,
+)
+def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each source's language distribution —
+    the corpus-mixture diversity measure a training-data recipe monitors
+    (a source collapsing to one language is a data-quality drift signal).
+
+    Scale shape: the per-(source, lang) count is the only data-sized
+    aggregation; the entropy runs over the tiny |sources| × |langs|
+    grid. Each -p·ln p term is one deterministic IEEE sequence on exact
+    count ratios; terms pass through a scale-12 decimal so the final sum
+    is order-independent."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    tot = F.sum("c").over(Window.partitionBy("source"))
+    terms = counts.withColumn("tot", tot).select(
+        "source",
+        (
+            -((F.col("c") / F.col("tot")) * F.log(F.col("c") / F.col("tot")))
+        ).alias("term"),
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        F.sum(F.col("term").cast("decimal(18,12)")).cast("double").alias(
+            "entropy_nats"
+        ),
+    )

@@ -165,6 +165,17 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "join_size_estimate": (3, 0),
         "interleave_sources": (3, 0),     # per-source window; NO global sort
         "profile_drift_orders": (2, 1),   # tiny full-outer takes one SMJ
+        # round-4 session additions
+        "market_share_brand": (1, 0),     # part broadcasts; one agg shuffle
+        "custdist_orders": (2, 0),        # custkey join+agg share a shuffle
+        "embedding_quantize_int8": (2, 0),  # 64-row calibration broadcasts
+        "price_band_pairs": (1, 0),       # band fan-out joins as one equi-join
+        "session_path_bigrams": (2, 0),   # user window + 25-cell agg
+        "kmv_users_by_event_type": (2, 0),  # distinct + per-group bottom-k
+        "customer_balance_rank_profile": (1, 0),  # both windows share a key
+        "measure_correlations": (1, 0),   # nine moments in one agg pass
+        "source_lang_entropy": (2, 0),    # count grid + tiny entropy agg
+        "order_span_overlap_pairs": (4, 1),  # span build + custkey self-join
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
