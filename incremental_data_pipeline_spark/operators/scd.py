@@ -280,6 +280,40 @@ def upsert_scd2_ordered(
     )
 
 
+def close_deleted(
+    target: DataFrame,
+    delete_keys: DataFrame,
+    keys: list[str],
+    as_of,
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD2 DELETE close-out: when a key disappears from the source (hard
+    delete, GDPR erasure cascade), its open version is CLOSED as of
+    ``as_of`` (``valid_to`` set, ``is_current`` false) — history is kept,
+    nothing is physically removed. Replay-safe: a key with no open
+    version is a no-op, so applying the same delete batch twice yields
+    the identical table.
+
+    Scale shape: one equi-join of the dim against the (distinct,
+    key-only) delete set; closed history rows pass through the join
+    untouched but match nothing. No window, no shuffle beyond the join.
+    """
+    marker = delete_keys.select(*keys).distinct().withColumn(
+        "__deleted", F.lit(True)
+    )
+    hit = F.col(current_col) & F.coalesce(F.col("__deleted"), F.lit(False))
+    return (
+        target.join(marker, keys, "left")
+        .withColumn(to_col, F.when(hit, F.lit(as_of)).otherwise(F.col(to_col)))
+        .withColumn(
+            current_col,
+            F.when(hit, F.lit(False)).otherwise(F.col(current_col)),
+        )
+        .drop("__deleted")
+    )
+
+
 def build_fact(
     base: DataFrame,
     dims: dict[str, tuple[DataFrame, dict[str, str]]],

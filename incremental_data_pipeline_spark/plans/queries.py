@@ -7260,3 +7260,120 @@ def source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_nats"
         ),
     )
+
+
+@query(
+    "scd2_delete_closeout",
+    """
+    WITH hist AS (
+      SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             DATE '2024-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to,
+             TRUE AS is_current
+      FROM customer WHERE c_custkey % 3 != 0
+      UNION ALL
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT),
+             DATE '2024-01-01', DATE '2024-02-01', FALSE
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) + 1000,
+             DATE '2024-02-01', CAST(NULL AS DATE), TRUE
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT c_custkey, bal_cents, valid_from,
+      CASE WHEN is_current AND c_custkey % 10 = 0
+           THEN DATE '2024-03-01' ELSE valid_to END AS valid_to,
+      CASE WHEN is_current AND c_custkey % 10 = 0
+           THEN FALSE ELSE is_current END AS is_current
+    FROM hist
+    """,
+)
+def scd2_delete_closeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 under HARD DELETES: after the same two-batch history as
+    `scd2_customer_history`, every tenth customer is deleted from the
+    source (erasure cascade) effective 2024-03-01 — their open versions
+    close, their history stays. The oracle rebuilds the exact expected
+    table, so a dropped history row or an unclosed version breaks the
+    hash; replaying the delete is a no-op (asserted in unit tests).
+
+    Scale shape: one key equi-join of the dim against the distinct
+    delete-key set on top of the SCD2 build's join geometry."""
+    import datetime
+
+    d0, d1, d2 = (
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 2, 1),
+        datetime.date(2024, 3, 1),
+    )
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    dim0 = c.select(
+        "c_custkey",
+        cents.alias("bal_cents"),
+        F.lit(d0).alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    batch = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey", (cents + F.lit(1000)).alias("bal_cents")
+    )
+    hist = scd.upsert_scd2(dim0, batch, ["c_custkey"], ["bal_cents"], d1)
+    deletes = c.filter(F.col("c_custkey") % 10 == 0).select("c_custkey")
+    return scd.close_deleted(hist, deletes, ["c_custkey"], d2)
+
+
+@query(
+    "ivm_agg_retract",
+    """
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE NOT (o_orderkey % 5 != 0 AND o_orderkey % 3 = 0
+               AND o_orderpriority = '1-URGENT')
+    GROUP BY o_orderpriority
+    """,
+)
+def ivm_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance with RETRACTIONS: the stored
+    per-priority rollup absorbs one CDC batch carrying both inserts and
+    deletes as SIGNED partials (sign = +1 / −1; count += Σsign,
+    sum += Σ sign·value) — the retract stream model (Flink-style) that
+    plain append-only IVM can't express. The oracle aggregates the final
+    state directly, so the hash proves base ∪+ Δ⁺ ∪− Δ⁻ lands exactly on
+    agg(final); keys whose maintained count reaches zero drop out of the
+    view.
+
+    Scale shape: the batch collapses to per-key signed partials
+    map-side; the stored rollup shuffles only its |keys| rows. Partial
+    sums stay decimal through the merge."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    base_rows = o.filter(F.col("o_orderkey") % 5 != 0)
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0)
+    deletes = base_rows.filter(
+        (F.col("o_orderkey") % 3 == 0)
+        & (F.col("o_orderpriority") == "1-URGENT")
+    )
+    price_d = F.col("o_totalprice").cast("decimal(18,2)")
+    base = base_rows.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum(price_d).alias("revenue")
+    )
+    delta = inserts.withColumn("sign", F.lit(1)).unionByName(
+        deletes.withColumn("sign", F.lit(-1))
+    )
+    merged = cdc.merge_partial_aggs(
+        base,
+        delta,
+        ["o_orderpriority"],
+        {
+            "n_orders": F.sum("sign"),
+            "revenue": F.sum(F.col("sign") * price_d),
+        },
+    )
+    return merged.filter(F.col("n_orders") > 0).select(
+        "o_orderpriority",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.col("revenue").cast("double").alias("revenue"),
+    )

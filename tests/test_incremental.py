@@ -318,3 +318,67 @@ def test_scd2_idempotent_and_versions_chain(spark):
     assert rows[(1, 175)]["valid_from"] == d2 and rows[(1, 175)]["is_current"]
     assert rows[(2, 200)]["is_current"] and rows[(2, 200)]["valid_to"] is None
     assert rows[(3, 300)]["valid_from"] == d1 and rows[(3, 300)]["is_current"]
+
+
+def test_close_deleted_replay_noop_and_history_kept(spark):
+    """Closing a deleted key ends its open version only; closed history
+    rows are untouched, unknown delete keys are no-ops, and replaying
+    the same delete batch yields the identical table."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators import scd
+
+    d0, d1, d2 = (
+        datetime.date(2024, 1, 1),
+        datetime.date(2024, 2, 1),
+        datetime.date(2024, 3, 1),
+    )
+    dim = spark.createDataFrame(
+        [
+            (1, 100, d0, d1, False),   # closed history — must not change
+            (1, 150, d1, None, True),  # open version of deleted key
+            (2, 200, d0, None, True),  # survivor
+        ],
+        "k int, v int, valid_from date, valid_to date, is_current boolean",
+    )
+    deletes = spark.createDataFrame([(1,), (99,)], "k int")  # 99 unknown
+    once = scd.close_deleted(dim, deletes, ["k"], d2)
+    rows = {(r["k"], r["v"]): r for r in once.collect()}
+    assert rows[(1, 100)]["valid_to"] == d1 and not rows[(1, 100)]["is_current"]
+    assert rows[(1, 150)]["valid_to"] == d2 and not rows[(1, 150)]["is_current"]
+    assert rows[(2, 200)]["is_current"] and rows[(2, 200)]["valid_to"] is None
+    assert once.count() == 3
+    twice = scd.close_deleted(once, deletes, ["k"], datetime.date(2024, 4, 1))
+    assert sorted(map(tuple, twice.collect())) == sorted(map(tuple, once.collect()))
+
+
+def test_signed_partial_merge_retracts_exactly(spark):
+    """Folding a batch in with sign +1 and then retracting the same rows
+    with sign -1 restores the base rollup exactly (decimal partials), and
+    a fully-retracted key's count reaches zero."""
+    from incremental_data_pipeline_spark.operators import cdc
+
+    base_rows = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 7.5)], "k string, v double"
+    )
+    batch = spark.createDataFrame(
+        [("a", 2.5), ("c", 1.0)], "k string, v double"
+    )
+    vd = F.col("v").cast("decimal(18,2)")
+    base = base_rows.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(vd).alias("s")
+    )
+    sums_signed = {
+        "n": F.sum("sign"),
+        "s": F.sum(F.col("sign") * vd),
+    }
+    applied = cdc.merge_partial_aggs(
+        base, batch.withColumn("sign", F.lit(1)), ["k"], sums_signed
+    )
+    retracted = cdc.merge_partial_aggs(
+        applied, batch.withColumn("sign", F.lit(-1)), ["k"], sums_signed
+    )
+    got = {r["k"]: (r["n"], float(r["s"])) for r in retracted.collect()}
+    want = {r["k"]: (r["n"], float(r["s"])) for r in base.collect()}
+    assert {k: v for k, v in got.items() if v[0] != 0} == want
+    assert got["c"][0] == 0  # fully-retracted key visible as zero-count

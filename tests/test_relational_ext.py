@@ -319,3 +319,49 @@ def test_hard_negatives_excludes_same_label(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_band_join_lossless_on_boundaries(spark):
+    """The band ±1 fan-out must find EXACTLY the pairs the all-pairs
+    theta join finds, including diffs exactly at the threshold and
+    prices exactly on band edges."""
+    import itertools
+
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+
+    prices = [10.0, 11.0, 11.5, 12.0, 12.5, 13.999, 15.0, 16.0, 16.0]
+    rows = [(i, "T", p) for i, p in enumerate(prices)]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_type string, p_retailprice double"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            (r["p_type"], r["n_pairs"])
+            for r in QUERIES["price_band_pairs"](spark, d).collect()
+        }
+    brute = [
+        (a, b)
+        for a, b in itertools.combinations(range(len(prices)), 2)
+        if abs(prices[a] - prices[b]) <= 1.0
+    ]
+    assert got == {("T", len(brute))}
+
+
+def test_kmv_by_group_exact_under_k(spark):
+    """A group with fewer than k distinct values must report the EXACT
+    distinct count (the sketch is the whole value set)."""
+    from incremental_data_pipeline_spark.operators import sketches
+
+    rows = [("g1", v % 5) for v in range(50)] + [("g2", v) for v in range(30)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        r["g"]: (r["k_used"], r["est_distinct"])
+        for r in sketches.kmv_distinct_by_group(df, ["g"], ["v"], k=16).collect()
+    }
+    assert got["g1"] == (5, 5.0)          # 5 < k: exact
+    assert got["g2"][0] == 16             # filled sketch: k rows retained
+    assert 15 <= got["g2"][1] <= 90       # estimate in a sane band for n=30
