@@ -262,3 +262,123 @@ def frame_sample(
             )
 
     return fan_out(df).select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)
+
+
+WAV_SAMPLE_RATE = 8000
+AUDIO_SCHEMA = (
+    "doc_id long, n_samples long, sample_rate int, peak_abs int, "
+    "mean_square_milli long, zero_crossings long"
+)
+
+
+def attach_wav_audio(
+    df: DataFrame, text_col: str = "text", out: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Render each document as a REAL audio file: canonical 44-byte
+    RIFF/WAVE header + mono 16-bit PCM, one sample per sanitized text
+    byte (sample = (byte − 79)·256, spanning ±12k of the int16 range) —
+    honest payloads any audio tool can open, the audio twin of
+    ``attach_pgm_image``. Sanitization (JVM-side, same contract as the
+    PGM path) pins 1 char == 1 sample for the oracle.
+
+    Binary packing is byte work the JVM can't express, so the pack runs
+    in the sanctioned Arrow-batched ``mapInPandas`` seam; the stage is a
+    narrow map, no shuffle."""
+    import struct
+
+    import numpy as np
+
+    clean = F.regexp_replace(F.col(text_col), r"[^\x20-\x7E]", " ")
+    src = fan_out(df).withColumn("__clean", clean).select(id_col, "__clean")
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, t in zip(pdf[id_col], pdf["__clean"]):
+                s = (
+                    np.frombuffer(t.encode("ascii"), dtype=np.uint8).astype(np.int16)
+                    - 79
+                ) * 256
+                data = s.astype("<i2").tobytes()
+                hdr = struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF", 36 + len(data), b"WAVE",
+                    b"fmt ", 16, 1, 1,
+                    WAV_SAMPLE_RATE, WAV_SAMPLE_RATE * 2, 2, 16,
+                    b"data", len(data),
+                )
+                ids.append(doc_id)
+                payloads.append(hdr + data)
+            yield pd.DataFrame({"doc_id": ids, "content": payloads})
+
+    return src.mapInPandas(pack, "doc_id long, content binary")
+
+
+def _wav_samples(payload: bytes, doc_id) -> "object":
+    """Parse one RIFF/WAVE mono PCM16 payload to an int64 sample array,
+    validating magic, format chunk, and layout — fails loud on anything
+    that is not the advertised format."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE payload (doc_id={doc_id})")
+    fmt_id, fmt_sz, audio_fmt, n_ch, rate, _br, _ba, bits = struct.unpack(
+        "<4sIHHIIHH", b[12:36]
+    )
+    data_id, data_len = struct.unpack("<4sI", b[36:44])
+    if (
+        fmt_id != b"fmt "
+        or fmt_sz != 16
+        or audio_fmt != 1
+        or n_ch != 1
+        or bits != 16
+        or data_id != b"data"
+    ):
+        raise ValueError(f"unsupported WAV layout (doc_id={doc_id})")
+    return rate, np.frombuffer(b, dtype="<i2", offset=44, count=data_len // 2).astype(
+        np.int64
+    )
+
+
+def decode_wav_audio(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "content", stride: int = 1
+) -> DataFrame:
+    """REAL audio decode + feature extraction over the binary column: RIFF
+    header parse, then integer-exact waveform stats — peak amplitude,
+    mean-square energy (×1000, floor-divided: bit-reproducible), and
+    zero-crossing count, the dependency-free stand-ins for loudness /
+    spectral features. ``stride > 1`` decimates (every stride-th sample)
+    before the stats — naive resampling, the audio twin of
+    ``resize_image``.
+
+    Scale shape: narrow Arrow-batched map, no shuffle; payload bytes
+    never leave the partition."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {k: [] for k in (
+                "doc_id", "n_samples", "sample_rate", "peak_abs",
+                "mean_square_milli", "zero_crossings",
+            )}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                rate, s = _wav_samples(payload, doc_id)
+                s = s[::stride]
+                n = len(s)
+                sgn = np.sign(s)
+                cols["doc_id"].append(doc_id)
+                cols["n_samples"].append(n)
+                cols["sample_rate"].append(rate // stride)
+                cols["peak_abs"].append(int(np.max(np.abs(s))) if n else 0)
+                cols["mean_square_milli"].append(
+                    int(1000 * int((s * s).sum()) // n) if n else 0
+                )
+                cols["zero_crossings"].append(
+                    int(((sgn[:-1] * sgn[1:]) < 0).sum()) if n > 1 else 0
+                )
+            yield pd.DataFrame(cols)
+
+    return fan_out(df).select(id_col, bin_col).mapInPandas(run, AUDIO_SCHEMA)

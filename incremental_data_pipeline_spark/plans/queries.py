@@ -7377,3 +7377,66 @@ def ivm_agg_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("bigint").alias("n_orders"),
         F.col("revenue").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "multimodal_audio_decode",
+    """
+    WITH m AS (SELECT doc_id, length(text) AS n, text FROM documents)
+    SELECT doc_id,
+      CAST(n AS BIGINT) AS n_samples,
+      CAST(8000 AS INT) AS sample_rate,
+      CAST(list_max(list_transform(range(1, n + 1),
+           i -> abs((unicode(text[i:i]) - 79) * 256))) AS INT) AS peak_abs,
+      CAST((1000 * list_sum(list_transform(range(1, n + 1),
+           i -> ((CAST(unicode(text[i:i]) AS BIGINT) - 79) * 256)
+              * ((CAST(unicode(text[i:i]) AS BIGINT) - 79) * 256)))) // n
+        AS BIGINT) AS mean_square_milli,
+      CAST(coalesce(list_sum(list_transform(range(1, n),
+           i -> CASE WHEN sign(unicode(text[i:i]) - 79)
+                        * sign(unicode(text[i+1:i+1]) - 79) < 0
+                     THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+    FROM m
+    """,
+)
+def multimodal_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio round trip: each document rendered as a RIFF/WAVE mono
+    PCM16 payload (one sample per sanitized byte), then DECODED by the
+    pure-Python WAV parser in an Arrow batch — peak amplitude,
+    mean-square energy, zero-crossing count, all integer-exact so the
+    oracle recomputes them from the codepoints (ASCII corpus: byte ==
+    codepoint == sample/256 + 79)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _mm.decode_wav_audio(_mm.attach_wav_audio(docs))
+
+
+@query(
+    "multimodal_audio_resample",
+    """
+    WITH m AS (SELECT doc_id, length(text) AS n,
+                      (length(text) + 1) // 2 AS n2, text
+               FROM documents)
+    SELECT doc_id,
+      CAST(n2 AS BIGINT) AS n_samples,
+      CAST(4000 AS INT) AS sample_rate,
+      CAST(list_max(list_transform(range(1, n2 + 1),
+           j -> abs((unicode(text[2*j-1:2*j-1]) - 79) * 256))) AS INT)
+        AS peak_abs,
+      CAST((1000 * list_sum(list_transform(range(1, n2 + 1),
+           j -> ((CAST(unicode(text[2*j-1:2*j-1]) AS BIGINT) - 79) * 256)
+              * ((CAST(unicode(text[2*j-1:2*j-1]) AS BIGINT) - 79) * 256))))
+        // n2 AS BIGINT) AS mean_square_milli,
+      CAST(coalesce(list_sum(list_transform(range(1, n2),
+           j -> CASE WHEN sign(unicode(text[2*j-1:2*j-1]) - 79)
+                        * sign(unicode(text[2*j+1:2*j+1]) - 79) < 0
+                     THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+    FROM m
+    """,
+)
+def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio DECIMATION (8 kHz → 4 kHz, every 2nd sample) inside the same
+    Arrow decode pass, then the same integer-exact stats — the audio twin
+    of `multimodal_image_resize`; the oracle re-derives the strided
+    sample positions from the text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _mm.decode_wav_audio(_mm.attach_wav_audio(docs), stride=2)
