@@ -7440,3 +7440,187 @@ def multimodal_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample positions from the text."""
     docs = load_table(spark, sf_dir, "documents")
     return _mm.decode_wav_audio(_mm.attach_wav_audio(docs), stride=2)
+
+
+@query(
+    "late_order_priority_check",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def late_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders having AT LEAST ONE
+    late line (shipped > 90 days after ordering) — the correlated-EXISTS
+    pattern, planned as a LEFT SEMI join so each order counts once no
+    matter how many lines are late.
+
+    Scale shape: one semi-join shuffle on orderkey (the semi side
+    reduces before the per-priority rollup); no fan-out, no distinct."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "null_safe_join_counts",
+    """
+    WITH a AS (SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS na
+               FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+         b AS (SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS nb
+               FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1)
+    SELECT a.k AS status_key, CAST(a.na * b.nb AS BIGINT) AS n_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics CDC
+    key reconciliation needs when natural keys are nullable. Plain
+    equality would lose the NULL bucket entirely.
+
+    Scale shape: both sides pre-aggregate to |keys| rows BEFORE the
+    null-safe join, so the pair count is computed as na·nb per key — the
+    join never materializes the cross product."""
+    o = load_table(spark, sf_dir, "orders")
+    k = F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("k")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(k).groupBy("k").agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select(k).groupBy("k").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("status_key"),
+        (F.col("na") * F.col("nb")).cast("bigint").alias("n_pairs"),
+    )
+
+
+@query(
+    "not_in_null_semantics",
+    """
+    WITH probe AS (SELECT nullif(c_custkey % 50, 0) AS bad
+                   FROM customer WHERE c_custkey % 7 = 0)
+    SELECT
+      CAST((SELECT count(*) FROM orders
+            WHERE o_custkey % 50 NOT IN (SELECT bad FROM probe)) AS BIGINT)
+        AS n_not_in_with_null,
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM probe p
+                              WHERE p.bad = o.o_custkey % 50)) AS BIGINT)
+        AS n_not_exists,
+      CAST((SELECT count(*) FROM orders
+            WHERE o_custkey % 50 NOT IN
+              (SELECT bad FROM probe WHERE bad IS NOT NULL)) AS BIGINT)
+        AS n_not_in_filtered
+    """,
+)
+def not_in_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN / NULL trap, exercised as a first-class query: a NOT IN
+    whose subquery contains a NULL matches NOTHING (ANSI three-valued
+    logic — Spark plans it as a null-aware anti join), while NOT EXISTS
+    and a null-filtered NOT IN return the real complement. Both engines
+    agree on all three counts, pinning the semantics an engine port most
+    often gets wrong.
+
+    Scale shape: the probe side is tiny and broadcasts; each count is
+    one anti-join pass over orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    o.createOrReplaceTempView("__nin_orders")
+    c.createOrReplaceTempView("__nin_customer")
+    return spark.sql(
+        """
+        WITH probe AS (SELECT nullif(c_custkey % 50, 0) AS bad
+                       FROM __nin_customer WHERE c_custkey % 7 = 0)
+        SELECT
+          CAST((SELECT count(*) FROM __nin_orders
+                WHERE o_custkey % 50 NOT IN (SELECT bad FROM probe)) AS BIGINT)
+            AS n_not_in_with_null,
+          CAST((SELECT count(*) FROM __nin_orders o
+                WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                  WHERE p.bad = o.o_custkey % 50)) AS BIGINT)
+            AS n_not_exists,
+          CAST((SELECT count(*) FROM __nin_orders
+                WHERE o_custkey % 50 NOT IN
+                  (SELECT bad FROM probe WHERE bad IS NOT NULL)) AS BIGINT)
+            AS n_not_in_filtered
+        """
+    )
+
+
+@query(
+    "stream_ivm_retract",
+    """
+    SELECT event_type,
+      CAST(sum(CASE WHEN event_id % 11 = 0 THEN -1 ELSE 1 END) AS BIGINT)
+        AS n_events,
+      CAST(sum((CASE WHEN event_id % 11 = 0 THEN -1 ELSE 1 END)
+               * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregate maintenance under a RETRACT stream: each
+    micro-batch carries inserts AND deletes (sign −1 for every 11th
+    event id — the CDC delete op), folded into the persisted rollup as
+    signed partials via the same exactly-once epoch-ledger swap as
+    `stream_incremental_gold`. The oracle is the signed aggregate over
+    the full table, so the hash proves delete folding across arbitrary
+    micro-batch cuts lands exactly on the final state.
+
+    Scale shape: per-batch signed partials collapse map-side; the gold
+    table shuffles only its |keys| rows per epoch."""
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    base = scratch_dir("stream_retract_")
+    gold_path = os.path.join(base, "gold_retract")
+    keys = ["event_type"]
+    sign = F.when(F.col("event_id") % 11 == 0, F.lit(-1)).otherwise(F.lit(1))
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    sums = {
+        "n_events": F.sum(sign).cast("bigint"),
+        "sum_cents": F.sum(sign * cents).cast("bigint"),
+    }
+
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
+        if os.path.exists(gold_path):
+            marker = os.path.join(gold_path, "_applied_epoch")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    if epoch <= int(f.read().strip()):
+                        return
+            gold = spark.read.parquet(gold_path)
+            merged = cdc.merge_partial_aggs(gold, batch, keys, sums)
+        else:
+            merged = batch.groupBy(*keys).agg(
+                *[c.alias(nm) for nm, c in sums.items()]
+            )
+        atomic_overwrite(
+            merged, gold_path, extra_files={"_applied_epoch": str(epoch)}
+        )
+
+    stream = _stream.read_stream(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+    return spark.read.parquet(gold_path).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    )

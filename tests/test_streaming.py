@@ -522,3 +522,64 @@ def test_scd2_dim_current_invariant_to_batch_split(spark):
         assert dangling.count() == 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_retract_gold_invariant_to_batch_split(spark):
+    """Signed (insert/delete) folding into the persisted rollup yields the
+    SAME final table whether the retract stream arrives as one micro-batch
+    or two — delete partials commute across arbitrary batch cuts."""
+    import datetime
+
+    from incremental_data_pipeline_spark.operators import cdc
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_retract_split_")
+    try:
+        events = load_table(spark, SF_DIR, "events")
+        cols = events.select("event_id", "event_type", "value", "ts")
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        _copy_split(SF_DIR, src_dir, cols, "ts", datetime.datetime(2024, 1, 15))
+
+        gold_path = os.path.join(base, "gold")
+        sign = F.when(F.col("event_id") % 11 == 0, F.lit(-1)).otherwise(F.lit(1))
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        sums = {
+            "n_events": F.sum(sign).cast("bigint"),
+            "sum_cents": F.sum(sign * cents).cast("bigint"),
+        }
+
+        def apply_batch(batch, _epoch):
+            if os.path.exists(gold_path):
+                merged = cdc.merge_partial_aggs(
+                    spark.read.parquet(gold_path), batch, ["event_type"], sums
+                )
+            else:
+                merged = batch.groupBy("event_type").agg(
+                    *[c.alias(nm) for nm, c in sums.items()]
+                )
+            atomic_overwrite(merged, gold_path)
+
+        schema = cols.schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        sp.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+
+        got = {
+            r["event_type"]: (r["n_events"], r["sum_cents"])
+            for r in spark.read.parquet(gold_path).collect()
+        }
+        want = {
+            r["event_type"]: (r["n_events"], r["sum_cents"])
+            for r in cols.groupBy("event_type")
+            .agg(*[c.alias(nm) for nm, c in sums.items()])
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
