@@ -68,6 +68,12 @@ HEADLINE = [
     "ivm_join_delta",
     "cms_heavy_hitters",
     "stream_click_purchase_timeout",
+    # round-4 session: vector quantization, banded theta join, interval
+    # overlap, streaming retract fold
+    "embedding_quantize_int8",
+    "price_band_pairs",
+    "order_span_overlap_pairs",
+    "stream_ivm_retract",
 ]
 
 

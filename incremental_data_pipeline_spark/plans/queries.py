@@ -7624,3 +7624,77 @@ def stream_ivm_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("sum_cents").cast("bigint").alias("sum_cents"),
     )
+
+
+@query(
+    "quantile_normalize_balance",
+    """
+    WITH d AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+        row_number() OVER (PARTITION BY c_nationkey
+                           ORDER BY c_acctbal, c_custkey) AS rn,
+        count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM customer),
+    g AS (
+      SELECT c_acctbal AS gv,
+        row_number() OVER (ORDER BY c_acctbal, c_custkey) AS gidx
+      FROM customer),
+    tot AS (SELECT count(*) AS big_n FROM customer),
+    probe AS (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+        CAST(floor((CASE WHEN n > 1
+                         THEN CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                         ELSE 0.5 END) * (big_n - 1)) AS BIGINT) + 1 AS gidx
+      FROM d CROSS JOIN tot)
+    SELECT p.c_custkey, p.c_nationkey,
+           CAST(p.c_acctbal AS DOUBLE) AS acctbal,
+           CAST(g.gv AS DOUBLE) AS normalized_bal
+    FROM probe p JOIN g ON p.gidx = g.gidx
+    """,
+)
+def quantile_normalize_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE NORMALIZATION across groups: each customer's balance is
+    replaced by the GLOBAL value at the same within-nation rank fraction
+    — the batch-effect-removal transform (map every group onto one
+    reference distribution). Rank fraction p = (rn−1)/(n−1); target =
+    global order statistic at index floor(p·(N−1))+1.
+
+    Scale shape: the within-group ranks are one window on the group key;
+    the GLOBAL order statistics reuse the scalable surrogate-key path
+    (range-partitioned prefix-sum row numbers — no single-partition
+    sort), and the lookup is a plain equi-join on the index. All rank
+    arithmetic is integer/IEEE-deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    wn = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    d = c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).alias("n"),
+    )
+    g = scd.assign_surrogate_keys(
+        c.select(F.col("c_acctbal").alias("gv"), "c_custkey"),
+        "gidx",
+        ["gv", "c_custkey"],
+        scalable=True,
+    ).select("gv", "gidx")
+    tot = c.agg(F.count(F.lit(1)).alias("big_n"))
+    p = (
+        F.when(
+            F.col("n") > 1,
+            (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+        ).otherwise(F.lit(0.5))
+    )
+    probe = d.crossJoin(F.broadcast(tot)).select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        (F.floor(p * (F.col("big_n") - 1)).cast("bigint") + 1).alias("gidx"),
+    )
+    return probe.join(g, "gidx").select(
+        "c_custkey",
+        "c_nationkey",
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("gv").cast("double").alias("normalized_bal"),
+    )
