@@ -289,3 +289,98 @@ def test_surrogate_keys_auto_selects_by_size(spark, monkeypatch):
     assert "repartitionbyexpression" in plan_big.lower().replace(" ", "")
     assert [r["sk"] for r in big.orderBy("nk").collect()] == list(range(1, 101))
     assert [r["sk"] for r in small.orderBy("nk").collect()] == list(range(1, 101))
+
+
+interval_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # entity key
+        st.integers(min_value=0, max_value=40),   # start day
+        st.integers(min_value=0, max_value=15),   # duration
+    ),
+    min_size=0,
+    max_size=18,
+)
+
+
+@given(rows=interval_rows)
+@settings(**SMALL)
+def test_interval_overlap_matches_python_reference(spark, rows):
+    """The per-entity interval-overlap pair count equals the brute-force
+    O(n²) Python reference on ANY interval set (touching endpoints count:
+    closed intervals)."""
+    import datetime
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    base = datetime.date(2024, 1, 1)
+    spans = [
+        (i, k, base + datetime.timedelta(days=s), base + datetime.timedelta(days=s + d))
+        for i, (k, s, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        spans or [(None, None, None, None)], "oid int, k int, s date, e date"
+    ).filter("oid IS NOT NULL")
+    a, b = df.alias("a"), df.alias("b")
+    got = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.oid") < F.col("b.oid"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        ).count()
+    )
+    want = sum(
+        1
+        for (i1, k1, s1, e1), (i2, k2, s2, e2) in itertools.combinations(spans, 2)
+        if k1 == k2 and s1 <= e2 and s2 <= e1
+    )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["x", "y"]),                  # group key
+            st.integers(min_value=-50, max_value=50),     # value (cents)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cut=st.integers(min_value=0, max_value=30),
+)
+@settings(**SMALL)
+def test_signed_merge_invariant_to_split_point(spark, rows, cut):
+    """Folding a signed (insert/delete) delta into a base rollup gives the
+    same result wherever the base/delta split falls — the retract-stream
+    commutativity the streaming gold path relies on. Sign: negative
+    payloads retract |v|; zero-count keys must agree too."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import cdc
+
+    cut = min(cut, len(rows))
+    base_rows, delta_rows = rows[:cut], rows[cut:]
+
+    def frame(data):
+        return spark.createDataFrame(
+            [(k, 1 if v >= 0 else -1, abs(v)) for k, v in data]
+            or [(None, None, None)],
+            "k string, sign int, v int",
+        ).filter("k IS NOT NULL")
+
+    sums = {
+        "n": F.sum("sign").cast("long"),
+        "s": F.sum(F.col("sign") * F.col("v")).cast("long"),
+    }
+    base = frame(base_rows).groupBy("k").agg(*[c.alias(n) for n, c in sums.items()])
+    merged = cdc.merge_partial_aggs(base, frame(delta_rows), ["k"], sums)
+    whole = frame(rows).groupBy("k").agg(*[c.alias(n) for n, c in sums.items()])
+    got = {r["k"]: (r["n"], r["s"]) for r in merged.collect()}
+    want = {r["k"]: (r["n"], r["s"]) for r in whole.collect()}
+    # a key can exist in one side with zero rows in the other; compare on
+    # the union, treating absent as (0, 0)
+    allk = set(got) | set(want)
+    for k in allk:
+        assert got.get(k, (0, 0)) == want.get(k, (0, 0)), (k, got, want)
