@@ -7698,3 +7698,47 @@ def quantile_normalize_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").cast("double").alias("acctbal"),
         F.col("gv").cast("double").alias("normalized_bal"),
     )
+
+
+@query(
+    "bag_set_ops_priorities",
+    """
+    WITH a AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 2 = 0),
+         b AS (SELECT o_orderpriority FROM orders WHERE o_orderkey % 3 = 0),
+    ea AS (SELECT o_orderpriority, count(*) AS n FROM
+             (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1),
+    ia AS (SELECT o_orderpriority, count(*) AS n FROM
+             (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1)
+    SELECT coalesce(ea.o_orderpriority, ia.o_orderpriority) AS o_orderpriority,
+           CAST(coalesce(ea.n, 0) AS BIGINT) AS n_except_all,
+           CAST(coalesce(ia.n, 0) AS BIGINT) AS n_intersect_all
+    FROM ea FULL OUTER JOIN ia ON ea.o_orderpriority = ia.o_orderpriority
+    """,
+)
+def bag_set_ops_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG (multiset) set operations — EXCEPT ALL / INTERSECT ALL —
+    which keep multiplicities: per key the results carry max(na−nb, 0)
+    and min(na, nb) copies, unlike the distinct-set EXCEPT/INTERSECT
+    already covered. The multiplicity arithmetic is what makes bag ops
+    the right reconciliation primitive for tables WITH duplicates.
+
+    Scale shape: Catalyst plans both ops as count-compare aggregations
+    on the key (no row-by-row matching); the final full-outer join runs
+    over |keys| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderpriority")
+    b = o.filter(F.col("o_orderkey") % 3 == 0).select("o_orderpriority")
+    ea = a.exceptAll(b).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_ea")
+    )
+    ia = a.intersectAll(b).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_ia")
+    )
+    joined = ea.join(ia, "o_orderpriority", "full_outer")
+    return joined.select(
+        "o_orderpriority",
+        F.coalesce(F.col("n_ea"), F.lit(0)).cast("bigint").alias("n_except_all"),
+        F.coalesce(F.col("n_ia"), F.lit(0)).cast("bigint").alias(
+            "n_intersect_all"
+        ),
+    )
