@@ -88,7 +88,16 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark(app_name="bench", master=f"local[{cpus}]", shuffle_partitions=int(cpus))
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        # Local-mode Spark defaults to a 1 GiB driver heap, which the
+        # full headline set exhausts at the sf1 scale point (GCLocker
+        # alloc stalls, then OOM). Effective only when this process
+        # creates the JVM — exactly the bench case.
+        extra_conf={"spark.driver.memory": "12g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm-up, untimed: JVM/codegen JIT via the first query, one tiny

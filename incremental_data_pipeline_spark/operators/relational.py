@@ -301,3 +301,58 @@ def bloom_prefilter(
         mask = F.call_function("shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int"))
         cond = cond & (word.bitwiseAND(mask) != 0)
     return fact.filter(cond)
+
+
+def clamped_running_balance(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    delta_col: str,
+) -> DataFrame:
+    """Zero-floored running balance per key: bal_i = max(bal_{i-1} + Δ_i, 0)
+    — the inventory/credit-ledger recurrence. The clamp makes each step
+    depend on the PREVIOUS CLAMPED value, so this is NOT expressible as a
+    window aggregate (no associative reformulation exists); it is the one
+    relational op here that genuinely needs a per-key ordered scan, and it
+    runs as a grouped-map ``applyInPandas`` — the sanctioned Arrow seam,
+    this time keyed (one group per Arrow batch) rather than partition-wise.
+
+    Output: one row per key — ``final_bal_cents`` (the clamped balance
+    after the last delta), ``n_steps``, ``n_clamps`` (how often the floor
+    was hit).
+
+    Scale shape: one shuffle on the key, then a linear in-memory scan per
+    group; group size is bounded by per-entity history, not table size.
+    The DuckDB oracle replays the same recurrence as a recursive CTE, so
+    even this stateful scan is hash-verified, not rows-only."""
+    import pandas as pd
+
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in zip(key_cols, _key_types(df, key_cols))]
+        + ["final_bal_cents long", "n_steps long", "n_clamps long"]
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort")
+        bal = 0
+        clamps = 0
+        for d in pdf[delta_col]:
+            nb = bal + int(d)
+            if nb < 0:
+                bal = 0
+                clamps += 1
+            else:
+                bal = nb
+        head = pdf.iloc[0]
+        row = {c: [head[c]] for c in key_cols}
+        row.update(
+            final_bal_cents=[bal], n_steps=[len(pdf)], n_clamps=[clamps]
+        )
+        return pd.DataFrame(row)
+
+    return df.groupBy(*key_cols).applyInPandas(scan, out_schema)
+
+
+def _key_types(df: DataFrame, cols: list[str]) -> list[str]:
+    m = dict(df.dtypes)
+    return [m[c] for c in cols]

@@ -7742,3 +7742,54 @@ def bag_set_ops_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_intersect_all"
         ),
     )
+
+
+@query(
+    "inventory_clamped_balance",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             CASE WHEN event_type = 'purchase'
+                  THEN -CAST(round(value * 100) AS BIGINT)
+                  ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    cnt AS (SELECT user_id, max(rn) AS n FROM seq GROUP BY user_id),
+    walk(user_id, rn, bal, clamps) AS (
+      SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cnt
+      UNION ALL
+      SELECT w.user_id, w.rn + 1,
+             greatest(w.bal + s.delta, 0),
+             w.clamps + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.rn = w.rn + 1)
+    SELECT c.user_id,
+           CAST(w.bal AS BIGINT) AS final_bal_cents,
+           CAST(c.n AS BIGINT) AS n_steps,
+           CAST(w.clamps AS BIGINT) AS n_clamps
+    FROM walk w JOIN cnt c ON w.user_id = c.user_id AND w.rn = c.n
+    """,
+)
+def inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-floored per-user running balance over the event stream (views
+    credit, purchases debit, balance can never go negative): the clamp
+    makes each step depend on the previous CLAMPED value, so no window
+    aggregate expresses it — this is the registry's showcase for the
+    keyed grouped-map ``applyInPandas`` seam, and the DuckDB oracle
+    replays the identical recurrence as a recursive CTE, hash-verifying
+    a genuinely stateful scan."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    deltas = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", -cents)
+        .otherwise(cents)
+        .alias("delta"),
+    )
+    return relational.clamped_running_balance(
+        deltas, ["user_id"], ["ts", "event_id"], "delta"
+    )

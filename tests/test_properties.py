@@ -384,3 +384,42 @@ def test_signed_merge_invariant_to_split_point(spark, rows, cut):
     allk = set(got) | set(want)
     for k in allk:
         assert got.get(k, (0, 0)) == want.get(k, (0, 0)), (k, got, want)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # key
+            st.integers(min_value=0, max_value=50),    # order
+            st.integers(min_value=-30, max_value=30),  # delta
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SMALL)
+def test_clamped_balance_matches_python_reference(spark, rows):
+    """The applyInPandas clamped scan equals the obvious per-key Python
+    recurrence on ANY delta sequence (ties broken by a unique id)."""
+    from incremental_data_pipeline_spark.operators.relational import (
+        clamped_running_balance,
+    )
+
+    data = [(k, o, i, d) for i, (k, o, d) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k int, o int, id int, delta long")
+    got = {
+        r["k"]: (r["final_bal_cents"], r["n_steps"], r["n_clamps"])
+        for r in clamped_running_balance(df, ["k"], ["o", "id"], "delta").collect()
+    }
+    want = {}
+    for k in sorted({r[0] for r in data}):
+        seq = sorted([r for r in data if r[0] == k], key=lambda r: (r[1], r[2]))
+        bal = clamps = 0
+        for _, _, _, d in seq:
+            nb = bal + d
+            if nb < 0:
+                bal, clamps = 0, clamps + 1
+            else:
+                bal = nb
+        want[k] = (bal, len(seq), clamps)
+    assert got == want
