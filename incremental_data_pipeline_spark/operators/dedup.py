@@ -568,12 +568,24 @@ def prefix_filter_jaccard_pairs(
     # ceil only LENGTHENS the prefix (safe direction).
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "shingle")
-    pa = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
-    pb = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    ).select(id_col, "shingle", "sz")
+    pa = prefix.select(
+        F.col(id_col).alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+    )
+    # LENGTH filter (SSJoin/PPJoin): J(A,B) >= t forces t·|A| <= |B| and
+    # t·|B| <= |A| (J <= min/max), so size-incompatible postings never
+    # pair — applied INSIDE the posting-list join, before the distinct.
+    # The 1e-6 slack covers the one-ulp case where t·sz rounds above the
+    # exact rational product (pruning must stay strictly lossless).
+    size_ok = (
+        F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - F.lit(1e-6)
+    ) & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - F.lit(1e-6))
     cand = (
         pa.join(pb, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
         .select("doc_a", "doc_b")
         .distinct()
     )

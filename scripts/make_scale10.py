@@ -71,10 +71,32 @@ def main() -> None:
                 k, (F.col(k) + F.col("__r").cast("long") * STRIDE).cast("long")
             )
         if name == "documents":
-            # per-replica suffix: sizes scale 10x, duplicate RATE does not
-            df = df.withColumn(
-                "text", F.concat(F.col("text"), F.lit(" r"), F.col("__r"))
-            ).withColumn("n_chars", F.length("text").cast("long"))
+            # Per-replica WORD-LEVEL perturbation: tag every 4th word
+            # (offset by replica id) with a replica marker. A mere suffix
+            # leaves replicas at ~0.94 word-3-gram Jaccard — a 10-way
+            # NEAR-DUP clique per document, which turns every lossless
+            # near-dup workload quadratic in the replica count (measured:
+            # dedup_prefix_jaccard 29x at 10x data). Tagging 1-in-4 words
+            # breaks ~3/4 of each replica's 3-gram shingles, pushing
+            # cross-replica Jaccard to ~0.14 — well under the 0.6 dedup
+            # thresholds — so the duplicate RATE genuinely stays flat
+            # while sizes scale 10x. Replica 0 keeps the original text.
+            words = F.split(F.col("text"), " ")
+            tagged = F.array_join(
+                F.zip_with(
+                    words,
+                    F.sequence(F.lit(0), F.size(words) - 1),
+                    lambda w, i: F.when(
+                        (F.col("__r") > 0)
+                        & (i % 4 == F.col("__r") % 4),
+                        F.concat(w, F.lit("~"), F.col("__r").cast("string")),
+                    ).otherwise(w),
+                ),
+                " ",
+            )
+            df = df.withColumn("text", tagged).withColumn(
+                "n_chars", F.length("text").cast("long")
+            )
         if name == "embeddings":
             # nudge one coordinate per replica: near-identical geometry,
             # but replicas are not bit-identical vectors
