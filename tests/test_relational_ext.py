@@ -176,6 +176,13 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "measure_correlations": (1, 0),   # nine moments in one agg pass
         "source_lang_entropy": (2, 0),    # count grid + tiny entropy agg
         "order_span_overlap_pairs": (4, 1),  # span build + custkey self-join
+        "late_order_priority_check": (1, 0),  # semi-join + tiny rollup
+        "null_safe_join_counts": (2, 0),      # two pre-aggs; keys join tiny
+        "ivm_agg_retract": (2, 0),            # base agg + signed-partial merge
+        "inventory_clamped_balance": (1, 0),  # one key shuffle into the scan
+        "bag_set_ops_priorities": (2, 1),     # tiny full-outer takes one SMJ
+        "multimodal_audio_decode": (0, 0),    # pure narrow Arrow maps
+        "quantile_normalize_balance": (5, 0),  # incl. 2 range (scalable rank)
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
