@@ -7793,3 +7793,111 @@ def inventory_clamped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.clamped_running_balance(
         deltas, ["user_id"], ["ts", "event_id"], "delta"
     )
+
+
+@query(
+    "conversion_lag_stats",
+    """
+    WITH fc AS (
+      SELECT user_id, min(ts) AS c0 FROM events
+      WHERE event_type = 'click' GROUP BY user_id),
+    fp AS (
+      SELECT e.user_id,
+             CAST(epoch_us(min(e.ts)) - epoch_us(min(fc.c0)) AS DOUBLE)
+               AS lag_us
+      FROM events e JOIN fc ON e.user_id = fc.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= fc.c0
+      GROUP BY e.user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           quantile_cont(lag_us, 0.5) AS p50_lag_us,
+           quantile_cont(lag_us, 0.9) AS p90_lag_us
+    FROM fp
+    """,
+)
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: per user, the lag from FIRST click to the first
+    purchase at-or-after it, summarized as exact interpolated p50/p90 —
+    the latency profile behind funnel SLAs. Users who never purchase
+    after clicking drop out (conversion set only).
+
+    Scale shape: two user-keyed aggregations sharing one partitioning
+    plus a broadcast-sized percentile over |converted users| lags."""
+    ev = load_table(spark, sf_dir, "events")
+    fc = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c0"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") >= F.col("c0"))
+        .groupBy("user_id")
+        .agg(
+            (
+                F.unix_micros(F.min("ts")) - F.unix_micros(F.min("c0"))
+            ).cast("double").alias("lag_us")
+        )
+    )
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.expr("percentile(lag_us, 0.5D)").alias("p50_lag_us"),
+        F.expr("percentile(lag_us, 0.9D)").alias("p90_lag_us"),
+    )
+
+
+@query(
+    "attribution_last_touch",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts AS cts, CAST(extract(hour FROM ts) AS INT) AS h
+      FROM events WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts AS pts,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    last_click AS (
+      SELECT p.user_id, p.pts, p.cents, max(c.cts) AS cts
+      FROM purch p JOIN clicks c
+        ON c.user_id = p.user_id AND c.cts <= p.pts
+      GROUP BY p.user_id, p.pts, p.cents)
+    SELECT CAST(extract(hour FROM cts) AS INT) AS click_hour,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(cents) AS BIGINT) AS attributed_cents
+    FROM last_click GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH ATTRIBUTION: each purchase credits the latest click at
+    or before it (same user), rolled up by the attributing click's hour
+    of day — the marketing-attribution primitive, built on the engine's
+    scalable as-of join (tagged-union + running last: ONE shuffle on the
+    user key, no per-key theta fan-out; the oracle states the naive
+    greatest-prior-click join directly)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("cts"),
+            F.hour("ts").cast("int").alias("h"),
+        )
+        .groupBy("user_id", "cts")
+        .agg(F.max("h").alias("h"))
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    att = relational.asof_join(
+        purch, clicks, ["user_id"], "pts", "cts", ["h"]
+    )
+    return (
+        att.filter(F.col("h").isNotNull())
+        .groupBy(F.col("h").alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").cast("bigint").alias("attributed_cents"),
+        )
+    )
