@@ -7901,3 +7901,50 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("bigint").alias("attributed_cents"),
         )
     )
+
+
+@query(
+    "cdc_apply_tombstones",
+    """
+    WITH feed AS (
+      SELECT user_id,
+        CASE WHEN event_type = 'error' THEN 'D'
+             WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, op AS last_op, cents AS bal_cents
+    FROM feed WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC feed APPLICATION with DELETE TOMBSTONES: replay an ordered
+    insert/update/delete change feed to its final table — latest change
+    wins per key, and a key whose latest change is a tombstone is ABSENT
+    from the result (not null-valued) — the Debezium-style materialize
+    step that `latest_record_per_key` (no deletes) can't express.
+
+    Scale shape: one window shuffle on the key; the tombstone filter is
+    applied AFTER the latest-wins rank, so a delete followed by a
+    re-insert correctly resurrects the key."""
+    ev = load_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    feed = ev.select(
+        "user_id",
+        op.alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return feed.filter((F.col("rn") == 1) & (F.col("op") != "D")).select(
+        "user_id",
+        F.col("op").alias("last_op"),
+        F.col("cents").alias("bal_cents"),
+    )
