@@ -7948,3 +7948,126 @@ def cdc_apply_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("op").alias("last_op"),
         F.col("cents").alias("bal_cents"),
     )
+
+
+@query(
+    "oov_rate_by_source",
+    """
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok ASC) AS r
+        FROM tok GROUP BY tok) WHERE r <= 500),
+    flagged AS (
+      SELECT source,
+             CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END AS oov
+      FROM tok)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(oov) AS BIGINT) AS n_oov,
+           CAST(sum(oov) AS DOUBLE) / count(*) AS oov_rate
+    FROM flagged GROUP BY source
+    """,
+)
+def oov_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's own top-500
+    token vocabulary (ties broken lexically for determinism) — the
+    tokenizer-fit signal a training recipe watches per source: a source
+    whose OOV rate spikes is drifting away from the tokenizer.
+
+    Scale shape: the vocabulary reduces to 500 rows regardless of corpus
+    size and broadcasts into the flagging pass (left-semi membership);
+    data-sized work is one token-count aggregation plus one per-source
+    rollup."""
+    from incremental_data_pipeline_spark.functions.util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = fan_out(docs).select(
+        "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 500)
+        .select("tok")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "tok", "left"
+    ).select(
+        "source",
+        F.when(F.col("__in").isNotNull(), F.lit(0)).otherwise(F.lit(1)).alias("oov"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        (F.sum("oov").cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+    )
+
+
+@query(
+    "semi_additive_week_end_balance",
+    """
+    WITH sgn AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN event_type = 'purchase'
+             THEN -CAST(round(value * 100) AS BIGINT)
+             ELSE CAST(round(value * 100) AS BIGINT) END AS delta
+      FROM events WHERE event_type IN ('view', 'purchase')),
+    bal AS (
+      SELECT user_id, ts, event_id,
+        sum(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS running,
+        row_number() OVER (PARTITION BY user_id, date_trunc('week', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn,
+        CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM sgn)
+    SELECT week,
+           CAST(count(*) AS BIGINT) AS n_accounts,
+           CAST(sum(running) AS BIGINT) AS total_week_end_cents
+    FROM bal WHERE rn = 1 GROUP BY week
+    """,
+)
+def semi_additive_week_end_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMI-ADDITIVE measure rollup (Kimball): balances sum across
+    ACCOUNTS but not across TIME — each week takes every account's LAST
+    balance in that week (running signed total at its latest event),
+    then sums across accounts. A plain SUM over the period would
+    double-count every intra-month movement.
+
+    Scale shape: the running balance and the per-(account, month)
+    latest-pick share the user partitioning — one shuffle — and the
+    final per-week rollup is |weeks| rows. Integer cents throughout."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    sgn = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", -cents)
+        .otherwise(cents)
+        .alias("delta"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    wlast = Window.partitionBy("user_id", week).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    bal = sgn.select(
+        week.alias("week"),
+        F.sum("delta").over(wrun).alias("running"),
+        F.row_number().over(wlast).alias("rn"),
+    )
+    return bal.filter(F.col("rn") == 1).groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_accounts"),
+        F.sum("running").cast("bigint").alias("total_week_end_cents"),
+    )
