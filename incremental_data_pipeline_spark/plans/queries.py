@@ -8071,3 +8071,140 @@ def semi_additive_week_end_balance(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_accounts"),
         F.sum("running").cast("bigint").alias("total_week_end_cents"),
     )
+
+
+ORACLE_CROSS_SRC = f"""
+    WITH pairs AS ({_minhash_oracle()}),
+    lab AS (
+      SELECT least(da.source, db.source) AS src_a,
+             greatest(da.source, db.source) AS src_b
+      FROM pairs p
+      JOIN documents da ON p.doc_a = da.doc_id
+      JOIN documents db ON p.doc_b = db.doc_id
+      WHERE da.source <> db.source)
+    SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM lab GROUP BY src_a, src_b
+    """
+
+
+@query("cross_source_contamination", ORACLE_CROSS_SRC)
+def cross_source_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SOURCE contamination matrix: MinHash-LSH near-dup candidate
+    pairs whose two documents come from DIFFERENT sources, rolled up per
+    (source, source) cell — the governance view that tells you which
+    feeds are plagiarizing / mirroring each other, as opposed to
+    intra-source duplication (which `dedup_minhash_lsh` measures).
+
+    Scale shape: inherits the banded-LSH bucket bound (candidates from
+    band-signature equi-joins, never corpus²); the two source lookups
+    broadcast the (doc_id, source) projection; the matrix is
+    |sources|²-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.lsh_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            F.broadcast(
+                src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                    "source", "sa"
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                    "source", "sb"
+                )
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return j.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "label_centroid_geometry",
+    """
+    WITH ex AS (
+      SELECT label, unnest(range(len(embedding))) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, i,
+        CAST(round((CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE)
+                    / count(*)) * 1000000) AS BIGINT) AS q
+      FROM ex GROUP BY label, i),
+    dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+        SUM(a.q * b.q) AS dot, SUM(a.q * a.q) AS na, SUM(b.q * b.q) AS nb
+      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label)
+    SELECT label_a, label_b,
+      CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        AS centroid_cosine
+    FROM dots
+    """,
+)
+def label_centroid_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-geometry report: the cosine between every pair of LABEL
+    CENTROIDS in embedding space — near-parallel centroids flag label
+    pairs a classifier (or a semantic-dedup threshold) will confuse.
+    Centroids come from exact decimal sums, are then integer-quantized
+    (round(c·1e6), the `functions/vector.py` discipline) so the pairwise
+    dot products and norms are exact integer sums — every cosine is
+    bit-identical to the oracle. A lossy double→DECIMAL(38,18) cast is
+    NOT cross-engine-safe here: DuckDB converts via a double multiply
+    that loses integer precision past 2^53, Spark via exact BigDecimal
+    expansion — measured last-ulp divergence on 28/45 label pairs.
+
+    Scale shape: the corpus reduces to |labels|×|dims| centroid rows in
+    one aggregation (map-side combinable); the pairwise join runs on
+    that tiny frame only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", F.posexplode("embedding").alias("i", "val")
+    ).select("label", "i", F.col("val").cast("double").alias("v"))
+    cent = ex.groupBy("label", "i").agg(
+        F.round(
+            (
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            )
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("q")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(
+            F.sum(F.col("a.q") * F.col("b.q")).alias("dot"),
+            F.sum(F.col("a.q") * F.col("a.q")).alias("na"),
+            F.sum(F.col("b.q") * F.col("b.q")).alias("nb"),
+        )
+    )
+    return dots.select(
+        "label_a",
+        "label_b",
+        (
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
+        ).alias("centroid_cosine"),
+    )
