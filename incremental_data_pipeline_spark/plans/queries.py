@@ -8208,3 +8208,54 @@ def label_centroid_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double")))
         ).alias("centroid_cosine"),
     )
+
+
+@query(
+    "dynamic_partition_pruning_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type FROM events
+      WHERE event_type LIKE 'p%' OR event_type LIKE 'c%')
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events e JOIN dim ON e.event_type = dim.event_type
+    GROUP BY e.event_type
+    """,
+)
+def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING: the fact table is laid out partitioned
+    by join key on disk; the dim side's predicate cannot be statically
+    pushed across the join, so Catalyst injects a runtime subquery filter
+    into the fact SCAN — at 100 TB this is the difference between
+    scanning two partitions and scanning the table. The plan carries a
+    `dynamicpruning` partition filter (pinned in
+    tests/test_relational_ext.py); results equal the plain filtered join
+    the oracle states.
+
+    Scale shape: with DPP the fact scan reads only dim-selected
+    partitions; one shuffle for the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    base = scratch_dir("dpp_")
+    path = os.path.join(base, "events_by_type")
+    if not os.path.exists(path):
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        fact.select("event_type")
+        .distinct()
+        .filter(
+            F.col("event_type").like("p%") | F.col("event_type").like("c%")
+        )
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+    )

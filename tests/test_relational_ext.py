@@ -372,3 +372,19 @@ def test_kmv_by_group_exact_under_k(spark):
     assert got["g1"] == (5, 5.0)          # 5 < k: exact
     assert got["g2"][0] == 16             # filled sketch: k rows retained
     assert 15 <= got["g2"][1] <= 90       # estimate in a sane band for n=30
+
+
+def test_dpp_plan_has_runtime_partition_filter(spark):
+    """`dynamic_partition_pruning_join` must carry a dynamicpruning
+    partition filter on the fact scan — losing it silently turns a
+    2-partition read into a full-table scan at real scale."""
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    plan = (
+        QUERIES["dynamic_partition_pruning_join"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
