@@ -8259,3 +8259,56 @@ def dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFram
             .alias("sum_cents"),
         )
     )
+
+
+_DIRTY_CSV_PATH = "/tmp/idps_static_dirty_cars.csv"
+_DIRTY_CSV_BYTES = (
+    'Branch_ID,BranchName,City,Revenue\n'
+    'BR001,"Smith, John Motors","Austin",10.50\n'
+    'BR002,"O""Brien ""Premium"" Cars","New\nYork",20.00\n'
+    'BR003,Plain Deals,Dallas,7.25\n'
+    'BR004,"2008 NRHP-listed",San Jose,0.75\n'
+)
+
+
+@query(
+    "csv_dirty_parse",
+    f"""
+    SELECT Branch_ID, BranchName, City,
+           CAST(Revenue AS DOUBLE) AS revenue
+    FROM read_csv('{_DIRTY_CSV_PATH}', header=true, quote='"', escape='"',
+                  columns={{'Branch_ID': 'VARCHAR', 'BranchName': 'VARCHAR',
+                           'City': 'VARCHAR', 'Revenue': 'VARCHAR'}})
+    """,
+)
+def csv_dirty_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRTY-CSV parsing parity — the reference corpus's real traits
+    (SURVEY §1.3: embedded commas inside quoted names, escaped inner
+    quotes, junk categories, and a quoted field containing a NEWLINE,
+    which breaks any line-splitting reader). The query materializes a
+    fixed byte-exact file and parses it with Spark's multiLine CSV
+    reader; the oracle parses the SAME file with DuckDB's reader — both
+    engines must agree on every RFC-4180 edge.
+
+    Scale note: ``multiLine`` CSVs are not line-splittable, so Spark
+    reads each such file in one task — the documented trade-off for
+    quoted-newline data; splittable ingestion should pre-normalize
+    newlines upstream (the quarantine path handles rejects)."""
+    if not os.path.exists(_DIRTY_CSV_PATH):
+        tmp = _DIRTY_CSV_PATH + ".tmp"
+        with open(tmp, "w", encoding="utf-8", newline="") as f:
+            f.write(_DIRTY_CSV_BYTES)
+        os.replace(tmp, _DIRTY_CSV_PATH)
+    df = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(_DIRTY_CSV_PATH)
+    )
+    return df.select(
+        "Branch_ID",
+        "BranchName",
+        "City",
+        F.col("Revenue").cast("double").alias("revenue"),
+    )
