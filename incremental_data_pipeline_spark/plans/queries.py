@@ -8312,3 +8312,125 @@ def csv_dirty_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "City",
         F.col("Revenue").cast("double").alias("revenue"),
     )
+
+
+@query(
+    "weighted_median_price",
+    """
+    WITH o AS (
+      SELECT l_returnflag, l_extendedprice,
+        sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        sum(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag)
+          AS tot
+      FROM lineitem)
+    SELECT l_returnflag,
+      CAST(min(CASE WHEN 2 * cumw >= tot THEN l_extendedprice END)
+        AS DOUBLE) AS weighted_median_price,
+      CAST(max(tot) AS BIGINT) AS total_weight
+    FROM o GROUP BY l_returnflag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN per group — the price at which half the
+    QUANTITY (not half the rows) sits on each side: cumulative-weight
+    crossing over a deterministic total order, entirely in integer
+    weight arithmetic (`2·cumw >= tot`, no float midpoint), so the
+    crossing row is engine-identical.
+
+    Scale shape: one window shuffle on the group key; the crossing pick
+    is a conditional MIN in the same aggregation — no second pass, no
+    percentile array on the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("bigint")
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    o = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(w).over(wrun).alias("cumw"),
+        F.sum(w).over(wall).alias("tot"),
+    )
+    return o.groupBy("l_returnflag").agg(
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("tot"), F.col("l_extendedprice"))
+        )
+        .cast("double")
+        .alias("weighted_median_price"),
+        F.max("tot").cast("bigint").alias("total_weight"),
+    )
+
+
+@query(
+    "woe_encoding_buckets",
+    """
+    WITH flagged AS (
+      SELECT c.c_custkey, c.c_acctbal,
+        CASE WHEN EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+             THEN 1 ELSE 0 END AS good
+      FROM customer c),
+    bucketed AS (
+      SELECT ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS bucket, good
+      FROM flagged),
+    agg AS (
+      SELECT bucket,
+             CAST(sum(good) AS BIGINT) AS n_good,
+             CAST(count(*) - sum(good) AS BIGINT) AS n_bad
+      FROM bucketed GROUP BY bucket),
+    tot AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM agg)
+    SELECT CAST(bucket AS INT) AS bucket, n_good, n_bad,
+      CASE WHEN n_good > 0 AND n_bad > 0
+           THEN ln((CAST(n_good AS DOUBLE) * tb)
+                   / (CAST(n_bad AS DOUBLE) * tg))
+      END AS woe
+    FROM agg CROSS JOIN tot
+    """,
+)
+def woe_encoding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE encoding: balance deciles scored by
+    ln(good-share / bad-share) against a has-orders label — the credit-
+    scoring / feature-binning transform. Degenerate buckets (all good or
+    all bad) yield NULL rather than ±inf. All counts integer; the single
+    ln over one exact ratio is engine-identical.
+
+    Scale shape: the label is one semi-join flag, deciles are one
+    tiebroken ntile window, and everything after runs on 10 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    has = o.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
+        "__has", F.lit(1)
+    )
+    flagged = c.join(F.broadcast(has), "c_custkey", "left").select(
+        "c_acctbal",
+        "c_custkey",
+        F.coalesce(F.col("__has"), F.lit(0)).alias("good"),
+    )
+    wb = Window.orderBy("c_acctbal", "c_custkey")
+    bucketed = flagged.select(
+        F.ntile(10).over(wb).alias("bucket"), "good"
+    )
+    agg = bucketed.groupBy("bucket").agg(
+        F.sum("good").cast("bigint").alias("n_good"),
+        (F.count(F.lit(1)) - F.sum("good")).cast("bigint").alias("n_bad"),
+    )
+    tot = agg.agg(
+        F.sum("n_good").alias("tg"), F.sum("n_bad").alias("tb")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("bucket").cast("int").alias("bucket"),
+        "n_good",
+        "n_bad",
+        F.when(
+            (F.col("n_good") > 0) & (F.col("n_bad") > 0),
+            F.log(
+                (F.col("n_good").cast("double") * F.col("tb"))
+                / (F.col("n_bad").cast("double") * F.col("tg"))
+            ),
+        ).alias("woe"),
+    )
