@@ -8434,3 +8434,64 @@ def woe_encoding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("woe"),
     )
+
+
+@query(
+    "percent_of_parent_rollup",
+    """
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev_d
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation, CAST(rev_d AS DOUBLE) AS rev,
+      CAST(rev_d AS DOUBLE)
+        / CAST(sum(rev_d) OVER (PARTITION BY region) AS DOUBLE)
+        AS pct_of_region,
+      CAST(sum(rev_d) OVER (PARTITION BY region) AS DOUBLE)
+        / CAST(sum(rev_d) OVER () AS DOUBLE) AS region_pct_of_total
+    FROM rev
+    """,
+)
+def percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENT-OF-PARENT at two hierarchy levels: each nation's share of
+    its region AND each region's share of the world, in one pass — the
+    drill-down ratio every BI hierarchy needs, distinct from flat
+    percent-of-total (`revenue_share_window`). The share windows sum the
+    DECIMAL revenue (a window sum of doubles is fold-order-dependent
+    even over 25 rows — measured last-ulp drift), so each divide is one
+    IEEE op over exact operands.
+
+    Scale shape: one decimal-exact rollup reduces the fact table to
+    |nations| rows; both share windows run on that tiny frame."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev_d"))
+    )
+    wr = Window.partitionBy("region")
+    wall = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("rev_d").cast("double").alias("rev"),
+        (
+            F.col("rev_d").cast("double")
+            / F.sum("rev_d").over(wr).cast("double")
+        ).alias("pct_of_region"),
+        (
+            F.sum("rev_d").over(wr).cast("double")
+            / F.sum("rev_d").over(wall).cast("double")
+        ).alias("region_pct_of_total"),
+    )
