@@ -8495,3 +8495,141 @@ def percent_of_parent_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("rev_d").over(wall).cast("double")
         ).alias("region_pct_of_total"),
     )
+
+
+@query(
+    "skyline_parts_pareto",
+    """
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice AS price, p_size AS sz FROM part),
+    sky AS (
+      SELECT price, sz FROM pts a
+      WHERE NOT EXISTS (
+        SELECT 1 FROM pts b
+        WHERE b.price <= a.price AND b.sz <= a.sz
+          AND (b.price < a.price OR b.sz < a.sz)))
+    SELECT CAST(s.price AS DOUBLE) AS price, CAST(s.sz AS INT) AS sz,
+           CAST(count(*) AS BIGINT) AS n_parts
+    FROM sky s JOIN part p
+      ON p.p_retailprice = s.price AND p.p_size = s.sz
+    GROUP BY s.price, s.sz
+    """,
+)
+def skyline_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE (Pareto frontier) over (price, size): the parts no other
+    part beats on BOTH dimensions — the multi-criteria shortlist
+    operator. The oracle states the textbook quadratic NOT EXISTS; the
+    engine computes it LINEARLY after one sort: over distinct points
+    ordered (price asc, size asc), a point is dominated iff some
+    earlier point has size <= its size (earlier ⇒ cheaper, or same
+    price and smaller) — one running-min window, no self-join.
+    Duplicate (price, size) points are collapsed first so equal pairs
+    (which do not dominate each other) share one frontier decision.
+
+    Scale shape: distinct + one global-ordered window over |distinct
+    points| (bounded by the price×size grid, not row count), then a
+    broadcast join back to count members."""
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("sz")
+    ).distinct()
+    w = (
+        Window.orderBy("price", "sz")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sky = (
+        pts.withColumn("runmin", F.min("sz").over(w))
+        .filter(F.col("runmin").isNull() | (F.col("runmin") > F.col("sz")))
+        .select("price", "sz")
+    )
+    return (
+        part.join(
+            F.broadcast(sky),
+            (F.col("p_retailprice") == F.col("price"))
+            & (F.col("p_size") == F.col("sz")),
+        )
+        .groupBy("price", "sz")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            F.col("price").cast("double").alias("price"),
+            F.col("sz").cast("int").alias("sz"),
+            "n_parts",
+        )
+    )
+
+
+@query(
+    "stream_cdc_tombstone_dim",
+    """
+    WITH feed AS (
+      SELECT user_id,
+        CASE WHEN event_type = 'error' THEN 'D'
+             WHEN event_type = 'signup' THEN 'I' ELSE 'U' END AS op,
+        CAST(round(value * 100) AS BIGINT) AS cents,
+        row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, op AS last_op, cents AS bal_cents
+    FROM feed WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def stream_cdc_tombstone_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `cdc_apply_tombstones`: each micro-batch's
+    latest change per key merges into a persisted store by EVENT TIME
+    (ts, event_id) — not arrival order — so cross-batch disorder and
+    replays resolve identically to the batch semantics. Tombstones are
+    KEPT in the store (a later-arriving older update must not resurrect
+    a deleted key) and filtered only at read time; the oracle is the
+    batch materialization over the full feed.
+
+    Scale shape: per batch, one key-window over the batch plus a
+    latest-wins merge against the store's |keys| rows."""
+    base = scratch_dir("stream_tomb_")
+    store = os.path.join(base, "dim_store")
+    op = (
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+    )
+    wlat = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(wlat))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+        b = latest(
+            batch.select(
+                "user_id",
+                "ts",
+                "event_id",
+                op.alias("op"),
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            )
+        )
+        if os.path.exists(store):
+            merged = latest(spark.read.parquet(store).unionByName(b))
+        else:
+            merged = b
+        atomic_overwrite(merged, store)
+
+    stream = _stream.read_stream(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+    return (
+        spark.read.parquet(store)
+        .filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("cents").alias("bal_cents"),
+        )
+    )

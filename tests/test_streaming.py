@@ -583,3 +583,85 @@ def test_retract_gold_invariant_to_batch_split(spark):
         assert got == want
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_tombstone_dim_invariant_to_batch_split(spark):
+    """Latest-wins-with-tombstones merges by EVENT TIME, so the final
+    store is identical whether the feed arrives as one micro-batch or
+    two — and a key whose latest change is a delete stays gone even when
+    an OLDER update for it arrives in a LATER batch (the split is by
+    event-id parity, so batch 2 is full of time-disordered changes)."""
+    from pyspark.sql import Window
+
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_tomb_split_")
+    try:
+        events = load_table(spark, SF_DIR, "events")
+        cols = events.select("user_id", "ts", "event_id", "event_type", "value")
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        mid = int(cols.agg(F.expr("percentile(event_id, 0.5)")).first()[0])
+        _copy_split(SF_DIR, src_dir, cols, "event_id", mid)
+
+        store = os.path.join(base, "dim_store")
+        wlat = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        op = (
+            F.when(F.col("event_type") == "error", "D")
+            .when(F.col("event_type") == "signup", "I")
+            .otherwise("U")
+        )
+
+        def latest(df):
+            return (
+                df.withColumn("rn", F.row_number().over(wlat))
+                .filter(F.col("rn") == 1)
+                .drop("rn")
+            )
+
+        def apply_batch(batch, _epoch):
+            b = latest(
+                batch.select(
+                    "user_id", "ts", "event_id",
+                    op.alias("op"),
+                    F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+                )
+            )
+            if os.path.exists(store):
+                b = latest(spark.read.parquet(store).unionByName(b))
+            atomic_overwrite(b, store)
+
+        stream = (
+            spark.readStream.schema(cols.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        sp.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(store)
+            .filter(F.col("op") != "D")
+            .select("user_id", "op", "cents")
+            .collect()
+        }
+        want = {
+            tuple(r)
+            for r in latest(
+                cols.select(
+                    "user_id", "ts", "event_id",
+                    op.alias("op"),
+                    F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+                )
+            )
+            .filter(F.col("op") != "D")
+            .select("user_id", "op", "cents")
+            .collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
