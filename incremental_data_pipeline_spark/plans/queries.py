@@ -8633,3 +8633,79 @@ def stream_cdc_tombstone_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").alias("bal_cents"),
         )
     )
+
+
+_FUZZY_PAIRS_SQL = """
+      SELECT a.p_partkey AS part_a, b.p_partkey AS part_b
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query(
+    "golden_record_parts",
+    f"""
+    WITH RECURSIVE pairs AS ({_FUZZY_PAIRS_SQL}),
+    edges AS (
+      SELECT part_a AS u, part_b AS v FROM pairs
+      UNION SELECT part_b, part_a FROM pairs),
+    reach(node, m) AS (
+      SELECT p_partkey, p_partkey FROM part
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m),
+    clusters AS (
+      SELECT node AS p_partkey, min(m) AS cluster_id
+      FROM reach GROUP BY node)
+    SELECT c.cluster_id,
+      CAST(count(*) AS BIGINT) AS n_members,
+      min(p.p_name) AS canonical_name,
+      CAST(min(p.p_retailprice) AS DOUBLE) AS min_price,
+      CAST(max(p.p_retailprice) AS DOUBLE) AS max_price,
+      CAST(max(p.p_size) AS INT) AS max_size
+    FROM clusters c JOIN part p ON c.p_partkey = p.p_partkey
+    GROUP BY c.cluster_id
+    """,
+)
+def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY RESOLUTION end-to-end (the MDM golden-record build): fuzzy
+    name matches (brand-blocked, edit distance ≤ 3) → transitive closure
+    into entity clusters (the CC fixpoint — matches are not transitive,
+    closure makes them consistent) → one merged golden record per
+    entity: canonical name (deterministic min), attribute survivorship
+    (min/max rules), and member count. Singletons are their own golden
+    record.
+
+    Scale shape: candidate pairs are blocking-bounded (brand buckets),
+    the closure is the checkpointed pointer-jumping fixpoint (O(log n)
+    rounds), and survivorship is one key-grouped aggregation. The oracle
+    replays the closure as a recursive CTE."""
+    p = load_table(spark, sf_dir, "part")
+    pairs = (
+        p.select(F.col("p_partkey").alias("part_a"), "p_brand", F.col("p_name").alias("__na"))
+        .join(
+            p.select(F.col("p_partkey").alias("part_b"), "p_brand", F.col("p_name").alias("__nb")),
+            "p_brand",
+        )
+        .filter(
+            (F.col("part_a") < F.col("part_b"))
+            & (F.levenshtein("__na", "__nb") <= 3)
+        )
+        .select(
+            F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
+        )
+    )
+    clusters = _dedup.duplicate_clusters(
+        p.select(F.col("p_partkey")), pairs, "p_partkey"
+    ).withColumnRenamed("p_partkey", "__k")
+    return (
+        clusters.join(p, F.col("__k") == F.col("p_partkey"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("p_name").alias("canonical_name"),
+            F.min("p_retailprice").cast("double").alias("min_price"),
+            F.max("p_retailprice").cast("double").alias("max_price"),
+            F.max("p_size").cast("int").alias("max_size"),
+        )
+    )
