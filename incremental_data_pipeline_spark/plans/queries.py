@@ -8709,3 +8709,137 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_size").cast("int").alias("max_size"),
         )
     )
+
+
+@query(
+    "replica_majority_repair",
+    """
+    WITH r AS (
+      SELECT o_orderkey,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS va,
+        CAST(o_totalprice AS DECIMAL(18,2))
+          + CASE WHEN (('0x' || substring(md5('B|' ||
+                CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100) < 5
+            THEN CAST(0.01 AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END AS vb,
+        CAST(o_totalprice AS DECIMAL(18,2))
+          + CASE WHEN (('0x' || substring(md5('C|' ||
+                CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 100) < 5
+            THEN CAST(0.02 AS DECIMAL(18,2))
+            ELSE CAST(0 AS DECIMAL(18,2)) END AS vc
+      FROM orders),
+    v AS (
+      SELECT o_orderkey,
+        CASE WHEN va = vb OR va = vc THEN va
+             WHEN vb = vc THEN vb END AS repaired,
+        (va = vb AND vb = vc) AS all_agree
+      FROM r)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(sum(CASE WHEN all_agree THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_all_agree,
+      CAST(sum(CASE WHEN NOT all_agree AND repaired IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_majority_repaired,
+      CAST(sum(CASE WHEN repaired IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unrepairable,
+      CAST(sum(repaired) AS DOUBLE) AS repaired_total
+    FROM v
+    """,
+)
+def replica_majority_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THREE-REPLICA MAJORITY REPAIR (anti-entropy read-repair): three
+    copies of a table diverge by deterministic hash-seeded corruptions;
+    per key the 2-of-3 value wins, keys where all three disagree are
+    UNREPAIRABLE and surfaced, never silently picked. Complements the
+    checksum reconciliation (`reconcile_orders_copies`), which finds
+    divergent buckets — this repairs them.
+
+    Scale shape: replicas align on the key (here derived in one scan;
+    across real tables it is a 3-way key equi-join); the vote is pure
+    per-row expression work and the audit is one global aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def corrupt(salt: str, delta: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt + "|"), F.col("o_orderkey").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return F.col("va") + F.when(
+            h % 100 < 5, F.lit(delta).cast("decimal(18,2)")
+        ).otherwise(F.lit("0").cast("decimal(18,2)"))
+
+    r = o.select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("va")
+    )
+    r = r.withColumn("vb", corrupt("B", "0.01")).withColumn(
+        "vc", corrupt("C", "0.02")
+    )
+    repaired = (
+        F.when((F.col("va") == F.col("vb")) | (F.col("va") == F.col("vc")), F.col("va"))
+        .when(F.col("vb") == F.col("vc"), F.col("vb"))
+    )
+    v = r.select(
+        repaired.alias("repaired"),
+        ((F.col("va") == F.col("vb")) & (F.col("vb") == F.col("vc"))).alias(
+            "all_agree"
+        ),
+    )
+    return v.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("all_agree").cast("int")).cast("bigint").alias("n_all_agree"),
+        F.sum(
+            ((~F.col("all_agree")) & F.col("repaired").isNotNull()).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_majority_repaired"),
+        F.sum(F.col("repaired").isNull().cast("int"))
+        .cast("bigint")
+        .alias("n_unrepairable"),
+        F.sum("repaired").cast("double").alias("repaired_total"),
+    )
+
+
+@query(
+    "dow_seasonality_profile",
+    """
+    WITH d AS (
+      SELECT event_type,
+             CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS dow
+      FROM events)
+    SELECT event_type, dow,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(count(*) AS DOUBLE)
+        / sum(count(*)) OVER (PARTITION BY event_type) AS dow_share
+    FROM d GROUP BY event_type, dow
+    """,
+)
+def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: each event type's weekly activity shape
+    (Monday=0 ISO weekday, count and share-of-type) — the profile that
+    separates weekday-driven types from weekend ones and feeds
+    anomaly baselines. Counts are integers; each share is one divide
+    over integer window sums (window-summing COUNTs is exact, unlike
+    doubles).
+
+    Scale shape: one |types|×7-cell aggregation; the share window runs
+    on that grid."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", F.weekday("ts").cast("int").alias("dow")
+    )
+    agg = d.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "dow",
+        "n_events",
+        (
+            F.col("n_events").cast("double") / F.sum("n_events").over(w)
+        ).alias("dow_share"),
+    )
