@@ -388,3 +388,33 @@ def test_dpp_plan_has_runtime_partition_filter(spark):
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_skyline_duplicate_and_tie_semantics(spark):
+    """Skyline edge semantics: duplicate (price, size) points do NOT
+    dominate each other (both members count under one frontier point);
+    equal-price smaller-size dominates; equal-size cheaper dominates."""
+    import os
+    import tempfile
+
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = [
+        (1, "T", 1.0, 5),   # frontier (duplicated below)
+        (2, "T", 1.0, 5),   # same point — shares the frontier cell
+        (3, "T", 1.0, 7),   # dominated: same price, larger size
+        (4, "T", 2.0, 3),   # frontier: smaller size than anything cheaper
+        (5, "T", 2.0, 4),   # dominated by (2.0, 3)
+        (6, "T", 3.0, 3),   # dominated by (2.0, 3): same size, pricier
+        (7, "T", 0.5, 9),   # frontier: cheapest overall
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_type string, p_retailprice double, p_size int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "part.parquet"))
+        got = {
+            (r["price"], r["sz"]): r["n_parts"]
+            for r in QUERIES["skyline_parts_pareto"](spark, d).collect()
+        }
+    assert got == {(0.5, 9): 1, (1.0, 5): 2, (2.0, 3): 1}
