@@ -8843,3 +8843,135 @@ def dow_seasonality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("double") / F.sum("n_events").over(w)
         ).alias("dow_share"),
     )
+
+
+@query(
+    "stream_click_purchase_full_outer",
+    """
+    WITH clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    purch AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+    wm AS (SELECT least(
+        (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+         WHERE event_type = 'click'),
+        (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events
+         WHERE event_type = 'purchase')) AS w_us),
+    lhs AS (
+      SELECT c.user_id, c.ts, p.p_ts
+      FROM clicks c LEFT JOIN purch p
+        ON p.user_id = c.user_id
+       AND p.p_ts >= c.ts AND p.p_ts <= c.ts + INTERVAL 1 HOUR),
+    rhs AS (
+      SELECT p.user_id, p.p_ts FROM purch p
+      WHERE NOT EXISTS (SELECT 1 FROM clicks c
+                        WHERE c.user_id = p.user_id
+                          AND p.p_ts >= c.ts
+                          AND p.p_ts <= c.ts + INTERVAL 1 HOUR))
+    SELECT user_id,
+      CAST(sum(CASE WHEN matched THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+      CAST(sum(CASE WHEN kind = 'L' AND NOT matched THEN 1 ELSE 0 END)
+        AS BIGINT) AS n_expired_clicks,
+      CAST(sum(CASE WHEN kind = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_orphan_purchases
+    FROM (
+      SELECT user_id, (p_ts IS NOT NULL) AS matched, 'L' AS kind
+      FROM lhs CROSS JOIN wm
+      WHERE p_ts IS NOT NULL OR epoch_us(ts + INTERVAL 1 HOUR) < w_us
+      UNION ALL
+      SELECT user_id, FALSE, 'R'
+      FROM rhs CROSS JOIN wm WHERE epoch_us(p_ts) < w_us)
+    GROUP BY user_id
+    """,
+)
+def stream_click_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: matched (click,
+    purchase-within-1h) pairs, PLUS clicks whose hour expired unmatched,
+    PLUS purchases no click preceded — both absence signals from one
+    join (left-only was `stream_click_purchase_timeout`). Outer rows
+    emit when the min-across-sides ms-floored watermark passes each
+    side's eviction point: click_ts + 1h for the left buffer, p_ts
+    itself for the right (no on-time click can still arrive once the
+    watermark passes the purchase). The oracle models both cutoffs
+    exactly.
+
+    Scale shape: state bounded by the same interval eviction on both
+    buffers; the rollup shares the user partitioning."""
+    ev = _stream.read_stream(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    joined = _stream.stream_interval_join(
+        clicks,
+        purchases,
+        "user_id",
+        "ts",
+        "p_ts",
+        within="1 hour",
+        delay="0 seconds",
+        how="full_outer",
+    )
+    pairs = _stream.run_to_memory(joined, "append")
+    return pairs.groupBy("user_id").agg(
+        F.sum(
+            (F.col("ts").isNotNull() & F.col("p_ts").isNotNull()).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(
+            (F.col("ts").isNotNull() & F.col("p_ts").isNull()).cast("long")
+        )
+        .cast("bigint")
+        .alias("n_expired_clicks"),
+        F.sum(F.col("ts").isNull().cast("long"))
+        .cast("bigint")
+        .alias("n_orphan_purchases"),
+    )
+
+
+@query(
+    "grouping_id_rollup",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+      CAST(grouping(r.r_name) AS INT) AS is_grand_total,
+      CAST(grouping(n.n_name) AS INT) AS is_region_subtotal,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() flags: subtotal rows carry NULL grouping
+    columns, indistinguishable from genuine NULL data without the
+    grouping indicator — the flags are what lets a BI layer render
+    "ALL" rows correctly. `agg_rollup` covers the hierarchy totals;
+    this pins the DISAMBIGUATION metadata cross-engine.
+
+    Scale shape: one rollup aggregation (Catalyst expands grouping sets
+    in a single pass with partial aggregation); dims broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.grouping("r_name").cast("int").alias("is_grand_total"),
+            F.grouping("n_name").cast("int").alias("is_region_subtotal"),
+            dec_sum("o_totalprice", "revenue"),
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "is_grand_total",
+            "is_region_subtotal",
+            "revenue",
+        )
+    )

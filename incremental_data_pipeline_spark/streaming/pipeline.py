@@ -166,20 +166,30 @@ def stream_interval_join(
     watermark passes ``left_ts + within`` — the abandoned-funnel detector
     (clicks that never converted). Outer emission is watermark-driven, so
     pick ``delay`` small enough that the final no-data micro-batch's
-    watermark (global max event time − delay) flushes the expired rows."""
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"stream_interval_join supports inner/left_outer; got {how!r}")
+    watermark (global max event time − delay) flushes the expired rows.
+    ``how='full_outer'`` additionally emits right rows no left row ever
+    matched, once the watermark passes ``right_ts`` (after which any
+    matching left arrival would be late-dropped anyway)."""
+    if how not in ("inner", "left_outer", "full_outer"):
+        raise ValueError(
+            f"stream_interval_join supports inner/left_outer/full_outer; got {how!r}"
+        )
     l = left.withWatermark(left_ts, delay)
     r = right.withWatermark(right_ts, delay).select(
         F.col(key).alias("__rkey"), F.col(right_ts).alias(right_ts)
     )
-    return l.join(
+    joined = l.join(
         r,
         (F.col(key) == F.col("__rkey"))
         & (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) <= F.expr(f"{left_ts} + INTERVAL {within}")),
         how,
-    ).drop("__rkey")
+    )
+    if how == "full_outer":
+        # right-outer rows carry only the renamed right key; fold it back
+        # so the caller sees ONE key column on every row
+        joined = joined.withColumn(key, F.coalesce(F.col(key), F.col("__rkey")))
+    return joined.drop("__rkey")
 
 
 def stream_static_contamination(
