@@ -8975,3 +8975,119 @@ def grouping_id_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@query(
+    "dup_rate_by_source",
+    """
+    WITH g AS (
+      SELECT source, md5(text) AS h, count(*) AS n
+      FROM documents GROUP BY source, md5(text))
+    SELECT source,
+      CAST(sum(n) AS BIGINT) AS n_docs,
+      CAST(sum(n) - count(*) AS BIGINT) AS n_redundant,
+      CAST(sum(n) - count(*) AS DOUBLE) / sum(n) AS dup_rate
+    FROM g GROUP BY source
+    """,
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source EXACT duplicate rate: redundant copies (docs beyond the
+    first of each identical-content group) over total, per feed — the
+    governance number that says which source to dedupe first, the
+    intra-source complement of `cross_source_contamination`.
+
+    Scale shape: one (source, content-hash) aggregation with map-side
+    combine, then a per-source rollup — the same single-shuffle
+    discipline as `dedup_exact`."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source", F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        (F.sum("n") - F.count(F.lit(1))).cast("bigint").alias("n_redundant"),
+        (
+            (F.sum("n") - F.count(F.lit(1))).cast("double") / F.sum("n")
+        ).alias("dup_rate"),
+    )
+
+
+@query(
+    "near_dup_threshold_profile",
+    """
+    WITH sh AS (
+      SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle FROM (
+        SELECT doc_id,
+          CASE WHEN len(string_split(text, ' ')) >= 3
+            THEN list_transform(range(len(string_split(text, ' ')) - 2),
+                 i -> string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2] || ' ' ||
+                      string_split(text, ' ')[i+3])
+            ELSE [text] END AS sh_list
+        FROM documents)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    j AS (
+      SELECT CAST(i AS DOUBLE) / (za.sz + zb.sz - i) AS jac
+      FROM inter
+      JOIN sizes za ON inter.doc_a = za.doc_id
+      JOIN sizes zb ON inter.doc_b = zb.doc_id)
+    SELECT
+      CAST(sum(CASE WHEN jac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS ge_030,
+      CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS ge_050,
+      CAST(sum(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS ge_070,
+      CAST(sum(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS ge_090
+    FROM j
+    """,
+)
+def near_dup_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THRESHOLD TUNING for near-dup dedup: how many pairs would each
+    Jaccard cutoff catch (≥0.3/0.5/0.7/0.9), computed from ONE pairwise
+    pass over shared-shingle candidates — the measurement that picks the
+    dedup threshold instead of guessing it. Pairs sharing no shingle
+    have Jaccard 0 and are never materialized.
+
+    Scale shape: the candidate generator is the shared-shingle posting
+    join (bounded by posting-list sizes, not corpus²; at 100 TB the
+    `max_df`-capped or prefix-filtered generators stand in); the profile
+    itself is one conditional aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = _dedup.doc_shingles(docs, "doc_id", "text", 3).localCheckpoint(
+        eager=True
+    )
+    sizes = s.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = s.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            (
+                F.col("i").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+            ).alias("jac")
+        )
+    )
+    return j.agg(
+        *[
+            F.sum((F.col("jac") >= t).cast("long")).cast("bigint").alias(nm)
+            for t, nm in [
+                (0.3, "ge_030"),
+                (0.5, "ge_050"),
+                (0.7, "ge_070"),
+                (0.9, "ge_090"),
+            ]
+        ]
+    )

@@ -423,3 +423,44 @@ def test_clamped_balance_matches_python_reference(spark, rows):
                 bal = nb
         want[k] = (bal, len(seq), clamps)
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=40),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(**SMALL)
+def test_prefix_jaccard_lossless_random(spark, docs):
+    """The prefix-filtered (and length-filtered) Jaccard join finds
+    EXACTLY the pairs the brute-force all-pairs computation finds, on
+    arbitrary token multisets — the losslessness contract the PPJoin
+    pruning must never break."""
+    from incremental_data_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_jaccard_pairs(
+            df, "doc_id", "text", n=2, threshold=0.6
+        ).collect()
+    }
+
+    def shingles(t):
+        ws = t.split(" ")
+        if len(ws) >= 2:
+            return {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+        return {" ".join(ws)}
+
+    want = set()
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            a, b = shingles(ta), shingles(tb)
+            if len(a | b) and len(a & b) / len(a | b) >= 0.6:
+                want.add((ia, ib))
+    assert got == want
