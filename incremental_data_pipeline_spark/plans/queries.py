@@ -9091,3 +9091,99 @@ def near_dup_threshold_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ]
     )
+
+
+@query(
+    "pivot_multi_agg_status",
+    """
+    SELECT o_orderpriority,
+      CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+        AS F_n,
+      CAST(sum(CASE WHEN o_orderstatus = 'F'
+        THEN CAST(o_totalprice AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS F_rev,
+      CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+        AS O_n,
+      CAST(sum(CASE WHEN o_orderstatus = 'O'
+        THEN CAST(o_totalprice AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS O_rev,
+      CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+        AS P_n,
+      CAST(sum(CASE WHEN o_orderstatus = 'P'
+        THEN CAST(o_totalprice AS DECIMAL(18,2))
+        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS P_rev
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_multi_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with MULTIPLE aggregates per pivoted value: per priority,
+    each order status contributes BOTH a count and a decimal-exact
+    revenue column (`{status}_{measure}` naming) — the wide-report shape
+    one conditional-aggregation pass produces; `pivot_orders_by_priority`
+    covers the single-measure case.
+
+    Scale shape: Catalyst compiles the pivot to exactly that single
+    conditional aggregation — one shuffle, map-side partials, column
+    count fixed by the pivot domain."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("rev"),
+        )
+    )
+    # pivot emits count columns as nullable counts; absent cells are 0/0.0
+    out = piv
+    for s in ["F", "O", "P"]:
+        out = out.withColumn(
+            f"{s}_n", F.coalesce(F.col(f"{s}_n"), F.lit(0)).cast("bigint")
+        ).withColumn(
+            f"{s}_rev", F.coalesce(F.col(f"{s}_rev"), F.lit(0.0))
+        )
+    return out
+
+
+@query(
+    "cumulative_unique_users",
+    """
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events
+      GROUP BY user_id),
+    daily AS (
+      SELECT day, count(*) AS new_users FROM first_day GROUP BY day)
+    SELECT day,
+      CAST(new_users AS BIGINT) AS new_users,
+      CAST(sum(new_users) OVER (ORDER BY day
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cumulative_users
+    FROM daily
+    """,
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH CURVE: cumulative distinct users over time WITHOUT a
+    cumulative-distinct scan — each user collapses to a first-seen day,
+    so the running total of daily new users IS the distinct-to-date
+    count. The standard trick that turns an O(days × users) rolling
+    distinct into one aggregation plus a |days|-row window.
+
+    Scale shape: one user-keyed min, one tiny daily rollup, one window
+    over |days| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )
