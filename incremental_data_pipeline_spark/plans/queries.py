@@ -9187,3 +9187,110 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@query(
+    "seasonal_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(isodow(CAST(ts AS DATE)) - 1 AS INT) AS dow,
+             count(*) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    base AS (
+      SELECT event_type, dow,
+        count(*) AS k, sum(n) AS s, sum(n * n) AS ss
+      FROM daily GROUP BY event_type, dow)
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n_events,
+      CAST(b.s AS DOUBLE) / b.k AS dow_mean,
+      CASE WHEN b.k > 1
+             AND (CAST(b.ss AS DOUBLE) - CAST(b.s AS DOUBLE)
+                  * CAST(b.s AS DOUBLE) / b.k) > 0
+           THEN (CAST(d.n AS DOUBLE) - CAST(b.s AS DOUBLE) / b.k)
+                / sqrt((CAST(b.ss AS DOUBLE)
+                        - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.k)
+                       / (b.k - 1))
+      END AS z_score
+    FROM daily d JOIN base b
+      ON d.event_type = b.event_type AND d.dow = b.dow
+    """,
+)
+def seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL ANOMALY detection: each (type, day) volume scored against
+    its own day-of-week baseline (same-weekday mean/stdev) — a Monday
+    spike is judged against Mondays, not the whole week. All moments are
+    integer sums, so the z-score is one fixed IEEE expression; baselines
+    without variance (or a single sample) yield NULL, not ±inf.
+
+    Scale shape: the fact reduces to a |types|×|days| daily grid in one
+    pass; baseline join and scoring run on that grid."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.weekday("ts").cast("int").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("ss"),
+    )
+    j = daily.join(F.broadcast(base), ["event_type", "dow"])
+    var_num = F.col("ss").cast("double") - F.col("s").cast("double") * F.col(
+        "s"
+    ).cast("double") / F.col("k")
+    mean = F.col("s").cast("double") / F.col("k")
+    return j.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n_events"),
+        mean.alias("dow_mean"),
+        F.when(
+            (F.col("k") > 1) & (var_num > 0),
+            (F.col("n").cast("double") - mean)
+            / F.sqrt(var_num / (F.col("k") - 1)),
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "scd4_current_and_history",
+    """
+    WITH hist AS (
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+             0 AS version
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) + 1000, 1
+      FROM customer WHERE c_custkey % 3 = 0)
+    SELECT c_custkey,
+      max_by(bal_cents, version) AS current_bal_cents,
+      CAST(count(*) AS BIGINT) AS n_versions
+    FROM hist GROUP BY c_custkey
+    """,
+)
+def scd4_current_and_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD TYPE 4 (current table + separate history table): the same
+    two-batch customer scenario as the SCD2 queries, but modeled as an
+    append-only history with a derived CURRENT snapshot — latest version
+    per key plus how deep its history runs. Types 1/2/4 now all share
+    one oracle-checked scenario, so the modeling trade-offs are
+    directly comparable.
+
+    Scale shape: history appends are blind writes; the current snapshot
+    is one max_by aggregation on the key — no join, no window."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    v0 = c.select(
+        "c_custkey", cents.alias("bal_cents"), F.lit(0).alias("version")
+    )
+    v1 = c.filter(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        (cents + F.lit(1000)).alias("bal_cents"),
+        F.lit(1).alias("version"),
+    )
+    hist = v0.unionByName(v1)
+    return hist.groupBy("c_custkey").agg(
+        F.max_by("bal_cents", "version").alias("current_bal_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+    )
