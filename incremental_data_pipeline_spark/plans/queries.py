@@ -9294,3 +9294,60 @@ def scd4_current_and_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("bal_cents", "version").alias("current_bal_cents"),
         F.count(F.lit(1)).cast("bigint").alias("n_versions"),
     )
+
+
+@query(
+    "churned_users_by_week",
+    """
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    weeks AS (SELECT DISTINCT week FROM wk)
+    SELECT w.week,
+      CAST(count(p.user_id) AS BIGINT) AS n_prev_active,
+      CAST(sum(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_churned,
+      CAST(sum(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(p.user_id) AS churn_rate
+    FROM weeks w
+    JOIN wk p ON p.week = w.week - INTERVAL 7 DAY
+    LEFT JOIN wk c ON c.user_id = p.user_id AND c.week = w.week
+    GROUP BY w.week
+    """,
+)
+def churned_users_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEEKLY CHURN: users active the previous week who did not return
+    this week, per week — the retention complement (`retention_cohorts`
+    tracks who stays; this tracks who leaves, the number alerting fires
+    on). Expressed as prior-week actives anti-joined against
+    current-week actives.
+
+    Scale shape: the fact collapses to distinct (user, week) once; the
+    week-over-week comparison is a self-join on (user, adjacent week) —
+    one shuffle each side, counts integer, rate one divide."""
+    ev = load_table(spark, sf_dir, "events")
+    wk = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    weeks = wk.select("week").distinct()
+    p = wk.select(F.col("user_id").alias("pu"), F.col("week").alias("pw"))
+    c = wk.select(F.col("user_id").alias("cu"), F.col("week").alias("cw"))
+    j = (
+        weeks.join(p, F.col("pw") == F.date_sub(F.col("week"), 7))
+        .join(
+            c,
+            (F.col("cu") == F.col("pu")) & (F.col("cw") == F.col("week")),
+            "left",
+        )
+    )
+    return j.groupBy("week").agg(
+        F.count("pu").cast("bigint").alias("n_prev_active"),
+        F.sum(F.col("cu").isNull().cast("long")).cast("bigint").alias(
+            "n_churned"
+        ),
+        (
+            F.sum(F.col("cu").isNull().cast("long")).cast("double")
+            / F.count("pu")
+        ).alias("churn_rate"),
+    )
