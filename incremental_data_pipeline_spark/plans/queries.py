@@ -9351,3 +9351,55 @@ def churned_users_by_week(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("pu")
         ).alias("churn_rate"),
     )
+
+
+@query(
+    "market_concentration_hhi",
+    """
+    WITH r AS (
+      SELECT p.p_type, l.l_suppkey,
+        CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount))
+                 AS BIGINT)) AS DECIMAL(19,0)) AS dollars
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_type, l.l_suppkey)
+    SELECT p_type,
+      CAST(count(*) AS BIGINT) AS n_suppliers,
+      CAST(sum(dollars * dollars) AS DOUBLE)
+        / (CAST(sum(dollars) AS DOUBLE) * CAST(sum(dollars) AS DOUBLE))
+        AS hhi
+    FROM r GROUP BY p_type
+    """,
+)
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MARKET CONCENTRATION (Herfindahl-Hirschman index) per part type:
+    Σ share_i² over suppliers, computed as Σcents² / (Σcents)² so every
+    sum is exact (integer cents through DECIMAL(19,0); squares stay inside
+    each engine's exact decimal range and the index is one IEEE divide — a
+    float Σshare² would be fold-order-dependent. HHI → 1 means one
+    supplier owns the category; → 1/n means perfect competition.
+
+    Scale shape: the fact reduces to |types|×|suppliers| revenue cells
+    in one pass; the index runs on that grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    dollars = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("bigint")
+    r = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "l_suppkey")
+        # width 18 (not 19): Spark caps decimal products at precision 38,
+        # so an 18x18 product (37 digits) stays exact while 19x19 would
+        # round its lowest digit; DuckDB's 19-width path is hugeint-exact
+        .agg(F.sum(dollars).cast("decimal(18,0)").alias("dollars"))
+    )
+    return r.groupBy("p_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        (
+            F.sum(F.col("dollars") * F.col("dollars")).cast("double")
+            / (
+                F.sum("dollars").cast("double")
+                * F.sum("dollars").cast("double")
+            )
+        ).alias("hhi"),
+    )
