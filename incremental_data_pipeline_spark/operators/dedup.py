@@ -148,6 +148,74 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 10000,
+) -> DataFrame:
+    """Asymmetric near-dup: pairs where the SMALLER document's shingle set
+    is mostly contained in the larger's — containment(A→B) = |A∩B| / |A|.
+
+    Jaccard misses sub-document duplication (a paragraph pasted into a
+    10× longer page scores |A|/|B| ≈ 0.1 Jaccard but 1.0 containment), and
+    containment is the standard web-crawl measure for it (Broder's
+    resemblance-vs-containment distinction). Emits one row per unordered
+    pair: ``inner_doc`` (the smaller set; doc-id tiebreak on equal sizes),
+    ``outer_doc``, and ``containment`` >= threshold.
+
+    Scale shape: identical to `ngram_jaccard_pairs` — the `max_df` cap
+    bounds every posting list, so candidate volume is Σ df_i² over rare
+    shingles, never corpus². Counts are integers; the score is one IEEE
+    divide, so the oracle reproduces it bit-for-bit."""
+    s = doc_shingles(df, id_col, text_col, n)
+    if max_df is not None:
+        rare = (
+            s.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        s = s.join(rare, "shingle", "left_semi")
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = s.alias("a")
+    b = s.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = inter.join(
+        sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"),
+        "doc_a",
+    ).join(
+        sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"),
+        "doc_b",
+    )
+    smaller_is_a = (F.col("sz_a") < F.col("sz_b")) | (
+        (F.col("sz_a") == F.col("sz_b")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        j.select(
+            F.when(smaller_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("inner_doc"),
+            F.when(smaller_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("outer_doc"),
+            (
+                F.col("inter")
+                / F.when(smaller_is_a, F.col("sz_a")).otherwise(F.col("sz_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + banded LSH
 # ---------------------------------------------------------------------------

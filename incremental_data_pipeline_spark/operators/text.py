@@ -448,3 +448,34 @@ def search_all_terms(
         .filter(F.col("n_terms") == len(terms))
         .drop("n_terms")
     )
+
+
+def token_familiarity(
+    df: DataFrame, id_col: str = "doc_id", col: str = "text"
+) -> DataFrame:
+    """CCNet-style unigram language-model quality proxy: how "familiar" a
+    document's vocabulary is relative to the whole corpus. Documents whose
+    tokens are mostly corpus-frequent read as fluent/in-distribution;
+    low scores flag boilerplate, gibberish, or out-of-domain text — the
+    same signal CCNet's wiki-LM perplexity buckets provide, without a
+    trained model. (Log-prob sums are fold-order- and libm-dependent
+    across engines, so the score is the MEAN CORPUS FREQUENCY of the
+    document's tokens: an integer sum with one IEEE divide — bit-identical
+    in the DuckDB oracle.)
+
+    Scale shape: one explode → one (term) agg for the corpus counts →
+    one join back on term → one (doc) agg. The unigram table is vastly
+    smaller than the corpus (Heaps' law) and broadcasts; the doc-side agg
+    is map-side combinable. No Python, no window.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(col)).alias("term"))
+    freqs = toks.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("cf"))
+    return (
+        toks.join(F.broadcast(freqs), "term")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("cf").cast("long").alias("sum_cf"),
+            (F.sum("cf").cast("double") / F.count(F.lit(1))).alias("familiarity"),
+        )
+    )

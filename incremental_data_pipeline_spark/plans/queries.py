@@ -9403,3 +9403,296 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hhi"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-4 session 2: remaining TPC-H analogues (Q6/Q10/Q19/Q20 shapes) and
+# two LLM-curation additions (containment near-dup, unigram familiarity).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "discount_band_revenue",
+    """
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def discount_band_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analogue: the what-if revenue from eliminating a band of
+    discounts on small-quantity lines in one year — a pure
+    filter-and-aggregate with NO join and NO group key.
+
+    Scale shape: the three predicates (shipdate range, discount band,
+    quantity cap) all push to the parquet scan as min/max row-group
+    filters; the aggregate is a single decimal partial-sum per partition
+    folded on the driver side — the cheapest possible full-scan query, and
+    the canonical scan-throughput probe at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "returned_item_report",
+    """
+    SELECT
+      c.c_custkey,
+      c.c_name,
+      n.n_name,
+      CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3, c.c_acctbal
+    ORDER BY SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) DESC,
+             c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analogue: the 20 customers who returned the most revenue
+    in one quarter — the "who should account management call" report.
+
+    Scale shape: the quarter predicate prunes orders at the scan; the
+    order->lineitem join carries only the surviving quarter (orderkey
+    shuffle); customer and nation broadcast onto the aggregated result.
+    Revenue sums are exact decimals, so the top-20 cut (revenue DESC,
+    custkey tiebreak) is deterministic cross-engine; the global sort runs
+    on the grouped relation (|customers| rows), never the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    q = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(q, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("rev_d"))
+    )
+    return (
+        per_cust.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("rev_d").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            F.col("rev_d").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "bracketed_or_revenue",
+    """
+    SELECT
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#21' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#22' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def bracketed_or_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analogue: revenue from three OR'd (brand, size-range,
+    quantity-range) brackets — the disjunctive-predicate join that trips
+    naive planners into a cross product.
+
+    Scale shape: the disjunction splits into a part-side residual
+    (brand/size — applied to the broadcast-size dim before the join) and a
+    joint residual on the joined row; Spark derives `l_quantity <= 30`-ish
+    bounds via constraint propagation but the load-bearing structure is
+    brand IN (...) pruning the dim THEN a broadcast-hash equi-join on
+    partkey with the OR as a post-join filter — never a nested loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    p_pruned = p.filter(F.col("p_brand").isin("Brand#11", "Brand#21", "Brand#22"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)")
+    )
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#22")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p_pruned), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(bracket)
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "excess_supply_suppliers",
+    """
+    WITH w AS (SELECT p_partkey FROM part WHERE p_name LIKE '% widget'),
+    sp AS (
+      SELECT l_suppkey, l_partkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN w ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY 1, 2),
+    tot AS (SELECT l_partkey AS pk, SUM(qty) AS total,
+                   COUNT(*) AS n_supp
+            FROM sp GROUP BY 1)
+    SELECT DISTINCT s.s_suppkey, s.s_name
+    FROM sp
+    JOIN tot ON sp.l_partkey = tot.pk
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    WHERE 2 * sp.qty * tot.n_supp > 3 * tot.total
+    ORDER BY s.s_suppkey
+    """,
+)
+def excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue (no partsupp table in the fixture schema, so
+    "availability" is re-derived from shipped volume): suppliers who moved
+    more than 1.5x the per-supplier average quantity of any 'widget' part
+    in 1996 — candidates for promotion stock.
+
+    The threshold compare is kept in INTEGER form
+    (2*qty*n_supp > 3*total, i.e. qty > 1.5*avg) so no float average ever
+    exists to diverge between engines.
+
+    Scale shape: the part-name predicate prunes the (broadcast) dim before
+    the fact join; the per-(supplier, part) agg is map-side combinable;
+    the per-part totals re-agg the ALREADY-GROUPED relation (|s×p| rows,
+    not the fact), and the supplier dim broadcasts onto the final distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    w = p.filter(F.col("p_name").like("% widget")).select("p_partkey")
+    sp = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(w), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+    tot = sp.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("qty").alias("total"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        sp.join(tot, F.col("l_partkey") == F.col("pk"))
+        .filter(2 * F.col("qty") * F.col("n_supp") > 3 * F.col("total"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "dedup_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 10000),
+    shc AS (SELECT sh.* FROM sh JOIN rare USING (shingle)),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT
+      CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END AS inner_doc,
+      CASE WHEN sa.sz <= sb.sz THEN doc_b ELSE doc_a END AS outer_doc,
+      i / (CASE WHEN sa.sz <= sb.sz THEN sa.sz ELSE sb.sz END) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i / (CASE WHEN sa.sz <= sb.sz THEN sa.sz ELSE sb.sz END) >= 0.7
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (containment) near-dup over 3-gram shingles: the smaller
+    document's set is >= 70% inside the larger's — catches sub-document
+    duplication (quotes, boilerplate inclusion, page-in-page) that
+    symmetric Jaccard under-scores by design. See
+    `dedup.containment_pairs` for the posting-list-capped scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.7, max_df=10000
+    )
+
+
+@query(
+    "doc_familiarity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    cf AS (SELECT term, count(*) AS cf FROM toks GROUP BY term)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(cf) AS BIGINT) AS sum_cf,
+           CAST(sum(cf) AS DOUBLE) / count(*) AS familiarity
+    FROM toks JOIN cf USING (term)
+    GROUP BY doc_id
+    """,
+)
+def doc_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy per document (CCNet-style filtering
+    signal): mean corpus frequency of the document's tokens. See
+    `text.token_familiarity` for why the score is an integer-sum/one-divide
+    rather than a log-prob sum (cross-engine bit-exactness)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.token_familiarity(docs, "doc_id", "text")
