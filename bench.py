@@ -74,6 +74,11 @@ HEADLINE = [
     "price_band_pairs",
     "order_span_overlap_pairs",
     "stream_ivm_retract",
+    # round-4 session 2: scan-throughput probe, quarterly top-20 join,
+    # asymmetric containment near-dup
+    "discount_band_revenue",
+    "returned_item_report",
+    "dedup_containment",
 ]
 
 

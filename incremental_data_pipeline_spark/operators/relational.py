@@ -356,3 +356,57 @@ def clamped_running_balance(
 def _key_types(df: DataFrame, cols: list[str]) -> list[str]:
     m = dict(df.dtypes)
     return [m[c] for c in cols]
+
+
+def cusum_alarms(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    k_ref: int,
+    h_threshold: int,
+) -> DataFrame:
+    """One-sided CUSUM change-point detection over an ordered series:
+    S_i = max(0, S_{i-1} + (x_i - k)), alarm where S_i > h — the classic
+    Page (1954) sequential detector for a sustained upward level shift,
+    with reference value ``k_ref`` (the "no change" drift absorbed per
+    step) and decision threshold ``h_threshold``. Like
+    `clamped_running_balance`, the zero-floor makes each step depend on
+    the previous CLAMPED value, so no associative window reformulation
+    exists; the series is replayed in a single ordered `applyInPandas`
+    scan and the DuckDB oracle replays the identical recurrence as a
+    RECURSIVE CTE — hash-verified, not rows-only.
+
+    All arithmetic is integer, so the recurrence is exact in both
+    engines. Emits one row per input point: (order, x, cusum, alarm).
+
+    Scale shape: the detector runs on an ALREADY-AGGREGATED series (e.g.
+    daily totals — thousands of rows for years of data), so the single
+    ordered group is bounded by calendar length, never table size; the
+    aggregation feeding it is map-side combinable at any scale."""
+    import pandas as pd
+
+    m = dict(df.dtypes)
+    out_schema = f"{order_col} {m[order_col]}, x long, cusum long, alarm boolean"
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        s = 0
+        out = []
+        for x in pdf[value_col]:
+            s = max(0, s + int(x) - k_ref)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                order_col: pdf[order_col].values,
+                "x": pdf[value_col].astype("int64").values,
+                "cusum": out,
+                "alarm": [v > h_threshold for v in out],
+            }
+        )
+
+    return (
+        df.select(order_col, value_col)
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(scan, out_schema)
+    )

@@ -9633,7 +9633,9 @@ def excess_supply_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("total"), F.count(F.lit(1)).alias("n_supp")
     )
     return (
-        sp.join(tot, F.col("l_partkey") == F.col("pk"))
+        # tot is |widget parts| rows (dim-sized after the two aggs) —
+        # broadcast it so the sp-tot join never re-shuffles sp on partkey
+        sp.join(F.broadcast(tot), F.col("l_partkey") == F.col("pk"))
         .filter(2 * F.col("qty") * F.col("n_supp") > 3 * F.col("total"))
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name")
@@ -9696,3 +9698,141 @@ def doc_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than a log-prob sum (cross-engine bit-exactness)."""
     docs = load_table(spark, sf_dir, "documents")
     return _text.token_familiarity(docs, "doc_id", "text")
+
+
+@query(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    wf AS (SELECT w, count(*) AS f FROM words WHERE length(w) >= 2 GROUP BY w),
+    pairs AS (
+      SELECT substring(w, CAST(i AS INTEGER), 2) AS pair, f
+      FROM wf, unnest(generate_series(1, length(w) - 1)) AS t(i))
+    SELECT pair, CAST(SUM(f) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counting step of byte-pair-encoding tokenizer training: corpus
+    frequency of every adjacent character pair, weighted by word
+    frequency — the top pair is the first BPE merge rule. The same
+    count-grid drives every subsequent merge iteration, so this is the
+    inner loop of tokenizer fitting expressed relationally.
+
+    Scale shape: the corpus collapses to the VOCABULARY first (one word
+    agg — Heaps-law small), and pair extraction runs on the vocab, not
+    the corpus: per-word pair explode is a narrow map over |vocab| rows.
+    Top-20 is a TakeOrdered, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(_text.tokens("text")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pair_at = lambda i: F.col("w").substr(i, F.lit(2))  # noqa: E731
+    pairs = wf.select(
+        "f",
+        F.explode(
+            F.transform(F.sequence(F.lit(1), F.length("w") - 1), pair_at)
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "changepoint_cusum_daily",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount))
+                      AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1),
+    kk AS (SELECT CAST((SUM(x) + COUNT(*) - 1) // COUNT(*) AS BIGINT) AS k
+           FROM daily),
+    ord AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+    walk(rn, day, x, s) AS (
+      SELECT 0, NULL::DATE, CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT o.rn, o.day, o.x,
+             greatest(w.s + o.x - (SELECT k FROM kk), 0)
+      FROM walk w JOIN ord o ON o.rn = w.rn + 1)
+    SELECT day, CAST(x AS BIGINT) AS x, CAST(s AS BIGINT) AS cusum,
+           s > (SELECT k FROM kk) AS alarm
+    FROM walk WHERE rn >= 1
+    """,
+)
+def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily shipped revenue: alarm when
+    the cumulative surplus over the reference level k (ceil of the mean
+    daily revenue, derived from the same series — one tiny control-plane
+    scalar, same shape as the watermark seed) exceeds h = k. Flags
+    sustained demand shifts that a fixed threshold on single days misses.
+    The recurrence S_i = max(0, S_{i-1} + x_i - k) is inherently ordered
+    (see `relational.cusum_alarms`); the oracle replays it as a recursive
+    CTE, so the stateful scan is hash-verified.
+
+    Scale shape: the fact collapses to |days| rows map-side; the scalar k
+    and the ordered replay both run on that tiny series."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dollars = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("bigint")
+    daily = (
+        li.groupBy(F.to_date("l_shipdate").alias("day"))
+        .agg(F.sum(dollars).cast("long").alias("x"))
+        .localCheckpoint()
+    )
+    tot, n = daily.agg(F.sum("x"), F.count(F.lit(1))).first()
+    k = (int(tot) + int(n) - 1) // int(n)
+    return relational.cusum_alarms(daily, "day", "x", k_ref=k, h_threshold=k)
+
+
+@query(
+    "orders_above_cust_avg",
+    """
+    WITH s AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS tot,
+             COUNT(*) AS n
+      FROM orders GROUP BY o_custkey)
+    SELECT o.o_custkey, CAST(count(*) AS BIGINT) AS n_above,
+           CAST(max(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS max_price
+    FROM orders o JOIN s ON o.o_custkey = s.o_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * s.n > s.tot
+    GROUP BY o.o_custkey
+    """,
+)
+def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery decorrelation: orders priced above their OWN
+    customer's average (`WHERE o_totalprice > (SELECT AVG(...) WHERE same
+    custkey)`) — written the way Catalyst decorrelates it: one per-key
+    agg joined back on the key. The compare is cross-multiplied
+    (price * n > sum) so no float average ever exists — exact decimals on
+    both engines.
+
+    Scale shape: agg and join share the o_custkey shuffle (one exchange
+    feeds both sides); nothing driver-side."""
+    o = load_table(spark, sf_dir, "orders")
+    price_d = F.col("o_totalprice").cast("decimal(18,2)")
+    s = o.groupBy(F.col("o_custkey").alias("ck")).agg(
+        F.sum(price_d).alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        o.join(s, F.col("o_custkey") == F.col("ck"))
+        .filter(price_d * F.col("n") > F.col("tot"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_above"),
+            F.max(price_d).cast("double").alias("max_price"),
+        )
+    )

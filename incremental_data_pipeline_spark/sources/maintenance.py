@@ -27,6 +27,7 @@ Design notes (scale):
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -220,6 +221,10 @@ def expire_versions(path: str, keep_last_n: int) -> list[int]:
     expired = [v for v in versions if v not in protected]
     for v in expired:
         _shutil.rmtree(f"{path}/v{v:08d}", ignore_errors=True)
+        try:
+            os.remove(f"{path}/v{v:08d}.commit")
+        except FileNotFoundError:
+            pass
     return expired
 
 

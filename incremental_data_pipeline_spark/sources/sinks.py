@@ -191,28 +191,68 @@ def list_versions(path: str) -> list[int]:
     return sorted(out)
 
 
-def versioned_overwrite(df: DataFrame, path: str, keep: int = 3) -> int:
+class VersionConflictError(RuntimeError):
+    """Another writer committed the version this writer was about to claim
+    (or the table moved past the caller's ``expected_base``)."""
+
+
+def versioned_overwrite(
+    df: DataFrame, path: str, keep: int = 3, expected_base: int | None = None
+) -> int:
     """Overwrite that RETAINS history: Delta-style time travel's observable
     read semantics without delta-spark (reference gold_dim_branch.py:178
     ``DeltaTable.forPath`` + ``versionAsOf``).
 
-    Each call writes a fresh ``v{N}`` directory, then atomically flips the
-    ``_CURRENT`` pointer file (write-temp + ``os.replace``). Readers that
+    Each call stages a fresh version directory, CLAIMS the version number
+    with an exclusively-created commit marker (``O_EXCL`` — the local-FS
+    analogue of the put-if-absent Delta uses on its ``_delta_log`` JSON,
+    which is exactly how Delta serializes concurrent writers), renames the
+    staged dir into place, then atomically flips the ``_CURRENT`` pointer
+    file (write-temp + ``os.replace``). Two racing writers both compute
+    version N+1, but only one creates ``vN+1.commit`` — the loser cleans
+    up its staged data and raises :class:`VersionConflictError` so the
+    caller re-reads and retries (optimistic concurrency). Readers that
     resolved the pointer before the flip keep reading their (immutable)
     version dir — writers never mutate a published version, the same
-    snapshot-isolation contract Delta gives. The ``keep`` most recent
-    versions survive pruning. Returns the new version number.
+    snapshot-isolation contract Delta gives.
+
+    ``expected_base`` opts into compare-and-swap semantics: the write
+    aborts (before any data is written) unless the current version still
+    equals it — the transactional-MERGE guard for read-modify-write
+    updates, where blindly winning the commit race would lose the other
+    writer's rows. The ``keep`` most recent versions survive pruning.
+    Returns the new version number.
     """
     cur = _current_version(path)
+    if expected_base is not None and cur != expected_base:
+        raise VersionConflictError(
+            f"{path}: expected base version {expected_base}, found {cur}"
+        )
     nxt = cur + 1
     os.makedirs(path, exist_ok=True)
-    df.write.mode("overwrite").parquet(os.path.join(path, f"v{nxt:08d}"))
+    stage = os.path.join(path, f".v{nxt:08d}.stage")
+    shutil.rmtree(stage, ignore_errors=True)  # leftover from a crashed writer
+    df.write.mode("overwrite").parquet(stage)
+    marker = os.path.join(path, f"v{nxt:08d}.commit")
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise VersionConflictError(
+            f"{path}: version {nxt} was committed by a concurrent writer"
+        ) from None
+    os.close(fd)
+    os.rename(stage, os.path.join(path, f"v{nxt:08d}"))
     ptr, tmp = os.path.join(path, _VERSION_PTR), os.path.join(path, f".{_VERSION_PTR}.tmp")
     with open(tmp, "w") as f:
         f.write(str(nxt))
     os.replace(tmp, ptr)  # atomic pointer flip
     for v in list_versions(path)[:-keep] if keep > 0 else []:
         shutil.rmtree(os.path.join(path, f"v{v:08d}"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(path, f"v{v:08d}.commit"))
+        except FileNotFoundError:
+            pass
     return nxt
 
 

@@ -183,6 +183,12 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "bag_set_ops_priorities": (2, 1),     # tiny full-outer takes one SMJ
         "multimodal_audio_decode": (0, 0),    # pure narrow Arrow maps
         "quantile_normalize_balance": (5, 0),  # incl. 2 range (scalable rank)
+        # round-4 session 2
+        "discount_band_revenue": (0, 0),   # pure scan-agg, no join
+        "returned_item_report": (1, 0),    # quarter broadcasts; one cust agg
+        "bracketed_or_revenue": (0, 0),    # pruned dim broadcasts; scan-agg
+        "excess_supply_suppliers": (5, 0),  # 2 aggs + distinct + tiny sort
+        "doc_familiarity": (2, 0),         # term agg broadcasts back; doc agg
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()

@@ -296,3 +296,50 @@ def test_expire_partitions_keeps_last_n(spark, tmp_path):
     assert left.select("d").distinct().count() == 4
     with pytest.raises(ValueError):
         maintenance.expire_partitions(path, "d", keep_last_n=0)
+
+
+def test_versioned_overwrite_cas_expected_base(spark, tmp_path):
+    """Compare-and-swap: a writer that read version N can only commit on
+    top of N; if the table moved, the write aborts before any data lands."""
+    path = str(tmp_path / "occ")
+    assert sinks.versioned_overwrite(_mkdf(spark, [1]), path) == 1
+    base = sinks._current_version(path)
+    # another writer advances the table
+    assert sinks.versioned_overwrite(_mkdf(spark, [1, 2]), path) == 2
+    with pytest.raises(sinks.VersionConflictError):
+        sinks.versioned_overwrite(_mkdf(spark, [9]), path, expected_base=base)
+    # table unchanged by the failed write: still v2, still 2 rows
+    assert sinks._current_version(path) == 2
+    assert spark.read.parquet(os.path.join(path, "v00000002")).count() == 2
+    # retry on the fresh base succeeds
+    assert (
+        sinks.versioned_overwrite(
+            _mkdf(spark, [9]), path, expected_base=sinks._current_version(path)
+        )
+        == 3
+    )
+
+
+def test_versioned_overwrite_commit_marker_race(spark, tmp_path):
+    """Two writers racing for the same version number: the one that loses
+    the exclusive commit-marker create raises and leaves no debris."""
+    path = str(tmp_path / "race")
+    sinks.versioned_overwrite(_mkdf(spark, [1]), path)
+    # simulate a concurrent writer that already claimed version 2
+    open(os.path.join(path, "v00000002.commit"), "x").close()
+    with pytest.raises(sinks.VersionConflictError):
+        sinks.versioned_overwrite(_mkdf(spark, [2]), path)
+    # loser cleaned its staged dir; current pointer untouched
+    assert [d for d in os.listdir(path) if d.startswith(".v")] == []
+    assert sinks._current_version(path) == 1
+    # reads through the pointer still serve v1
+    assert sinks.read_version(spark, path).count() == 1
+
+
+def test_versioned_overwrite_prunes_markers_with_versions(spark, tmp_path):
+    path = str(tmp_path / "prune")
+    for i in range(1, 6):
+        sinks.versioned_overwrite(_mkdf(spark, list(range(i))), path, keep=2)
+    names = set(os.listdir(path))
+    assert "v00000005" in names and "v00000004" in names
+    assert "v00000001" not in names and "v00000001.commit" not in names
