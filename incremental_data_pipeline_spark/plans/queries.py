@@ -9836,3 +9836,179 @@ def orders_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(price_d).cast("double").alias("max_price"),
         )
     )
+
+
+_PQ_KSUB, _PQ_M, _PQ_DSUB, _PQ_K = 8, 4, 16, 3
+
+
+def _pq_oracle() -> str:
+    ksub, m, dsub, k = _PQ_KSUB, _PQ_M, _PQ_DSUB, _PQ_K
+    subs = ", ".join(str(s) for s in range(m))
+    return f"""
+    WITH qq AS (SELECT vec_id, {_QV} AS v FROM embeddings),
+    cbv AS (SELECT vec_id AS j, v FROM qq WHERE vec_id < {ksub}),
+    subs AS (SELECT vec_id, s, v[s*{dsub}+1 : (s+1)*{dsub}] AS sv
+             FROM qq, unnest([{subs}]) AS t(s)),
+    cbsubs AS (SELECT j, s, v[s*{dsub}+1 : (s+1)*{dsub}] AS cv
+               FROM cbv, unnest([{subs}]) AS t(s)),
+    d AS (SELECT vec_id, s, j,
+            CAST(list_sum(list_transform(range(1, {dsub + 1}),
+                 i -> (sv[i]-cv[i])*(sv[i]-cv[i]))) AS BIGINT) AS dist
+          FROM subs JOIN cbsubs USING (s)),
+    codes AS (SELECT vec_id, s, CAST(min(dist * {ksub} + j) % {ksub} AS BIGINT)
+                AS code
+              FROM d GROUP BY vec_id, s),
+    qd AS (SELECT * FROM d WHERE vec_id >= 20 AND vec_id < 40),
+    adc AS (
+      SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM(qd.dist) AS BIGINT) AS approx_dist
+      FROM codes c JOIN qd ON qd.s = c.s AND qd.j = c.code
+      WHERE c.vec_id != qd.vec_id
+      GROUP BY 1, 2)
+    SELECT query_id, neighbor_id, approx_dist, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+        PARTITION BY query_id ORDER BY approx_dist ASC, neighbor_id ASC)
+        AS INTEGER) AS rank
+      FROM adc)
+    WHERE rank <= {k}
+    """
+
+
+@query("ann_pq_topk", _pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k: vectors coded as 4 sub-centroid
+    ids, query distance = 4 integer table lookups per pair (16x vector
+    compression) — see `similarity.pq_topk` for the FAISS-style scale
+    story. Codes, tables, and ranks are integer-exact, so the oracle
+    reproduces the full PQ pipeline, not just row counts."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _cached_codebook(emb, sf_dir, _PQ_KSUB, "prefix")
+    queries_df = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    return _sim.pq_topk(
+        emb, queries_df, codebook, m=_PQ_M, k=_PQ_K, dim=_PQ_M * _PQ_DSUB
+    )
+
+
+# Benford expected first-digit frequencies log10(1 + 1/d): computed once in
+# Python and embedded as IDENTICAL double literals in both engines (repr
+# round-trips exactly), so the deviation column is bit-reproducible.
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@query(
+    "benford_price_audit",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    counts AS (SELECT digit, count(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n) AS t FROM counts)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / (SELECT t FROM tot) AS observed,
+           CASE digit {' '.join(f"WHEN {d} THEN {v!r}" for d, v in _BENFORD.items())}
+           END AS expected,
+           CAST(n AS DOUBLE) / (SELECT t FROM tot)
+             - CASE digit {' '.join(f"WHEN {d} THEN {v!r}" for d, v in _BENFORD.items())} END
+             AS deviation
+    FROM counts
+    """,
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fraud/fabrication screen: naturally-occurring multiplicative amounts
+    follow P(d) = log10(1+1/d); a synthetic or tampered column shows a
+    flat or spiked digit histogram. The first significant digit is
+    extracted from INTEGER cents via string head (no log10/floor float
+    path, whose libm rounding could flip a boundary digit cross-engine);
+    expected frequencies enter both engines as identical literals.
+
+    Scale shape: one map-side-combined 9-group count; the deviation math
+    runs on 9 rows."""
+    o = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    expected = F.when(F.lit(False), F.lit(None).cast("double"))
+    for d, v in _BENFORD.items():
+        expected = expected.when(F.col("digit") == d, F.lit(v))
+    w_all = Window.partitionBy()
+    return counts.select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(w_all)).alias("observed"),
+        expected.alias("expected"),
+        (
+            F.col("n").cast("double") / F.sum("n").over(w_all) - expected
+        ).alias("deviation"),
+    )
+
+
+@query(
+    "group_disjoint_split",
+    """
+    WITH u AS (
+      SELECT user_id,
+        CASE
+          WHEN ('0x' || substring(md5('grp1' || '|' || CAST(user_id AS VARCHAR)),
+                1, 8))::BIGINT < 429496729 THEN 'val'
+          WHEN ('0x' || substring(md5('grp1' || '|' || CAST(user_id AS VARCHAR)),
+                1, 8))::BIGINT < 858993459 THEN 'test'
+          ELSE 'train'
+        END AS split
+      FROM (SELECT DISTINCT user_id FROM events)),
+    ev AS (SELECT e.user_id, u.split FROM events e JOIN u USING (user_id))
+    SELECT split,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM ev GROUP BY split
+    """,
+)
+def group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-disjoint train/val/test assignment: the split is a pure
+    function of the GROUP key (user), not the row, so every event of a
+    user lands in the same fold — the leakage-safe split for behavioral
+    models, where row-hash splits (`train_val_test_split`) would let one
+    user's history straddle train and test. Disjointness is structural
+    (a user has exactly one hash), and the audit proves it: fold user
+    counts sum to the distinct-user total.
+
+    Scale shape: assignment is a narrow expression over the distinct-user
+    relation; the fact joins the (broadcast-sized) assignment on the
+    already-shuffled user key. Same 80/10/10 thresholds as the row-level
+    split, so recipes compose."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("grp1"), F.lit("|"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.when(h < 429496729, "val")
+            .when(h < 858993459, "test")
+            .otherwise("train")
+            .alias("split"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(u), "user_id")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )

@@ -189,6 +189,12 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "bracketed_or_revenue": (0, 0),    # pruned dim broadcasts; scan-agg
         "excess_supply_suppliers": (5, 0),  # 2 aggs + distinct + tiny sort
         "doc_familiarity": (2, 0),         # term agg broadcasts back; doc agg
+        "ann_pq_topk": (1, 0),             # codebook is a literal; one top-k window
+        "benford_price_audit": (1, 0),     # 9-group count + tiny window
+        "group_disjoint_split": (3, 0),    # distinct users + broadcast back
+        "bpe_pair_counts": (2, 0),         # vocab agg + pair agg; TakeOrdered
+        "changepoint_cusum_daily": (1, 0),  # one day agg; replay is 1 group
+        "orders_above_cust_avg": (1, 0),   # agg + join SHARE the custkey shuffle
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
