@@ -10012,3 +10012,185 @@ def group_disjoint_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
     )
+
+
+@query(
+    "sample_temperature_mix",
+    """
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    wts AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM counts),
+    tot AS (SELECT SUM(w) AS tw FROM wts)
+    SELECT lang, CAST(n AS BIGINT) AS n_docs, w,
+           CAST(w AS DOUBLE) / (SELECT tw FROM tot) AS share,
+           CAST((10000 * w) // (SELECT tw FROM tot) AS BIGINT) AS quota
+    FROM wts
+    """,
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-tempered mixture weights (the multilingual-pretraining
+    recipe: sample language l proportional to n_l^alpha, alpha=1/2, so
+    low-resource languages are up-weighted relative to their raw share —
+    mT5/XLM-R style). Weights are integer isqrt(n) — IEEE sqrt is
+    correctly rounded in both engines, so floor(sqrt(bigint)) is
+    deterministic — making the weight total and the 10k-document quotas
+    exact integer math; only the reported share takes a (single) divide.
+
+    Scale shape: one |lang|-group count; everything after runs on that
+    tiny grid. Composes with `sample_token_budget_mix`, which spends
+    per-language budgets this query sets."""
+    docs = load_table(spark, sf_dir, "documents")
+    wts = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    )
+    tot = wts.agg(F.sum("w").alias("tw"))
+    # quota stays in INTEGER division (`div`, the floor-div DuckDB's `//`
+    # computes) — a double divide + cast could land a half-ulp above the
+    # true quotient and truncate to a different integer.
+    return wts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.col("n").cast("bigint").alias("n_docs"),
+        "w",
+        (F.col("w").cast("double") / F.col("tw")).alias("share"),
+        F.expr("(10000 * w) div tw").cast("bigint").alias("quota"),
+    )
+
+
+@query(
+    "attribution_linear_touch",
+    """
+    WITH firstp AS (
+      SELECT user_id, min(ts) AS p_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id),
+    touches AS (
+      SELECT e.user_id, e.event_type
+      FROM events e JOIN firstp f ON e.user_id = f.user_id
+      WHERE e.ts < f.p_ts AND e.event_type <> 'purchase'),
+    per_user AS (
+      SELECT user_id, count(*) AS n_touches FROM touches GROUP BY user_id),
+    credited AS (
+      SELECT t.event_type, count(*) AS cnt,
+             SUM(1000000 // p.n_touches) AS credit_micro
+      FROM touches t JOIN per_user p ON t.user_id = p.user_id
+      GROUP BY t.event_type)
+    SELECT event_type, CAST(cnt AS BIGINT) AS n_touches,
+           CAST(credit_micro AS BIGINT) AS credit_micro,
+           CAST(credit_micro AS DOUBLE) / 1000000 AS conversions_credited
+    FROM credited
+    """,
+)
+def attribution_linear_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every pre-conversion touch of a
+    converting user shares that conversion's credit equally (1/n each) —
+    the equal-weight complement to `attribution_last_touch`, which gives
+    the whole conversion to the final click. Credit is summed in integer
+    MICRO-conversions (1e6 // n per touch, floor division) so the
+    cross-user sum is associative and engine-exact; the sub-ppm flooring
+    residue is the documented cost of exactness.
+
+    Scale shape: first-purchase timestamp and per-user touch counts are
+    BOTH windows over one user partitioning — the fact shuffles once on
+    user_id, then the credited rollup is |event_type|-sized. (The
+    agg-and-join-back phrasing costs 4 exchanges; the shared-window form
+    costs 2.)"""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id")
+    p_ts = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(wu)
+    marked = ev.withColumn("p_ts", p_ts).filter(
+        (F.col("ts") < F.col("p_ts")) & (F.col("event_type") != "purchase")
+    )
+    touches = marked.withColumn("n_touches", F.count(F.lit(1)).over(wu))
+    return (
+        touches.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.expr("1000000 div n_touches"))
+            .cast("bigint")
+            .alias("credit_micro"),
+        )
+        .select(
+            "event_type",
+            "n_touches",
+            "credit_micro",
+            (F.col("credit_micro").cast("double") / 1000000).alias(
+                "conversions_credited"
+            ),
+        )
+    )
+
+
+@query(
+    "fk_orphan_audit",
+    """
+    WITH rel AS (
+      SELECT 'orders.o_custkey->customer' AS relationship,
+             (SELECT count(*) FROM orders) AS n_child,
+             (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+      UNION ALL
+      SELECT 'lineitem.l_orderkey->orders',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT count(*) FROM lineitem),
+             (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey)))
+    SELECT relationship, CAST(n_child AS BIGINT) AS n_child,
+           CAST(n_orphans AS BIGINT) AS n_orphans,
+           CAST(n_orphans AS DOUBLE) / n_child AS orphan_rate
+    FROM rel
+    """,
+)
+def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: for each
+    fact->dimension foreign key, how many child rows point at a missing
+    parent (anti-join counts). The zero-orphan result IS the check a
+    warehouse load gate runs after every batch; a nonzero row pinpoints
+    which relationship broke.
+
+    Scale shape: each relationship is ONE left-anti join — dims broadcast;
+    the lineitem->orders probe shuffles on orderkey (or rides bucketing
+    where both sides are bucketed). Counts fold map-side; the four audits
+    are independent jobs unioned on a 4-row result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    def audit(child: DataFrame, ck: str, parent: DataFrame, pk: str, name: str):
+        n_child = child.count()
+        n_orph = child.join(
+            parent, child[ck] == parent[pk], "left_anti"
+        ).count()
+        return (name, n_child, n_orph)
+
+    rows = [
+        audit(o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer"),
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders"),
+        audit(li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part"),
+        audit(li, "l_suppkey", s, "s_suppkey", "lineitem.l_suppkey->supplier"),
+    ]
+    out = spark.createDataFrame(
+        rows, "relationship string, n_child long, n_orphans long"
+    )
+    return out.select(
+        "relationship",
+        F.col("n_child").cast("bigint").alias("n_child"),
+        F.col("n_orphans").cast("bigint").alias("n_orphans"),
+        (F.col("n_orphans").cast("double") / F.col("n_child")).alias("orphan_rate"),
+    )

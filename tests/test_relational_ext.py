@@ -195,6 +195,9 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "bpe_pair_counts": (2, 0),         # vocab agg + pair agg; TakeOrdered
         "changepoint_cusum_daily": (1, 0),  # one day agg; replay is 1 group
         "orders_above_cust_avg": (1, 0),   # agg + join SHARE the custkey shuffle
+        "sample_temperature_mix": (2, 0),  # lang grid + 1-row total broadcast
+        "attribution_linear_touch": (2, 0),  # both windows share the user shuffle
+        "fk_orphan_audit": (0, 0),         # four anti-joins, dims broadcast
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
