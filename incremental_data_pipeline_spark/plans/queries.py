@@ -10194,3 +10194,133 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orphans").cast("bigint").alias("n_orphans"),
         (F.col("n_orphans").cast("double") / F.col("n_child")).alias("orphan_rate"),
     )
+
+
+@query(
+    "stream_cusum_alarms",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT event_type,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    cnt AS (SELECT event_type, max(rn) AS n FROM seq GROUP BY event_type),
+    walk(event_type, rn, s, alarms) AS (
+      SELECT event_type, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cnt
+      UNION ALL
+      SELECT w.event_type, w.rn + 1,
+             greatest(w.s + q.cents - 6000, 0),
+             w.alarms + CASE WHEN greatest(w.s + q.cents - 6000, 0) > 60000
+                             THEN 1 ELSE 0 END
+      FROM walk w JOIN seq q
+        ON q.event_type = w.event_type AND q.rn = w.rn + 1)
+    SELECT c.event_type,
+           CAST(c.n AS BIGINT) AS n_steps,
+           CAST(w.s AS BIGINT) AS cusum,
+           CAST(w.alarms AS BIGINT) AS n_alarms
+    FROM walk w JOIN cnt c
+      ON w.event_type = c.event_type AND w.rn = c.n
+    """,
+)
+def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM monitor: per event type, the Page-recurrence alarm
+    state folded over the value stream in integer cents (k=6000,
+    h=60000), with keyed Arrow state carrying the recurrence across
+    micro-batches — see `streaming.cusum_per_key`. The final state per
+    key (max-by-n_steps emission; n_steps is monotone) is hash-compared
+    against a recursive-CTE replay of the identical recurrence, so the
+    STREAMING stateful path itself sits under the correctness gate."""
+    stream = _stream.read_stream(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    updates = _stream.run_to_memory(
+        _stream.cusum_per_key(stream, "event_type", 6000, 60000), "update"
+    )
+    final = updates.groupBy("event_type").agg(
+        F.max(F.struct("n_steps", "cusum", "n_alarms")).alias("st")
+    )
+    return final.select(
+        "event_type",
+        F.col("st.n_steps").alias("n_steps"),
+        F.col("st.cusum").alias("cusum"),
+        F.col("st.n_alarms").alias("n_alarms"),
+    )
+
+
+def _sortkey_cte(cand: str) -> str:
+    return f"""
+      SELECT '{cand}' AS sort_key, t.tile,
+             min(user_id) AS lo, max(user_id) AS hi
+      FROM (SELECT user_id,
+                   ntile(32) OVER (ORDER BY {cand}, event_id) AS tile
+            FROM events) t
+      GROUP BY t.tile
+    """
+
+
+@query(
+    "sortkey_advisor_events",
+    f"""
+    WITH tiles AS ({_sortkey_cte("ts")} UNION ALL {_sortkey_cte("user_id")}),
+    g AS (SELECT min(user_id) AS glo, max(user_id) AS ghi FROM events)
+    SELECT sort_key,
+           CAST(count(*) AS BIGINT) AS n_tiles,
+           CAST(SUM(hi - lo + 1) AS BIGINT) AS sum_tile_span,
+           CAST(SUM(hi - lo + 1) AS DOUBLE)
+             / (SELECT ghi - glo + 1 FROM g) AS expected_tiles_hit
+    FROM tiles GROUP BY sort_key
+    """,
+)
+def sortkey_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout advisor: for each candidate sort key, how many files
+    would a point lookup on ``user_id`` have to read if the table were
+    written in that order? The table is tiled into 32 equal row chunks
+    (stand-ins for files), each tile keeps its user_id min/max envelope
+    (exactly the parquet row-group stats scans prune on), and the
+    expected tiles hit for a uniform probe is sum(tile spans)/global
+    span. Sorting by user_id collapses the expectation to ~1 tile;
+    sorting by ts leaves every tile's envelope near-full (~32 tiles) —
+    the measured argument for choosing the Z-order/sort column that
+    `compact_zorder_events` then applies. Spans are integer; only the
+    final expectation divides.
+
+    Scale shape: the global ntile is a range-partitioned sort — an
+    advisor pass you run on a SAMPLE of a 100 TB table (the expectation
+    estimate converges fast), not the full fact."""
+    ev = load_table(spark, sf_dir, "events")
+    parts = []
+    for cand in ("ts", "user_id"):
+        tiles = (
+            ev.select(
+                "user_id",
+                F.ntile(32)
+                .over(Window.orderBy(cand, "event_id"))
+                .alias("tile"),
+            )
+            .groupBy("tile")
+            .agg(F.min("user_id").alias("lo"), F.max("user_id").alias("hi"))
+            .select(F.lit(cand).alias("sort_key"), "tile", "lo", "hi")
+        )
+        parts.append(tiles)
+    tiles = parts[0].unionByName(parts[1])
+    g = ev.agg(
+        (F.max("user_id") - F.min("user_id") + 1).alias("gspan")
+    )
+    return (
+        tiles.crossJoin(F.broadcast(g))
+        .groupBy("sort_key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tiles"),
+            F.sum(F.col("hi") - F.col("lo") + 1)
+            .cast("bigint")
+            .alias("sum_tile_span"),
+            (
+                F.sum(F.col("hi") - F.col("lo") + 1).cast("double")
+                / F.first("gspan")
+            ).alias("expected_tiles_hit"),
+        )
+    )

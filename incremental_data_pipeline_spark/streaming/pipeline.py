@@ -341,3 +341,74 @@ def running_user_stats(stream: DataFrame, ts_col: str = "ts") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def cusum_per_key(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    k_ref: int = 6000,
+    h_threshold: int = 60000,
+) -> DataFrame:
+    """Streaming CUSUM change-point monitor per key — the streaming bridge
+    of `relational.cusum_alarms` (same Page recurrence, same integer
+    arithmetic), keyed state via ``applyInPandasWithState``: state is the
+    tuple (cusum, n_alarms, n_steps), rows are folded in (ts, event_id)
+    order WITHIN each micro-batch, and state carries the recurrence across
+    batches — so as long as the source delivers batches in event-time
+    order (the file-stream contract the split-invariance test pins), the
+    emitted trajectory equals the single-pass batch replay.
+
+    Update mode emits the running (n_steps, cusum, n_alarms) per touched
+    key per batch; n_steps is strictly monotone, so the final state is the
+    max-by-n_steps emission — the batch-count-invariant reduction the
+    registered query applies.
+
+    Scale shape: state is 3 ints per key; per-batch work is an Arrow-batched
+    linear fold over that key's new rows. This is the alerting-side CUSUM:
+    the detector runs ON the stream, not on a nightly rollup."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(key_col, StringType()),
+            StructField("n_steps", LongType()),
+            StructField("cusum", LongType()),
+            StructField("n_alarms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("s", LongType()),
+            StructField("alarms", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        s, alarms, n = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for c in pdf["cents"]:
+                s = max(0, s + int(c) - k_ref)
+                n += 1
+                if s > h_threshold:
+                    alarms += 1
+        state.update((s, alarms, n))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n_steps": [n],
+                "cusum": [s],
+                "n_alarms": [alarms],
+            }
+        )
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -665,3 +665,55 @@ def test_tombstone_dim_invariant_to_batch_split(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_cusum_invariant_to_ordered_batch_split(spark):
+    """The CUSUM state machine produces the same final (n_steps, cusum,
+    n_alarms) per key whether the (event-time-ordered) source arrives as
+    one micro-batch or two — keyed state carries the recurrence across the
+    batch boundary."""
+    import datetime
+
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_cusum_split_")
+    try:
+        events = load_table(spark, SF_DIR, "events").select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        src_dir = os.path.join(base, "src")
+        os.makedirs(src_dir)
+        _copy_split(SF_DIR, src_dir, events, "ts", datetime.datetime(2024, 1, 15))
+
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        updates = sp.run_to_memory(
+            sp.cusum_per_key(stream, "event_type", 6000, 60000), "update"
+        )
+        final_split = {
+            r["event_type"]: (r["n_steps"], r["cusum"], r["n_alarms"])
+            for r in updates.groupBy("event_type")
+            .agg(F.max(F.struct("n_steps", "cusum", "n_alarms")).alias("st"))
+            .select("event_type", "st.*")
+            .collect()
+        }
+        # two batches really happened: early file alone can't cover all rows
+        n_total = events.count()
+        assert sum(v[0] for v in final_split.values()) == n_total
+
+        from incremental_data_pipeline_spark.plans.queries import QUERIES
+
+        single = {
+            r["event_type"]: (r["n_steps"], r["cusum"], r["n_alarms"])
+            for r in QUERIES["stream_cusum_alarms"](spark, SF_DIR).collect()
+        }
+        assert final_split == single
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
