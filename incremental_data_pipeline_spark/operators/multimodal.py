@@ -382,3 +382,62 @@ def decode_wav_audio(
             yield pd.DataFrame(cols)
 
     return fan_out(df).select(id_col, bin_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash string"
+
+
+def ahash_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content") -> DataFrame:
+    """Perceptual average-hash (aHash) of a PGM payload: the raster is
+    block-averaged onto an 8x8 grid, each cell emits 1 iff its mean
+    exceeds the whole-image mean, and the 64 bits (row-major) form the
+    visual fingerprint — the classic cheap near-dup hash for images
+    (identical hash => visually identical content at 8x8 granularity,
+    robust to trailing-pad / minor edits that leave block means alone).
+
+    All arithmetic is integer (milli-means via 1000*sum//count), and the
+    cell mapping is the explicit floor rule cell_y = min(y*8//h, 7), so
+    the DuckDB oracle recomputes the SAME 64 bits from the source text —
+    a perceptual hash under the exact-correctness gate, not just a
+    Python-side artifact. Cells empty at h < 8 contribute 0 bits by rule.
+
+    Scale shape: one Arrow-batched pass per partition; payload bytes
+    never cross the network — only the 64-char hash leaves."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                magic, dims, _maxval, raster = b.split(b"\n", 3)
+                if magic != b"P5":
+                    raise ValueError(f"not a P5 PGM payload (doc {doc_id})")
+                w, h = (int(x) for x in dims.split())
+                arr = np.frombuffer(raster, dtype=np.uint8).astype(np.int64)
+                if arr.size != w * h:
+                    raise ValueError(f"raster size {arr.size} != {w}x{h}")
+                total_milli = 1000 * int(arr.sum()) // (w * h)
+                ys = np.minimum(np.arange(h) * 8 // h, 7)
+                xs = np.minimum(np.arange(w) * 8 // w, 7)
+                cell = (ys[:, None] * 8 + xs[None, :]).ravel()
+                sums = np.bincount(cell, weights=arr, minlength=64).astype(np.int64)
+                cnts = np.bincount(cell, minlength=64)
+                bits = []
+                for c in range(64):
+                    if cnts[c] == 0:
+                        bits.append("0")
+                    else:
+                        bits.append(
+                            "1" if 1000 * sums[c] // cnts[c] > total_milli else "0"
+                        )
+                ids.append(doc_id)
+                hashes.append("".join(bits))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "ahash": pd.Series(hashes, dtype="object"),
+                }
+            )
+
+    return fan_out(df).select(id_col, bin_col).mapInPandas(run, AHASH_SCHEMA)

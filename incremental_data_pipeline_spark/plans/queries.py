@@ -10324,3 +10324,69 @@ def sortkey_advisor_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("expected_tiles_hit"),
         )
     )
+
+
+@query(
+    "multimodal_ahash",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', ' ', 'g') AS clean
+      FROM documents),
+    dims AS (
+      SELECT doc_id, clean, length(clean) AS n,
+             (length(clean) + 15) // 16 AS h
+      FROM base),
+    pix AS (
+      SELECT doc_id, p,
+             ascii(substring(clean || repeat(' ', CAST(h*16 - n AS INTEGER)),
+                             CAST(p + 1 AS INTEGER), 1)) AS v,
+             least((p // 16) * 8 // h, 7) AS cy,
+             (p % 16) // 2 AS cx
+      FROM dims, unnest(generate_series(0, h*16 - 1)) AS t(p)),
+    tot AS (SELECT doc_id, 1000 * SUM(v) // COUNT(*) AS tmean
+            FROM pix GROUP BY doc_id),
+    cells AS (SELECT doc_id, cy, cx, 1000 * SUM(v) // COUNT(*) AS cmean
+              FROM pix GROUP BY doc_id, cy, cx),
+    grid AS (SELECT d.doc_id, a.gy, b.gx
+             FROM (SELECT DISTINCT doc_id FROM base) d,
+                  unnest(generate_series(0, 7)) AS a(gy),
+                  unnest(generate_series(0, 7)) AS b(gx)),
+    bits AS (
+      SELECT g.doc_id, g.gy, g.gx,
+             CASE WHEN c.cmean IS NOT NULL AND c.cmean > t.tmean
+                  THEN '1' ELSE '0' END AS bit
+      FROM grid g
+      LEFT JOIN cells c ON c.doc_id = g.doc_id AND c.cy = g.gy AND c.cx = g.gx
+      JOIN tot t ON t.doc_id = g.doc_id),
+    hashes AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY gy, gx) AS ahash
+      FROM bits GROUP BY doc_id)
+    SELECT doc_id, ahash,
+           CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same_hash
+    FROM hashes
+    """,
+)
+def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the REAL PGM image payloads: 8x8
+    block-mean thresholding → 64-bit visual fingerprint per image, plus
+    the size of each hash bucket (n_same_hash > 1 = visually-duplicate
+    group — the image-side analogue of exact text dedup). The Python
+    (numpy, Arrow-batched) hash is recomputed bit-for-bit by the DuckDB
+    oracle from the SOURCE TEXT — integer milli-means and an explicit
+    floor cell rule make a perceptual hash exactly verifiable.
+
+    Scale shape: one narrow Arrow pass per partition emits 64 chars per
+    image; the bucket count is one hash-key window. Payload bytes never
+    shuffle."""
+    from incremental_data_pipeline_spark.operators import multimodal as _mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashes = _mm.ahash_image(_mm.attach_pgm_image(docs))
+    return hashes.select(
+        "doc_id",
+        "ahash",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("ahash"))
+        .cast("bigint")
+        .alias("n_same_hash"),
+    )

@@ -389,3 +389,26 @@ def test_wav_roundtrip_is_real_riff_audio(spark):
     )
     with _pytest.raises(Exception, match="RIFF|WAVE"):
         mm.decode_wav_audio(bad).collect()
+
+
+def test_ahash_groups_visual_replicas(spark):
+    """Identical renders hash identically; a visually different document
+    (different glyph distribution) hashes differently — so equal-aHash
+    buckets are exactly the visual-duplicate groups."""
+    from incremental_data_pipeline_spark.operators import multimodal
+
+    body = (
+        "the quick brown fox jumps over the lazy dog while seven geese "
+        "wander across a frozen meadow seeking grain near the river today"
+    )
+    other = "zzzz!!!! " * 30
+    df = spark.createDataFrame(
+        [(1, body), (2, body), (3, other)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r["ahash"]
+        for r in multimodal.ahash_image(multimodal.attach_pgm_image(df)).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] != out[3]
+    assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
