@@ -10390,3 +10390,119 @@ def multimodal_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_same_hash"),
     )
+
+
+def _lang_prf_oracle() -> str:
+    inner = _lang_oracle()
+    return f"""
+    WITH pred AS ({inner}),
+    grid AS (
+      SELECT coalesce(t.cls, p.cls) AS cls,
+             coalesce(tp, 0) AS tp, coalesce(n_true, 0) AS n_true,
+             coalesce(n_pred, 0) AS n_pred
+      FROM (SELECT lang AS cls, count(*) AS n_true,
+                   sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END) AS tp
+            FROM pred GROUP BY lang) t
+      FULL OUTER JOIN (SELECT pred_lang AS cls, count(*) AS n_pred
+                       FROM pred GROUP BY pred_lang) p
+        ON t.cls = p.cls)
+    SELECT cls AS lang,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST(tp AS DOUBLE) / nullif(n_pred, 0) AS precision,
+           CAST(tp AS DOUBLE) / nullif(n_true, 0) AS recall,
+           CAST(2 * tp AS DOUBLE) / nullif(n_pred + n_true, 0) AS f1
+    FROM grid
+    """
+
+
+@query("lang_id_prf", _lang_prf_oracle())
+def lang_id_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: per-class precision / recall /
+    F1 of the n-gram language identifier against the labeled lang column
+    — the model-quality rollup a data-curation pipeline runs after every
+    lang-id change. F1 is computed as 2tp/(pred+true) (the harmonic mean
+    without intermediate ratios), so each metric is ONE divide over
+    integer counts — engine-exact, no float composition.
+
+    Scale shape: predictions stay where the documents are; the eval is
+    two |langs|-sized count grids full-outer-joined (classes can be
+    absent on either side — nullif guards the zero denominators)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = _text.lang_id(docs).select("lang", "pred_lang")
+    t = pred.groupBy(F.col("lang").alias("cls")).agg(
+        F.count(F.lit(1)).alias("n_true"),
+        F.sum((F.col("lang") == F.col("pred_lang")).cast("long")).alias("tp"),
+    )
+    p = pred.groupBy(F.col("pred_lang").alias("pcls")).agg(
+        F.count(F.lit(1)).alias("n_pred")
+    )
+    g = (
+        t.join(p, F.col("cls") == F.col("pcls"), "full_outer")
+        .select(
+            F.coalesce(F.col("cls"), F.col("pcls")).alias("lang"),
+            F.coalesce(F.col("tp"), F.lit(0)).cast("bigint").alias("tp"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("bigint").alias("n_pred"),
+        )
+    )
+    nz = lambda c: F.when(F.col(c) != 0, F.col(c))  # noqa: E731
+    return g.select(
+        "lang",
+        "tp",
+        "n_true",
+        "n_pred",
+        (F.col("tp").cast("double") / nz("n_pred")).alias("precision"),
+        (F.col("tp").cast("double") / nz("n_true")).alias("recall"),
+        (
+            (F.lit(2) * F.col("tp")).cast("double")
+            / F.when(F.col("n_pred") + F.col("n_true") != 0, F.col("n_pred") + F.col("n_true"))
+        ).alias("f1"),
+    )
+
+
+@query(
+    "k_anonymity_audit",
+    """
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment, count(*) AS grp_sz
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    tot AS (SELECT SUM(grp_sz) AS n_cust, COUNT(*) AS n_groups FROM qi)
+    SELECT 5 AS k,
+           CAST((SELECT n_groups FROM tot) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_sz < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_k,
+           CAST(SUM(CASE WHEN grp_sz < 5 THEN grp_sz ELSE 0 END) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(SUM(CASE WHEN grp_sz < 5 THEN grp_sz ELSE 0 END) AS DOUBLE)
+             / (SELECT n_cust FROM tot) AS risk_rate,
+           CAST(min(grp_sz) AS BIGINT) AS min_group_size
+    FROM qi
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): a release is k-anonymous when every QI
+    combination matches >= k rows; rows in smaller groups are
+    re-identifiable by linkage. Reports the group count, how many groups
+    and rows fall below k=5, the at-risk share, and the worst group size
+    — the go/no-go gate before sharing a "de-identified" extract, and
+    the quantitative companion to `gdpr_erasure_audit`.
+
+    Scale shape: one QI-grouped count (map-side combinable), then the
+    audit folds the |QI-groups| grid to a single row."""
+    c = load_table(spark, sf_dir, "customer")
+    qi = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_sz")
+    )
+    below = F.sum(F.when(F.col("grp_sz") < 5, 1).otherwise(0))
+    at_risk = F.sum(F.when(F.col("grp_sz") < 5, F.col("grp_sz")).otherwise(0))
+    return qi.agg(
+        F.lit(5).alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        below.cast("bigint").alias("n_groups_below_k"),
+        at_risk.cast("bigint").alias("n_rows_at_risk"),
+        (at_risk.cast("double") / F.sum("grp_sz")).alias("risk_rate"),
+        F.min("grp_sz").cast("bigint").alias("min_group_size"),
+    )
