@@ -79,6 +79,11 @@ HEADLINE = [
     "discount_band_revenue",
     "returned_item_report",
     "dedup_containment",
+    # round-4 session 3: PQ-ADC scan, perceptual image hash, streaming
+    # stateful CUSUM
+    "ann_pq_topk",
+    "multimodal_ahash",
+    "stream_cusum_alarms",
 ]
 
 
@@ -130,10 +135,23 @@ def main() -> None:
     # still includes each query's one-shot plan-compile cost in iteration
     # 1 — the min only discards *external* noise, not engine work, since
     # iteration 2 re-runs the full plan end-to-end.
+    def _clear_leftover_state() -> None:
+        """Per-query isolation: drop cached relations AND the
+        localCheckpoint block RDDs some fixpoint queries (connected
+        components, curation) leave pinned in the block manager — at the
+        sf1 point the accumulated blocks otherwise push later queries
+        into GC pressure and a query's number starts depending on its
+        position in the list (observed: multimodal_frames 24 s mid-list
+        vs 2.4 s standalone)."""
+        spark.catalog.clearCache()
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
         for _ in range(2):
+            _clear_leftover_state()
             t0 = time.perf_counter()
             _force(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

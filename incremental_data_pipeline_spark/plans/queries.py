@@ -10506,3 +10506,147 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (at_risk.cast("double") / F.sum("grp_sz")).alias("risk_rate"),
         F.min("grp_sz").cast("bigint").alias("min_group_size"),
     )
+
+
+@query(
+    "pmi_top_cooccurrences",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+    pos AS (SELECT doc_id, ts, i, ts[CAST(i AS INTEGER)] AS term
+            FROM toks, unnest(generate_series(1, len(ts))) AS p(i)),
+    pairs AS (
+      SELECT CASE WHEN a.term <= b.term THEN a.term ELSE b.term END AS t1,
+             CASE WHEN a.term <= b.term THEN b.term ELSE a.term END AS t2
+      FROM pos a JOIN pos b
+        ON a.doc_id = b.doc_id AND b.i BETWEEN a.i + 1 AND a.i + 5),
+    cxy AS (SELECT t1, t2, count(*) AS c_xy FROM pairs GROUP BY t1, t2),
+    cx AS (SELECT term, count(*) AS c FROM pos GROUP BY term),
+    n AS (SELECT count(*) AS total FROM pos)
+    SELECT t1, t2, CAST(c_xy AS BIGINT) AS c_xy,
+           CAST((c_xy * (SELECT total FROM n) * 1000000)
+                // (x.c * y.c) AS BIGINT) AS pmi_ratio_ppm
+    FROM cxy JOIN cx x ON t1 = x.term JOIN cx y ON t2 = y.term
+    WHERE c_xy >= 5
+    ORDER BY pmi_ratio_ppm DESC, t1 ASC, t2 ASC
+    LIMIT 20
+    """,
+)
+def pmi_top_cooccurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed co-occurrence PMI: the 20 most-associated unordered term
+    pairs within a 5-token window (min support 5) — the distributional-
+    semantics statistic behind collocation extraction and word-vector
+    objectives. Ranking uses the integer cross-ratio
+    c_xy*N*1e6 // (c_x*c_y) — PMI without the log (log is monotone, so
+    the order is identical) and without any float.
+
+    Scale shape: pair extraction is a NARROW per-row map (zip of the
+    token array against its own 1..5-shifted slices — no positions
+    self-join, no doc_id shuffle for candidates); the pair/unigram counts
+    are map-side-combinable aggs and the unigram table broadcasts back.
+    The oracle phrases the same pairs as a positions range-join, proving
+    the zip-slice trick equals the textbook definition."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    n = F.size(t)
+
+    def shifted_pairs(d: int):
+        left = F.slice(t, 1, F.greatest(n - F.lit(d), F.lit(0)))
+        right = F.slice(t, F.lit(d + 1), F.greatest(n - F.lit(d), F.lit(0)))
+        return F.zip_with(
+            left,
+            right,
+            lambda a, b: F.struct(
+                F.least(a, b).alias("t1"), F.greatest(a, b).alias("t2")
+            ),
+        )
+    pairs = docs.select(
+        F.explode(
+            F.flatten(F.array(*[shifted_pairs(d) for d in range(1, 6)]))
+        ).alias("p")
+    ).select("p.t1", "p.t2")
+    cxy = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c_xy"))
+    toks = docs.select(F.explode(t).alias("term"))
+    cx = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.count()
+    return (
+        cxy.filter(F.col("c_xy") >= 5)
+        .join(F.broadcast(cx.withColumnRenamed("term", "t1").withColumnRenamed("c", "cx1")), "t1")
+        .join(F.broadcast(cx.withColumnRenamed("term", "t2").withColumnRenamed("c", "cx2")), "t2")
+        .select(
+            "t1",
+            "t2",
+            F.col("c_xy").cast("bigint").alias("c_xy"),
+            F.expr(f"(c_xy * {total}L * 1000000L) div (cx1 * cx2)")
+            .cast("bigint")
+            .alias("pmi_ratio_ppm"),
+        )
+        .orderBy(F.col("pmi_ratio_ppm").desc(), F.col("t1").asc(), F.col("t2").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "abc_classification_parts",
+    """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount)) AS BIGINT))
+               AS cents
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, cents,
+             SUM(cents) OVER (ORDER BY cents DESC, l_partkey ASC
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cents) OVER () AS total
+      FROM rev),
+    classed AS (
+      SELECT CASE WHEN 100 * cum <= 80 * total THEN 'A'
+                  WHEN 100 * cum <= 95 * total THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents, total
+      FROM ranked)
+    SELECT abc_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(SUM(cents) AS DOUBLE) / max(total) AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    the head covering 80% of cumulative revenue, B = the next 15%, C =
+    the tail — the Pareto cut purchasing teams manage stock by. The class
+    boundary compare is integer cross-multiplied (100*cum <= 80*total),
+    so classification never touches a float; only the reported share
+    divides.
+
+    Scale shape: the fact collapses to |parts| revenue cells first; the
+    running-sum window is a range-partitioned sort over that (dim-sized)
+    relation, not the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(F.sum(cents).alias("cents"))
+    w_cum = Window.orderBy(F.col("cents").desc(), F.col("l_partkey").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.sum("cents").over(w_cum).alias("cum"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    classed = ranked.select(
+        F.when(100 * F.col("cum") <= 80 * F.col("total"), "A")
+        .when(100 * F.col("cum") <= 95 * F.col("total"), "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+        "total",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("cents").cast("bigint").alias("class_cents"),
+        (F.sum("cents").cast("double") / F.max("total")).alias("revenue_share"),
+    )
