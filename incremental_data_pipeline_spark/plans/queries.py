@@ -10650,3 +10650,127 @@ def abc_classification_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("class_cents"),
         (F.sum("cents").cast("double") / F.max("total")).alias("revenue_share"),
     )
+
+
+@query(
+    "sequence_pattern_match",
+    """
+    WITH paths AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id),
+    pats AS (
+      SELECT * FROM (VALUES
+        ('view_then_purchase',  'v.*p'),
+        ('click_click_purchase', 'c.*c.*p'),
+        ('signup_first',        '^s')) AS t(pattern, rx))
+    SELECT pattern,
+           CAST(sum(CASE WHEN regexp_matches(path, rx) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN regexp_matches(path, rx) THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS match_rate
+    FROM paths CROSS JOIN pats
+    GROUP BY pattern
+    """,
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: each user's
+    event history becomes an ordered symbol string (first letter of the
+    event type — the fixture's types are first-letter-distinct), and
+    behavioral patterns are regexes over it ('view then later purchase',
+    'two clicks before a purchase', 'signup was the first act'). Counts
+    users matching each pattern — arbitrary-gap sequence analytics that
+    windowed funnels (`funnel_conversion`) can't phrase.
+
+    Scale shape: ONE user-keyed ordered aggregation builds the path
+    column (size = user's event count, bounded); the regex sweep is a
+    narrow map over |users| rows × |patterns| tiny cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    paths = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("sym"),
+                        )
+                    )
+                ),
+                lambda x: x["sym"],
+            ),
+        ).alias("path")
+    )
+    pats = spark.createDataFrame(
+        [
+            ("view_then_purchase", "v.*p"),
+            ("click_click_purchase", "c.*c.*p"),
+            ("signup_first", "^s"),
+        ],
+        ["pattern", "rx"],
+    )
+    hit = F.expr("CASE WHEN path rlike rx THEN 1 ELSE 0 END")
+    return (
+        paths.crossJoin(F.broadcast(pats))
+        .groupBy("pattern")
+        .agg(
+            F.sum(hit).cast("bigint").alias("n_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            (F.sum(hit).cast("double") / F.count(F.lit(1))).alias("match_rate"),
+        )
+    )
+
+
+@query(
+    "dedup_normalized_exact",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS nhash
+      FROM documents),
+    grp AS (SELECT nhash, count(*) AS n_copies, min(doc_id) AS canonical
+            FROM norm GROUP BY nhash)
+    SELECT n.doc_id, g.canonical,
+           CAST(g.n_copies AS BIGINT) AS n_copies,
+           n.doc_id = g.canonical AS keep
+    FROM norm n JOIN grp g ON n.nhash = g.nhash
+    """,
+)
+def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-exact dedup (the Dolma/C4 cleanup step between
+    byte-exact and fuzzy dedup): casefold, strip non-alphanumerics,
+    collapse whitespace, THEN hash — catching documents that differ only
+    in case, punctuation, or spacing, which `dedup_exact` treats as
+    distinct and near-dup LSH wastes candidate pairs on. Min-id election
+    picks the canonical copy; `keep` flags the survivor set.
+
+    Scale shape: identical to exact dedup — one narrow normalize+hash
+    map, one hash-key shuffle; the group relation is dim-sized and joins
+    back on the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = docs.select(
+        "doc_id",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                    " +",
+                    " ",
+                )
+            )
+        ).alias("nhash"),
+    )
+    grp = norm.groupBy("nhash").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("canonical")
+    )
+    return norm.join(grp, "nhash").select(
+        "doc_id",
+        "canonical",
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        (F.col("doc_id") == F.col("canonical")).alias("keep"),
+    )
