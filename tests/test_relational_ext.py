@@ -198,6 +198,13 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "sample_temperature_mix": (2, 0),  # lang grid + 1-row total broadcast
         "attribution_linear_touch": (2, 0),  # both windows share the user shuffle
         "fk_orphan_audit": (0, 0),         # four anti-joins, dims broadcast
+        "sequence_pattern_match": (2, 0),  # path agg + 3-row pattern rollup
+        "dedup_normalized_exact": (1, 0),  # group + join-back share the shuffle
+        "lang_id_prf": (2, 1),             # two |lang| grids; tiny full-outer SMJ
+        "k_anonymity_audit": (1, 0),       # one QI count grid
+        "pmi_top_cooccurrences": (3, 0),   # pair agg + unigram agg broadcast back
+        "abc_classification_parts": (1, 0),  # part grid; window on the grid
+        "multimodal_ahash": (1, 0),        # hash bucket-count window
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
