@@ -464,3 +464,56 @@ def test_prefix_jaccard_lossless_random(spark, docs):
             if len(a | b) and len(a & b) / len(a | b) >= 0.6:
                 want.add((ia, ib))
     assert got == want
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+        min_size=1,
+        max_size=10,
+    ).map(" ".join),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(texts=corpus_strategy)
+@settings(**SMALL)
+def test_containment_pairs_matches_python_reference(spark, texts):
+    """containment_pairs equals the brute-force set-containment reference
+    on ANY corpus (with max_df disabled): same pairs, same inner/outer
+    orientation (smaller set inside, doc-id tiebreak), same score."""
+    from incremental_data_pipeline_spark.operators import dedup
+
+    def shingle_set(t):
+        toks = t.split(" ")
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    expected = {}
+    for i, ta in docs:
+        for j, tb in docs:
+            if i >= j:
+                continue
+            sa, sb = shingle_set(ta), shingle_set(tb)
+            inter = len(sa & sb)
+            if (len(sa), i) <= (len(sb), j):
+                inner, outer, denom = i, j, len(sa)
+            else:
+                inner, outer, denom = j, i, len(sb)
+            c = inter / denom
+            if c >= 0.7:
+                expected[(inner, outer)] = c
+
+    if not docs:
+        return
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r["inner_doc"], r["outer_doc"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.7, max_df=None
+        ).collect()
+    }
+    assert got == expected
