@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_pq_topk",
     "multimodal_ahash",
     "stream_cusum_alarms",
+    "dedup_prefix_containment",
 ]
 
 

@@ -676,3 +676,72 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def prefix_filter_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Lossless prefix-filtered CONTAINMENT pairs — the asymmetric
+    companion to `prefix_filter_jaccard_pairs`, replacing
+    `containment_pairs`' lossy ``max_df`` cap with the pigeonhole prefix
+    bound: if |A∩B|/|A| >= t for the smaller set A, the intersection has
+    >= ceil(t·|A|) shingles and cannot fit in A's last ceil(t·|A|)-1, so
+    at least one shared shingle lies in A's rarest-first PREFIX of length
+    |A| - ceil(t·|A|) + 1. The OUTER side has no prefix (its share of the
+    overlap may be arbitrarily small — that's what containment is for),
+    so candidates join inner-prefix postings against FULL postings of
+    every not-smaller document: volume Σ prefix_df·df per shingle —
+    the (1-t) prefix shrink applied to one side — versus Σ df² unfiltered.
+    Orientation (smaller set inside, doc-id tiebreak on equal sizes) is
+    fixed during candidate generation, then candidates are verified
+    exactly.
+
+    Scale shape: one checkpointed shingle explode feeds df counts, sizes,
+    ranking, and both verification sides; every join is an equi-join on
+    shingle or the pair key. Exact verification is candidate-bounded."""
+    s = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = (
+        s.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, id_col)
+    )
+    # ceil float overshoot only LENGTHENS the prefix — safe direction.
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(
+        F.col(id_col).alias("inner_doc"), "shingle", F.col("sz").alias("sz_i")
+    )
+    full = s.join(sizes, id_col).select(
+        F.col(id_col).alias("outer_doc"), "shingle", F.col("sz").alias("sz_o")
+    )
+    bigger = (F.col("sz_o") > F.col("sz_i")) | (
+        (F.col("sz_o") == F.col("sz_i")) & (F.col("inner_doc") < F.col("outer_doc"))
+    )
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(bigger)
+        .select("inner_doc", "outer_doc")
+        .distinct()
+    )
+    si = s.select(F.col(id_col).alias("inner_doc"), "shingle")
+    so = s.select(F.col(id_col).alias("outer_doc"), "shingle")
+    inter = (
+        cand.join(si, "inner_doc")
+        .join(so, ["outer_doc", "shingle"])
+        .groupBy("inner_doc", "outer_doc")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    zi = sizes.select(F.col(id_col).alias("inner_doc"), F.col("sz").alias("sz_i"))
+    return (
+        inter.join(zi, "inner_doc")
+        .withColumn("containment", F.col("inter") / F.col("sz_i"))
+        .filter(F.col("containment") >= threshold)
+        .select("inner_doc", "outer_doc", "containment")
+    )

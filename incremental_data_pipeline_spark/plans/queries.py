@@ -10774,3 +10774,35 @@ def dedup_normalized_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_copies").cast("bigint").alias("n_copies"),
         (F.col("doc_id") == F.col("canonical")).alias("keep"),
     )
+
+
+@query(
+    "dedup_prefix_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT
+      CASE WHEN sa.sz <= sb.sz THEN doc_a ELSE doc_b END AS inner_doc,
+      CASE WHEN sa.sz <= sb.sz THEN doc_b ELSE doc_a END AS outer_doc,
+      i / (CASE WHEN sa.sz <= sb.sz THEN sa.sz ELSE sb.sz END) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i / (CASE WHEN sa.sz <= sb.sz THEN sa.sz ELSE sb.sz END) >= 0.7
+    """,
+)
+def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOSSLESS containment near-dup via the asymmetric prefix filter
+    (see `dedup.prefix_filter_containment_pairs`): the oracle is the
+    UNCAPPED all-pairs containment join, so a hash match proves the
+    prefix pruning loses zero qualifying pairs on real data — the same
+    losslessness contract `dedup_prefix_jaccard` pins for the symmetric
+    measure."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.prefix_filter_containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.7
+    )

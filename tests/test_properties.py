@@ -517,3 +517,11 @@ def test_containment_pairs_matches_python_reference(spark, texts):
         ).collect()
     }
     assert got == expected
+    # the lossless prefix-filtered variant finds the identical pair set
+    got_prefix = {
+        (r["inner_doc"], r["outer_doc"]): r["containment"]
+        for r in dedup.prefix_filter_containment_pairs(
+            df, "doc_id", "text", n=3, threshold=0.7
+        ).collect()
+    }
+    assert got_prefix == expected
