@@ -10806,3 +10806,75 @@ def dedup_prefix_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dedup.prefix_filter_containment_pairs(
         docs, "doc_id", "text", n=3, threshold=0.7
     )
+
+
+@query(
+    "dedup_cross_doc_spans",
+    """
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    spans AS (
+      SELECT doc_id,
+             md5(array_to_string(t[CAST((i-1)*10+1 AS INTEGER) : CAST(i*10 AS INTEGER)], ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(t) // 10)) AS g(i)),
+    df AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM spans GROUP BY h),
+    per_doc AS (
+      SELECT s.doc_id,
+             count(*) AS n_spans,
+             sum(CASE WHEN d.ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans
+      FROM spans s JOIN df d ON s.h = d.h
+      GROUP BY s.doc_id)
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST(n_dup_spans AS DOUBLE) / n_spans AS dup_span_ratio,
+           2 * n_dup_spans < n_spans AS keep
+    FROM per_doc
+    """,
+)
+def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document SPAN dedup signal (the C4/Dolma step between
+    whole-document dedup and within-document repetition): each document
+    is cut into disjoint 10-token spans, spans are hashed corpus-wide,
+    and a document is flagged when half or more of its spans also appear
+    in other documents — boilerplate and syndicated text that whole-doc
+    hashing misses and Jaccard under-weights. The keep rule is the
+    integer compare 2*dups < total (no float threshold).
+
+    Scale shape: span extraction is a narrow per-row map (array slices);
+    the only shuffles are the span-hash df count and the per-doc rollup,
+    both map-side combinable. Documents shorter than one span emit
+    nothing and are implicitly kept."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    # Spark's sequence(1, 0) yields a DESCENDING [1, 0] (not empty like
+    # generate_series), so sub-10-token docs must short-circuit to an
+    # empty span list explicitly.
+    span_hashes = F.when(
+        F.size(t) >= 10,
+        F.transform(
+            F.sequence(F.lit(1), F.floor(F.size(t) / 10).cast("int")),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, (i - 1) * 10 + 1, 10))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = docs.select("doc_id", F.explode(span_hashes).alias("h"))
+    df_counts = spans.groupBy("h").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    per_doc = (
+        spans.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+            F.sum((F.col("ndocs") >= 2).cast("long"))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        (F.col("n_dup_spans").cast("double") / F.col("n_spans")).alias(
+            "dup_span_ratio"
+        ),
+        (2 * F.col("n_dup_spans") < F.col("n_spans")).alias("keep"),
+    )
