@@ -205,6 +205,8 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "pmi_top_cooccurrences": (3, 0),   # pair agg + unigram agg broadcast back
         "abc_classification_parts": (1, 0),  # part grid; window on the grid
         "multimodal_ahash": (1, 0),        # hash bucket-count window
+        "dedup_prefix_containment": (5, 0),  # rank/candidate/verify joins
+        "dedup_cross_doc_spans": (3, 0),   # span df + per-doc rollup
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
