@@ -10878,3 +10878,55 @@ def dedup_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (2 * F.col("n_dup_spans") < F.col("n_spans")).alias("keep"),
     )
+
+
+@query(
+    "topk_plus_other_brands",
+    """
+    WITH rev AS (
+      SELECT p.p_brand,
+             SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount))
+                 AS BIGINT)) AS cents
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY p.p_brand),
+    ranked AS (
+      SELECT p_brand, cents,
+             row_number() OVER (ORDER BY cents DESC, p_brand ASC) AS rn
+      FROM rev)
+    SELECT CASE WHEN rn <= 5 THEN p_brand ELSE 'OTHER' END AS brand_group,
+           CAST(SUM(cents) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_brands
+    FROM ranked
+    GROUP BY CASE WHEN rn <= 5 THEN p_brand ELSE 'OTHER' END
+    """,
+)
+def topk_plus_other_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality-capped rollup: revenue by the top-5 brands with every
+    remaining brand folded into one 'OTHER' row — the dashboard pattern
+    that keeps a high-cardinality group-by's RESULT bounded (a 100M-key
+    dimension otherwise ships 100M rows to whatever reads the rollup).
+    Ranking is deterministic (revenue desc, brand asc) over integer
+    cents.
+
+    Scale shape: the fact collapses to |brands| cells first (map-side
+    combine); the rank and the OTHER fold run on that dim-sized grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("bigint")
+    rev = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("p_brand").asc())
+    ranked = rev.withColumn("rn", F.row_number().over(w))
+    grp = F.when(F.col("rn") <= 5, F.col("p_brand")).otherwise("OTHER")
+    return (
+        ranked.groupBy(grp.alias("brand_group"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        )
+    )
