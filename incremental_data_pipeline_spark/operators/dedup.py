@@ -264,6 +264,34 @@ def minhash_signatures(
     )
 
 
+
+def band_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """(id, band, band_sig) rows — the banded-LSH bucket keys for each
+    document, shared by the self-join, incremental, and streaming-ingest
+    dedup paths. Fixed-order column concats, no collect_list shuffle."""
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, n)
+    n_bands = num_hashes // rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(j).alias("band"),
+            F.concat_ws(
+                "|", *[F.col(f"mh{j * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("band_sig"),
+        )
+        for j in range(n_bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("bs")
+    ).select(id_col, "bs.band", "bs.band_sig")
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,

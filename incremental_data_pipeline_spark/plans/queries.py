@@ -10930,3 +10930,97 @@ def topk_plus_other_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_brands"),
         )
     )
+
+
+def _lsh_dropped_cte() -> str:
+    """Bands CTE body (shared with `_minhash_oracle`) + the set of docs
+    that collide with any LOWER-id document's bucket."""
+    coeffs = _dedup.minhash_coeffs(12)
+    mins = ", ".join(
+        f"min(({a} * xv + {b}) % {_dedup.MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {j} AS band, concat({cols}) AS band_sig FROM mh".format(
+            j=j, cols=", '|', ".join(f"mh{j * 3 + r}" for r in range(3))
+        )
+        for j in range(4)
+    )
+    return f"""{_SHINGLES_CTE},
+    x AS (SELECT doc_id, ('0x' || substring(md5(shingle), 1, 8))::BIGINT AS xv FROM sh),
+    mh AS (SELECT doc_id, {mins} FROM x GROUP BY doc_id),
+    bands AS ({band_rows}),
+    dropped AS (
+      SELECT DISTINCT b.doc_id FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_sig = b.band_sig
+       AND a.doc_id < b.doc_id)"""
+
+
+@query(
+    "stream_ingest_dedup",
+    f"""
+    WITH {_lsh_dropped_cte()}
+    SELECT d.doc_id FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+    """,
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGESTION DEDUP — the accept/reject gate of a
+    continuously-crawling training pipeline: each arriving micro-batch's
+    documents are LSH-banded and rejected when any bucket collides with
+    the persisted signature STORE (everything seen so far) or with a
+    lower-id document in the same batch; all new signatures (accepted or
+    not) then join the store. First-arrival-wins; with id-ordered arrival
+    (the file-stream contract, as in `stream_cusum_alarms`) the accepted
+    set equals the declarative rule the oracle states: a document
+    survives iff NO lower-id document shares an LSH bucket. Side effects
+    run through the exactly-once epoch ledger, so a replayed batch
+    cannot double-append.
+
+    Scale shape: per batch, one signature pass over the BATCH plus a
+    bucket equi-join against the store — cost scales with the increment,
+    never the corpus (the store is bucket-keyed; at warehouse scale it is
+    written partitioned by band for store-side pruning)."""
+    base = scratch_dir("stream_ingest_dedup_")
+    store = os.path.join(base, "sig_store")
+    out = os.path.join(base, "accepted")
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        bands = _dedup.band_signatures(batch, "doc_id", "text", 12, 3, 3)
+        bands = bands.localCheckpoint(eager=True)
+        a = bands.alias("a")
+        b = bands.alias("b")
+        in_batch = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("b.doc_id").alias("doc_id"))
+            .distinct()
+        )
+        if os.path.exists(store):
+            existing = spark.read.parquet(store)
+            vs_store = (
+                bands.join(existing, ["band", "band_sig"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            dropped = in_batch.unionByName(vs_store).distinct()
+        else:
+            dropped = in_batch
+        survivors = batch.select("doc_id").join(dropped, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(out)
+        bands.select("band", "band_sig").write.mode("append").parquet(store)
+
+    stream = _stream.read_stream(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    _stream.foreach_batch_exactly_once(
+        stream,
+        apply_batch,
+        os.path.join(base, "ckpt"),
+        os.path.join(base, "ledger"),
+    )
+    return spark.read.parquet(out).select("doc_id")
