@@ -11024,3 +11024,69 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.join(base, "ledger"),
     )
     return spark.read.parquet(out).select("doc_id")
+
+
+@query(
+    "contingency_residuals",
+    """
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, n.n_name AS nation, count(*) AS o
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2),
+    margins AS (
+      SELECT seg, nation, o,
+             SUM(o) OVER (PARTITION BY seg) AS r,
+             SUM(o) OVER (PARTITION BY nation) AS col,
+             SUM(o) OVER () AS t
+      FROM cells)
+    SELECT seg, nation, CAST(o AS BIGINT) AS observed,
+           CAST(r * col AS DOUBLE) / t AS expected,
+           (o * t - r * col) / sqrt(CAST(r AS DOUBLE) * col * t) AS residual
+    FROM margins
+    ORDER BY abs((o * t - r * col) / sqrt(CAST(r AS DOUBLE) * col * t)) DESC,
+             seg ASC, nation ASC
+    LIMIT 15
+    """,
+)
+def contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical association mining: the 15 most over/under-represented
+    (market segment x nation) cells by standardized Pearson residual,
+    (O·N - R·C)/sqrt(R·C·N) — the per-cell view of the chi-square
+    independence test that tells you WHICH combinations drive the
+    dependence, not just that it exists. Each residual is an integer
+    numerator with one sqrt and one divide (no float accumulation), so
+    the ranking is bit-reproducible cross-engine — unlike summed chi²,
+    whose fold order isn't.
+
+    Scale shape: the fact collapses to the |seg|x|nation| contingency
+    grid in one map-side-combined count; margins are windows over that
+    tiny grid."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    cells = (
+        c.join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    m = cells.select(
+        "seg",
+        "nation",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("r"),
+        F.sum("o").over(Window.partitionBy("nation")).alias("col"),
+        F.sum("o").over(Window.partitionBy()).alias("t"),
+    )
+    resid = (F.col("o") * F.col("t") - F.col("r") * F.col("col")) / F.sqrt(
+        F.col("r").cast("double") * F.col("col") * F.col("t")
+    )
+    return (
+        m.select(
+            "seg",
+            "nation",
+            F.col("o").cast("bigint").alias("observed"),
+            ((F.col("r") * F.col("col")).cast("double") / F.col("t")).alias("expected"),
+            resid.alias("residual"),
+        )
+        .orderBy(F.abs(F.col("residual")).desc(), F.col("seg").asc(), F.col("nation").asc())
+        .limit(15)
+    )
