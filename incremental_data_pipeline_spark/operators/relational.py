@@ -410,3 +410,55 @@ def cusum_alarms(
         .groupBy("__g")
         .applyInPandas(scan, out_schema)
     )
+
+
+def km_survival(
+    life_table: DataFrame,
+    t_col: str,
+    n_col: str,
+    d_col: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival over an ordered life table:
+    S_t = S_{t-1} * (n_t - d_t) / n_t, folded in INTEGER parts-per-scale
+    (S_t = S_{t-1}*(n_t-d_t) // n_t, S_{-1} = scale) so the running
+    product is exact integer arithmetic in any engine — a float product
+    (or exp-sum-log) would be rounding-order-dependent. The per-step
+    floor loses < 1/scale per step: documented cost of exactness.
+
+    Like the CUSUM/clamped-balance family, the recurrence is inherently
+    ordered (each step divides the PREVIOUS rounded value), so it runs
+    as one ordered `applyInPandas` scan over the life table — which is
+    |distinct event times| rows (weeks/days), never cohort size — and
+    the DuckDB oracle replays it as a RECURSIVE CTE.
+
+    Emits (t, n_at_risk, deaths, surv_ppm)."""
+    import pandas as pd
+
+    m = dict(life_table.dtypes)
+    out_schema = (
+        f"{t_col} {m[t_col]}, n_at_risk long, deaths long, surv_ppm long"
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(t_col, kind="mergesort")
+        s = scale
+        out = []
+        for n, d in zip(pdf[n_col], pdf[d_col]):
+            s = s * (int(n) - int(d)) // int(n)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                t_col: pdf[t_col].values,
+                "n_at_risk": pdf[n_col].astype("int64").values,
+                "deaths": pdf[d_col].astype("int64").values,
+                "surv_ppm": out,
+            }
+        )
+
+    return (
+        life_table.select(t_col, n_col, d_col)
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(scan, out_schema)
+    )

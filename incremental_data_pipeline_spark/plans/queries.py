@@ -11090,3 +11090,86 @@ def contingency_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("residual")).desc(), F.col("seg").asc(), F.col("nation").asc())
         .limit(15)
     )
+
+
+@query(
+    "kaplan_meier_retention",
+    """
+    WITH RECURSIVE spans AS (
+      SELECT user_id,
+             date_trunc('week', min(ts)) AS fw,
+             date_trunc('week', max(ts)) AS lw
+      FROM events GROUP BY user_id),
+    mx AS (SELECT max(lw) AS maxw FROM spans),
+    lives AS (
+      SELECT CAST(date_diff('day', fw, lw) // 7 AS BIGINT) AS lt,
+             CASE WHEN lw = (SELECT maxw FROM mx) THEN 1 ELSE 0 END
+               AS censored
+      FROM spans),
+    grp AS (
+      SELECT lt, count(*) AS cnt,
+             SUM(1 - censored) AS deaths
+      FROM lives GROUP BY lt),
+    tbl AS (
+      SELECT lt, deaths,
+             SUM(cnt) OVER (ORDER BY lt DESC ROWS UNBOUNDED PRECEDING)
+               AS n_at_risk,
+             row_number() OVER (ORDER BY lt ASC) AS rn
+      FROM grp),
+    walk(rn, lt, n_at_risk, deaths, s) AS (
+      SELECT 0, CAST(NULL AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(1000000 AS BIGINT)
+      UNION ALL
+      SELECT t.rn, t.lt, CAST(t.n_at_risk AS BIGINT),
+             CAST(t.deaths AS BIGINT),
+             (w.s * (t.n_at_risk - t.deaths)) // t.n_at_risk
+      FROM walk w JOIN tbl t ON t.rn = w.rn + 1)
+    SELECT lt AS lifetime_weeks, n_at_risk, deaths, CAST(s AS BIGINT)
+             AS surv_ppm
+    FROM walk WHERE rn >= 1
+    """,
+)
+def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier user-survival curve: lifetime = weeks between a
+    user's first and last activity, users still active in the final
+    observed week are right-CENSORED (they leave the at-risk pool
+    without counting as churn — the estimator's whole point vs naive
+    churn rates). S is folded in integer ppm (see
+    `relational.km_survival`), so the product-limit curve is
+    hash-verified against a recursive-CTE replay.
+
+    Scale shape: the fact collapses to per-user (first, last) in one
+    user-keyed agg; the life table is |distinct lifetimes| rows and the
+    ordered replay runs on that tiny relation."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("fw"),
+        F.date_trunc("week", F.max("ts")).alias("lw"),
+    )
+    w_all = Window.partitionBy()
+    lives = spans.select(
+        (F.datediff(F.col("lw"), F.col("fw")) / 7).cast("bigint").alias("lt"),
+        (F.col("lw") == F.max("lw").over(w_all)).cast("int").alias("censored"),
+    )
+    grp = lives.groupBy("lt").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(1 - F.col("censored")).alias("deaths"),
+    )
+    tbl = grp.select(
+        "lt",
+        "deaths",
+        F.sum("cnt")
+        .over(
+            Window.orderBy(F.col("lt").desc()).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        )
+        .alias("n_at_risk"),
+    )
+    out = relational.km_survival(tbl, "lt", "n_at_risk", "deaths")
+    return out.select(
+        F.col("lt").alias("lifetime_weeks"),
+        "n_at_risk",
+        "deaths",
+        "surv_ppm",
+    )
