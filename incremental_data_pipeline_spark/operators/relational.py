@@ -462,3 +462,75 @@ def km_survival(
         .groupBy("__g")
         .applyInPandas(scan, out_schema)
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    alpha_inv: int = 4,
+    beta_inv: int = 4,
+    scale: int = 1000,
+) -> DataFrame:
+    """Holt double-exponential smoothing (level + trend) with INTEGER
+    milli-unit recurrences: with a = 1/alpha_inv and b = 1/beta_inv,
+
+        l_t = (x_t*scale + (alpha_inv-1)*(l_{t-1}+b_{t-1})) // alpha_inv
+        b_t = ((l_t - l_{t-1}) + (beta_inv-1)*b_{t-1}) // beta_inv
+
+    — the standard smoother with the float EWMA replaced by floor-div
+    integer folds, so the whole trajectory is engine-exact and the
+    DuckDB oracle replays it as a recursive CTE (same family as
+    `cusum_alarms`/`km_survival`). Initialization: l_0 = x_0*scale,
+    b_0 = 0. `fitted_next` = l_t + b_t is the one-step-ahead forecast.
+
+    Scale shape: runs on an already-aggregated series (daily totals),
+    one bounded ordered group."""
+    import pandas as pd
+
+    m = dict(df.dtypes)
+    out_schema = (
+        f"{order_col} {m[order_col]}, x long, level_milli long, "
+        "trend_milli long, fitted_next_milli long"
+    )
+
+    def tdiv(a: int, b: int) -> int:
+        # SQL integer division TRUNCATES toward zero; Python's // floors.
+        # The trend term goes negative, so the two differ by one there —
+        # use the SQL semantics on both sides.
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        lvl = None
+        tr = 0
+        levels, trends, fitted = [], [], []
+        for x in pdf[value_col]:
+            x = int(x)
+            if lvl is None:
+                lvl = x * scale
+                tr = 0
+            else:
+                prev = lvl
+                lvl = tdiv(x * scale + (alpha_inv - 1) * (lvl + tr), alpha_inv)
+                tr = tdiv((lvl - prev) + (beta_inv - 1) * tr, beta_inv)
+            levels.append(lvl)
+            trends.append(tr)
+            fitted.append(lvl + tr)
+        return pd.DataFrame(
+            {
+                order_col: pdf[order_col].values,
+                "x": pdf[value_col].astype("int64").values,
+                "level_milli": levels,
+                "trend_milli": trends,
+                "fitted_next_milli": fitted,
+            }
+        )
+
+    return (
+        df.select(order_col, value_col)
+        .withColumn("__g", F.lit(1))
+        .groupBy("__g")
+        .applyInPandas(scan, out_schema)
+    )

@@ -7141,21 +7141,21 @@ def order_span_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT CAST(count(*) AS DOUBLE) AS n,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sq,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sp,
-        CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sd,
-        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
-          AS DOUBLE) AS sqq,
-        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4)))
-          AS DOUBLE) AS spp,
-        CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4)))
-          AS DOUBLE) AS sdd,
-        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
-          AS DOUBLE) AS sqp,
-        CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4)))
-          AS DOUBLE) AS sqd,
-        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
-          AS DOUBLE) AS spd
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sq,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sp,
+        CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sd,
+        CAST(CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4)))
+          AS VARCHAR) AS DOUBLE) AS sqq,
+        CAST(CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(18,4)))
+          AS VARCHAR) AS DOUBLE) AS spp,
+        CAST(CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(18,4)))
+          AS VARCHAR) AS DOUBLE) AS sdd,
+        CAST(CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(18,4)))
+          AS VARCHAR) AS DOUBLE) AS sqp,
+        CAST(CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(18,4)))
+          AS VARCHAR) AS DOUBLE) AS sqd,
+        CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+          AS VARCHAR) AS DOUBLE) AS spd
       FROM lineitem)
     SELECT CAST(n AS BIGINT) AS n_rows,
       (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp))
@@ -7186,7 +7186,13 @@ def measure_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double multiply first (exact: all products carry <= 4 decimal
         # digits, well inside double's 53-bit mantissa), THEN the decimal
         # cast — decimal x decimal overflows DuckDB's int64 fast path.
-        return F.sum(col.cast("decimal(18,4)")).cast("double")
+        # The decimal -> double hop goes THROUGH A STRING: once a moment
+        # exceeds 2^53 the direct cast rounds, and Spark's BigDecimal
+        # path and DuckDB's divide-by-10^scale path can disagree by one
+        # ulp (observed at sf0.1). decimal -> varchar is exact in both
+        # engines and varchar -> double is correctly rounded in both, so
+        # the string hop pins the identical double.
+        return F.sum(col.cast("decimal(18,4)")).cast("string").cast("double")
 
     m = li.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
@@ -11173,3 +11179,47 @@ def kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deaths",
         "surv_ppm",
     )
+
+
+@query(
+    "holt_forecast_daily",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount))
+                      AS BIGINT)) AS BIGINT) AS x
+      FROM lineitem GROUP BY 1),
+    ord AS (SELECT day, x, row_number() OVER (ORDER BY day) AS rn FROM daily),
+    walk(rn, day, x, l, b) AS (
+      SELECT rn, day, x, x * 1000, CAST(0 AS BIGINT)
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.day, o.x,
+             (o.x * 1000 + 3 * (w.l + w.b)) // 4,
+             (((o.x * 1000 + 3 * (w.l + w.b)) // 4 - w.l) + 3 * w.b) // 4
+      FROM walk w JOIN ord o ON o.rn = w.rn + 1)
+    SELECT day, CAST(x AS BIGINT) AS x,
+           CAST(l AS BIGINT) AS level_milli,
+           CAST(b AS BIGINT) AS trend_milli,
+           CAST(l + b AS BIGINT) AS fitted_next_milli
+    FROM walk
+    """,
+)
+def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential forecast state over daily shipped revenue
+    (alpha = beta = 1/4): per day, the smoothed level, the trend, and the
+    one-step-ahead forecast — trend-aware forecasting that a plain
+    moving average can't do, with the recurrence held in integer
+    milli-units so the full trajectory hash-matches the recursive-CTE
+    oracle (see `relational.holt_linear`).
+
+    Scale shape: the fact collapses to |days| map-side; the ordered
+    replay runs on that bounded series."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dollars = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("bigint")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(dollars).cast("long").alias("x")
+    )
+    return relational.holt_linear(daily, "day", "x", 4, 4, 1000)
