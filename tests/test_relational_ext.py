@@ -207,6 +207,10 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "multimodal_ahash": (1, 0),        # hash bucket-count window
         "dedup_prefix_containment": (5, 0),  # rank/candidate/verify joins
         "dedup_cross_doc_spans": (3, 0),   # span df + per-doc rollup
+        "topk_plus_other_brands": (1, 0),  # brand grid; fold on the grid
+        "contingency_residuals": (1, 0),   # seg x nation grid + margins
+        "kaplan_meier_retention": (1, 0),  # user agg; replay on life table
+        "holt_forecast_daily": (2, 0),     # day agg + 1-group replay
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
