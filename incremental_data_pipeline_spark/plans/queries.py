@@ -11223,3 +11223,77 @@ def holt_forecast_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dollars).cast("long").alias("x")
     )
     return relational.holt_linear(daily, "day", "x", 4, 4, 1000)
+
+
+@query(
+    "item_cf_similarity",
+    """
+    WITH inter AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS item
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    pop AS (SELECT item, count(*) AS c FROM inter GROUP BY item),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+      FROM inter a JOIN inter b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2)
+    SELECT item_a, item_b, CAST(c_ab AS BIGINT) AS c_ab,
+           c_ab / sqrt(CAST(pa.c AS DOUBLE) * pb.c) AS cosine
+    FROM co
+    JOIN pop pa ON item_a = pa.item
+    JOIN pop pb ON item_b = pb.item
+    WHERE c_ab >= 5
+    ORDER BY c_ab / sqrt(CAST(pa.c AS DOUBLE) * pb.c) DESC,
+             item_a ASC, item_b ASC
+    LIMIT 25
+    """,
+)
+def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: the 25 most-similar item pairs
+    by co-occurrence cosine c_ab / sqrt(c_a * c_b) over binarized user
+    interaction sets (the classic Amazon-style neighborhood model; items
+    are the JSON `k` property of engagement events). Integer counts, one
+    sqrt + one divide per pair — rank is bit-reproducible. Min support 5
+    keeps noise pairs out.
+
+    Scale shape: interactions dedup to (user, item) once; co-occurrence
+    is a user-keyed self-join whose fan-out is bounded by per-user item
+    counts (basket size), never item-catalog² — the same shape as
+    `basket_lift`, here normalized to cosine for the kNN-recommender
+    use."""
+    ev = load_table(spark, sf_dir, "events")
+    inter = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        )
+        .distinct()
+    )
+    pop = inter.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = inter.alias("a")
+    b = inter.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    cos = F.col("c_ab") / F.sqrt(F.col("ca").cast("double") * F.col("cb"))
+    return (
+        co.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(pop.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))), "item_a")
+        .join(F.broadcast(pop.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+        .limit(25)
+    )
