@@ -11297,3 +11297,89 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("item_a").asc(), F.col("item_b").asc())
         .limit(25)
     )
+
+
+@query(
+    "rfm_segmentation",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', max(o_orderdate),
+                       (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+             count(*) AS frequency,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+             CAST(frequency AS BIGINT) AS frequency, monetary,
+             ntile(5) OVER (ORDER BY recency_days ASC, custkey ASC) AS r5,
+             ntile(5) OVER (ORDER BY frequency DESC, custkey ASC) AS f5,
+             ntile(5) OVER (ORDER BY monetary DESC, custkey ASC) AS m5
+      FROM base)
+    SELECT custkey, recency_days, frequency, monetary,
+           CAST(r5 AS INTEGER) AS r5, CAST(f5 AS INTEGER) AS f5,
+           CAST(m5 AS INTEGER) AS m5,
+           CASE
+             WHEN r5 = 1 AND f5 <= 2 AND m5 <= 2 THEN 'champion'
+             WHEN r5 <= 2 AND f5 <= 2 THEN 'loyal'
+             WHEN r5 >= 4 AND f5 <= 2 THEN 'at_risk'
+             WHEN r5 >= 4 AND f5 >= 4 THEN 'hibernating'
+             ELSE 'regular'
+           END AS segment
+    FROM scored
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: Recency (days since last order,
+    anchored to the dataset's latest order date so the result is
+    reproducible), Frequency (order count), Monetary (exact decimal
+    spend), each scored into quintiles (1 = best; ntile over a
+    custkey-tiebroken ordering, so bucket edges are deterministic), then
+    mapped to the standard marketing segments (champion / loyal /
+    at_risk / hibernating / regular).
+
+    Scale shape: the fact collapses to one row per customer; the three
+    quintile windows are global sorts over the customer grid (run this
+    on the aggregated relation — dim-sized — never the fact; at extreme
+    customer counts swap ntile for the scalable range-partitioned rank
+    used by `quantile_normalize_balance`)."""
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "custkey",
+            F.datediff(F.col("mx"), F.col("last_order"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    r5 = F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), F.col("custkey").asc()))
+    f5 = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), F.col("custkey").asc()))
+    m5 = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), F.col("custkey").asc()))
+    scored = base.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        r5.alias("r5"), f5.alias("f5"), m5.alias("m5"),
+    )
+    seg = (
+        F.when((F.col("r5") == 1) & (F.col("f5") <= 2) & (F.col("m5") <= 2), "champion")
+        .when((F.col("r5") <= 2) & (F.col("f5") <= 2), "loyal")
+        .when((F.col("r5") >= 4) & (F.col("f5") <= 2), "at_risk")
+        .when((F.col("r5") >= 4) & (F.col("f5") >= 4), "hibernating")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "custkey", "recency_days", "frequency", "monetary",
+        "r5", "f5", "m5", seg.alias("segment"),
+    )
