@@ -11383,3 +11383,66 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "custkey", "recency_days", "frequency", "monetary",
         "r5", "f5", "m5", seg.alias("segment"),
     )
+
+
+_PROFILE_TABLES = {
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+}
+
+
+@query(
+    "catalog_profile_columns",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{t}' AS tbl, '{c}' AS col,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_nulls,
+        CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM {t}"""
+        for t, cols in _PROFILE_TABLES.items()
+        for c in cols
+    ),
+)
+def catalog_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-catalog column profiling (the crawler/profiler sweep that
+    feeds discovery UIs and CBO stats): for every column of the three
+    core dims/facts, row count, null count, and exact distinct count —
+    the three numbers that decide joinability, key candidacy, and
+    dictionary-encoding fitness.
+
+    Scale shape: ONE pass per table computes every column's metrics in a
+    single aggregate (count-distincts share the scan via expand), then
+    the per-column rows are unpivoted from that one reduced row — 3
+    scans total, versus the naive column-per-scan sweep the oracle
+    spells out."""
+    out = None
+    for t, cols in _PROFILE_TABLES.items():
+        df = load_table(spark, sf_dir, t)
+        aggs = [F.count(F.lit(1)).alias("__n")]
+        for c in cols:
+            aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"))
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        one = df.agg(*aggs)
+        rows = one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            F.lit(c).alias("col"),
+                            F.col("__n").cast("bigint").alias("n_rows"),
+                            F.col(f"__null_{c}").cast("bigint").alias("n_nulls"),
+                            F.col(f"__dist_{c}").cast("bigint").alias("n_distinct"),
+                        )
+                        for c in cols
+                    ]
+                )
+            ).alias("r")
+        ).select("r.*")
+        out = rows if out is None else out.unionByName(rows)
+    return out
