@@ -11263,25 +11263,45 @@ def item_cf_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     `basket_lift`, here normalized to cosine for the kNN-recommender
     use."""
     ev = load_table(spark, sf_dir, "events")
-    inter = (
+    # ONE user-keyed shuffle builds per-user item baskets (collect_set
+    # dedups in the agg, replacing a separate DISTINCT shuffle); the
+    # i<j pair explode over the sorted basket is a narrow map (same
+    # 8->3-shuffle trick as `basket_lift`), and item popularity comes
+    # from the same baskets relation.
+    baskets = (
         ev.filter(F.col("event_type").isin("view", "click", "purchase"))
-        .select(
-            "user_id",
-            F.get_json_object("props", "$.k").cast("bigint").alias("item"),
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_set(
+                    F.get_json_object("props", "$.k").cast("bigint")
+                )
+            ).alias("items")
         )
-        .distinct()
     )
-    pop = inter.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
-    a = inter.alias("a")
-    b = inter.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.item") < F.col("b.item")),
+    idx = F.sequence(F.lit(1), F.size("items"))
+    pair_structs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.transform(
+                F.slice(F.col("items"), i + 1, F.size("items")),
+                lambda y: F.struct(
+                    F.element_at(F.col("items"), i).alias("item_a"),
+                    y.alias("item_b"),
+                ),
+            ),
         )
-        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+    )
+    co = (
+        baskets.filter(F.size("items") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    pop = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
     cos = F.col("c_ab") / F.sqrt(F.col("ca").cast("double") * F.col("cb"))
     return (

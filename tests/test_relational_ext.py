@@ -211,6 +211,9 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "contingency_residuals": (1, 0),   # seg x nation grid + margins
         "kaplan_meier_retention": (1, 0),  # user agg; replay on life table
         "holt_forecast_daily": (2, 0),     # day agg + 1-group replay
+        "item_cf_similarity": (6, 0),      # 3 logical shuffles; AQE reuses dups
+        "rfm_segmentation": (1, 0),        # customer grid; windows on the grid
+        "catalog_profile_columns": (3, 0),  # one expand-agg pass per table
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
