@@ -11466,3 +11466,88 @@ def catalog_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("r.*")
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+@query(
+    "ivm_join_retract",
+    """
+    WITH a1 AS (
+      SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 100 <> 7),
+    b1 AS (SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+    SELECT a1.o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(qty) AS BIGINT) AS sum_qty
+    FROM a1 JOIN b1 ON b1.l_orderkey = a1.o_orderkey
+    GROUP BY a1.o_custkey
+    """,
+)
+def ivm_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view under DELETES — the hard
+    IVM case (`ivm_join_delta` handles inserts; `ivm_agg_retract`
+    handles aggregate retraction; this composes both): the view
+    V = agg(A ⋈ B) is maintained by the signed asymmetric delta rule
+
+        ΔV = agg±(ΔA ⋈ B_old) + agg±(A_new ⋈ ΔB)
+
+    (new-side × old-side avoids double-counting ΔA⋈ΔB), where deletes
+    carry sign -1 through count/sum partials and zero-multiplicity keys
+    drop. Scenario: the initial view joins all orders to their first
+    three lineitems; then orders with key % 100 = 7 are DELETED and the
+    remaining lineitems are INSERTED. The oracle recomputes the final
+    join from scratch — hash equality proves maintenance == recompute.
+
+    Scale shape: each delta term joins a DELTA against a stored side —
+    cost O(|Δ| x match fan-out), never a re-join of A x B; the signed
+    merge is map-side combinable."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_linenumber",
+    )
+    a0 = o  # initial A: all orders
+    b0 = li.filter(F.col("l_linenumber") <= 3).drop("l_linenumber")
+    da = o.filter(F.col("o_orderkey") % 100 == 7).withColumn("sign", F.lit(-1))
+    a1 = a0.join(
+        da.select("o_orderkey"), "o_orderkey", "left_anti"
+    )  # A after the delete
+    db = (
+        li.filter(F.col("l_linenumber") > 3)
+        .drop("l_linenumber")
+        .withColumn("sign", F.lit(1))
+    )
+
+    def signed_agg(pairs: DataFrame) -> DataFrame:
+        return pairs.groupBy("o_custkey").agg(
+            F.sum("sign").alias("n_pairs"),
+            F.sum(F.col("sign") * F.col("qty")).alias("sum_qty"),
+        )
+
+    v0 = (
+        a0.join(b0, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"), F.sum("qty").alias("sum_qty")
+        )
+    )
+    d1 = signed_agg(
+        da.join(b0, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "o_custkey", "qty", "sign"
+        )
+    )
+    d2 = signed_agg(
+        a1.join(db, F.col("l_orderkey") == F.col("o_orderkey")).select(
+            "o_custkey", "qty", "sign"
+        )
+    )
+    v1 = (
+        v0.unionByName(d1)
+        .unionByName(d2)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("n_pairs").cast("bigint").alias("n_pairs"),
+            F.sum("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
+    return v1.select(F.col("o_custkey").alias("custkey"), "n_pairs", "sum_qty")
