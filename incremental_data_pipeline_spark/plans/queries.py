@@ -11551,3 +11551,39 @@ def ivm_join_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_pairs") > 0)
     )
     return v1.select(F.col("o_custkey").alias("custkey"), "n_pairs", "sum_qty")
+
+
+@query(
+    "salted_distinct_users",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe COUNT DISTINCT: the two-stage salted plan for a hot
+    group key — stage 1 dedups (key, salt, user) and counts per
+    (key, salt) so the heavy key's state splits across `n_salts`
+    reducers; stage 2 sums the per-salt counts (disjoint salts keep the
+    sum exact). Same result as the direct `count(DISTINCT ...)` the
+    oracle runs — the difference is physical: no single reducer ever
+    holds a hot key's whole distinct set, the aggregation analogue of
+    `salted_join`.
+
+    Scale shape: two bounded shuffles; stage-1 state per task is
+    |distinct users in that salt slice|."""
+    ev = load_table(spark, sf_dir, "events")
+    n_salts = 8
+    stage1 = (
+        ev.select(
+            "event_type",
+            (F.col("user_id") % n_salts).alias("salt"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("event_type", "salt")
+        .agg(F.count(F.lit(1)).alias("n_part"))
+    )
+    return stage1.groupBy("event_type").agg(
+        F.sum("n_part").cast("bigint").alias("n_users")
+    )
