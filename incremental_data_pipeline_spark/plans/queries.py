@@ -11587,3 +11587,97 @@ def salted_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage1.groupBy("event_type").agg(
         F.sum("n_part").cast("bigint").alias("n_users")
     )
+
+
+@query(
+    "l_diversity_audit",
+    """
+    WITH q AS (
+      SELECT c_nationkey, c_mktsegment,
+             count(*) AS grp_sz,
+             count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+               AS n_sensitive
+      FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT 3 AS l,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n_sensitive < 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_groups_below_l,
+           CAST(sum(CASE WHEN n_sensitive < 3 THEN grp_sz ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           CAST(min(n_sensitive) AS BIGINT) AS min_diversity
+    FROM q
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion
+    (`k_anonymity_audit`): a QI group can be large yet still leak if all
+    its members share one SENSITIVE value (homogeneity attack). Per
+    (nation, segment) group, the number of distinct sensitive values
+    (account-balance bands as the sensitive attribute); groups with
+    fewer than l = 3 distinct values are flagged with their row
+    exposure.
+
+    Scale shape: one grouped count-distinct over the QI grid; the audit
+    folds that grid to one row."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("grp_sz"),
+        F.count_distinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+        ).alias("n_sensitive"),
+    )
+    return q.agg(
+        F.lit(3).alias("l"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n_sensitive") < 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_groups_below_l"),
+        F.sum(F.when(F.col("n_sensitive") < 3, F.col("grp_sz")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("n_sensitive").cast("bigint").alias("min_diversity"),
+    )
+
+
+@query(
+    "rollup_cascade_monthly",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS
+                  DECIMAL(18,2)) AS rev,
+             count(*) AS n
+      FROM lineitem GROUP BY 1)
+    SELECT CAST(date_trunc('month', day) AS DATE) AS month,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           CAST(SUM(n) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY 1
+    """,
+)
+def rollup_cascade_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation-tree cascade: the monthly rollup is computed FROM THE
+    DAILY ROLLUP (decimal partial sums re-aggregated), never from the
+    fact — the materialized-aggregate-tree pattern where each level
+    refreshes from the level below at |days|-scale cost while staying
+    exactly equal to a from-scratch monthly aggregation (which is what
+    the oracle's two-level SQL states). Decimal partials make the
+    re-aggregation exact, so cascade == recompute bit-for-bit.
+
+    Scale shape: the fact is touched once (daily agg, map-side
+    combinable); every higher level runs on the tiny lower rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        daily.groupBy(F.date_trunc("month", "day").cast("date").alias("month"))
+        .agg(
+            F.sum("rev").cast("double").alias("revenue"),
+            F.sum("n").cast("bigint").alias("n_lines"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+    )
