@@ -11681,3 +11681,190 @@ def rollup_cascade_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_days"),
         )
     )
+
+
+@query(
+    "ab_test_purchase_rate",
+    """
+    WITH assign AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substring(md5('ab1' || '|' ||
+                        CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM (SELECT DISTINCT user_id FROM events)),
+    conv AS (
+      SELECT a.variant, a.user_id,
+             max(CASE WHEN e.event_type = 'purchase' AND e.value >= 480
+                      THEN 1 ELSE 0 END) AS converted
+      FROM assign a JOIN events e ON e.user_id = a.user_id
+      GROUP BY a.variant, a.user_id),
+    per AS (
+      SELECT variant, count(*) AS n, SUM(converted) AS c
+      FROM conv GROUP BY variant),
+    w AS (
+      SELECT
+        (SELECT n FROM per WHERE variant = 'A') AS na,
+        (SELECT c FROM per WHERE variant = 'A') AS ca,
+        (SELECT n FROM per WHERE variant = 'B') AS nb,
+        (SELECT c FROM per WHERE variant = 'B') AS cb)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+           CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+           CAST(ca AS DOUBLE) / na AS rate_a,
+           CAST(cb AS DOUBLE) / nb AS rate_b,
+           (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+             / nullif(sqrt((CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (1 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                    * (CAST(1.0 AS DOUBLE) / na + CAST(1.0 AS DOUBLE) / nb)), 0)
+             AS z_score
+    FROM w
+    """,
+)
+def ab_test_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users are assigned to variants by content
+    hash (deterministic, re-run-stable — the same split discipline as
+    `group_disjoint_split`), per-variant conversion = any purchase, and
+    the two-proportion pooled z-score decides significance. Every input
+    to the z formula is an integer count, and the formula is one fixed
+    IEEE expression tree — bit-reproducible cross-engine.
+
+    Scale shape: assignment is a narrow hash on the distinct-user
+    relation; conversion is a user-keyed max; the z runs on a 2-row
+    grid."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ab1"), F.lit("|"), F.col("user_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    assign = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id", F.when(h % 2 == 0, "A").otherwise("B").alias("variant")
+        )
+    )
+    conv = (
+        ev.join(F.broadcast(assign), "user_id")
+        .groupBy("variant", "user_id")
+        .agg(
+            F.max(
+                (
+                    (F.col("event_type") == "purchase") & (F.col("value") >= 480)
+                ).cast("int")
+            ).alias("converted")
+        )
+    )
+    per = conv.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("c")
+    )
+    a = per.filter(F.col("variant") == "A").select(
+        F.col("n").alias("na"), F.col("c").alias("ca")
+    )
+    b = per.filter(F.col("variant") == "B").select(
+        F.col("n").alias("nb"), F.col("c").alias("cb")
+    )
+    w = a.crossJoin(b)
+    pool = (F.col("ca") + F.col("cb")).cast("double") / (F.col("na") + F.col("nb"))
+    rate_a = F.col("ca").cast("double") / F.col("na")
+    rate_b = F.col("cb").cast("double") / F.col("nb")
+    # degenerate pools (rate 0 or 1 on both arms) zero the denominator:
+    # NULL z, matching the oracle's nullif — not an ANSI runtime error.
+    z = F.try_divide(
+        rate_a - rate_b,
+        F.sqrt(
+            pool * (1 - pool) * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+        ),
+    )
+    return w.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("ca").cast("bigint").alias("conv_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        F.col("cb").cast("bigint").alias("conv_b"),
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        z.alias("z_score"),
+    )
+
+
+@query(
+    "search_tf_saturated",
+    """
+    WITH postings AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents) GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS len FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        FROM documents) GROUP BY doc_id),
+    stats AS (SELECT SUM(len) AS total_len, count(*) AS n_docs FROM dl),
+    hits AS (
+      SELECT p.doc_id, p.term, p.tf, d.len
+      FROM postings p JOIN dl d ON p.doc_id = d.doc_id
+      WHERE p.term IN ('data', 'spark')),
+    scored AS (
+      SELECT doc_id,
+        SUM(CASE WHEN term = 'data' THEN
+          (tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+               * (len * (SELECT n_docs FROM stats)
+                  / CAST((SELECT total_len FROM stats) AS DOUBLE))))
+          ELSE 0 END) AS s1,
+        SUM(CASE WHEN term = 'spark' THEN
+          (tf * CAST(2.2 AS DOUBLE)) / (tf + CAST(1.2 AS DOUBLE)
+            * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE)
+               * (len * (SELECT n_docs FROM stats)
+                  / CAST((SELECT total_len FROM stats) AS DOUBLE))))
+          ELSE 0 END) AS s2,
+        CAST(count(*) AS BIGINT) AS n_terms
+      FROM hits GROUP BY doc_id)
+    SELECT doc_id, n_terms, s1 + s2 AS score
+    FROM scored
+    ORDER BY s1 + s2 DESC, doc_id ASC
+    LIMIT 15
+    """,
+)
+def search_tf_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval with BM25-style term-frequency saturation and
+    length normalization: score(term) = tf·(k+1) / (tf + k·(1-b +
+    b·dl/avgdl)) with k=1.2, b=0.75 — diminishing returns for repeated
+    terms, penalty for long documents; the two query-term scores are
+    computed as separate conditional sums and added in one fixed op
+    (IDF's engine-specific ln() is deliberately left out so every score
+    is a fixed IEEE expression tree over integer tf/dl — bit-exact
+    cross-engine; IDF ordering is constant for a fixed query anyway).
+
+    Scale shape: the postings/doc-length build is the `build_postings`
+    shape (term IN (...) prunes to the query terms' lists); avgdl is a
+    2-scalar broadcast; top-15 is a TakeOrdered."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_text.tokens("text")).alias("term"))
+    postings = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.sum("len").alias("total_len"), F.count(F.lit(1)).alias("n_docs")
+    )
+    hits = (
+        postings.filter(F.col("term").isin("data", "spark"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    norm = 0.25 + 0.75 * (
+        F.col("len") * F.col("n_docs") / F.col("total_len").cast("double")
+    )
+    score = (F.col("tf") * 2.2) / (F.col("tf") + 1.2 * norm)
+    scored = hits.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term") == "data", score).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("term") == "spark", score).otherwise(0)).alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+    )
+    return (
+        scored.select(
+            "doc_id", "n_terms", (F.col("s1") + F.col("s2")).alias("score")
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(15)
+    )
