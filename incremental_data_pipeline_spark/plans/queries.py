@@ -11868,3 +11868,51 @@ def search_tf_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(15)
     )
+
+
+@query(
+    "rate_limit_violations",
+    """
+    WITH counted AS (
+      SELECT user_id, ts, event_id,
+             count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                            RANGE BETWEEN 86400000000 PRECEDING
+                                      AND CURRENT ROW) AS n_24h
+      FROM events)
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_violations,
+           CAST(max(n_24h) AS BIGINT) AS worst_burst
+    FROM counted WHERE n_24h > 5
+    GROUP BY user_id
+    """,
+)
+def rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst / rate-limit audit: per user, events whose trailing
+    24-hour window holds MORE than 5 requests — the sliding-window
+    counter a quota enforcer applies, run retrospectively to find who
+    would have been throttled and how hard (worst burst size). The
+    trailing count is an event-time RANGE frame over integer epoch
+    MICROSECONDS on both engines (an interval frame over truncated
+    seconds would disagree with sub-second timestamps), so simultaneous
+    events share one frame with no row-order ambiguity.
+
+    Scale shape: one user-keyed shuffle; the range frame is one ordered
+    pass per user. The streaming enforcement twin is the windowed count
+    with watermark (`stream_window_agg` family)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-86400000000, 0)
+    )
+    counted = ev.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("n_24h")
+    )
+    return (
+        counted.filter(F.col("n_24h") > 5)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+            F.max("n_24h").cast("bigint").alias("worst_burst"),
+        )
+    )
