@@ -214,6 +214,13 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "item_cf_similarity": (6, 0),      # 3 logical shuffles; AQE reuses dups
         "rfm_segmentation": (1, 0),        # customer grid; windows on the grid
         "catalog_profile_columns": (3, 0),  # one expand-agg pass per table
+        "ivm_join_retract": (3, 0),        # v0 + two delta terms share keys
+        "salted_distinct_users": (3, 0),   # dedup + per-salt + final fold
+        "l_diversity_audit": (2, 0),       # QI grid count-distinct
+        "rollup_cascade_monthly": (2, 0),  # daily agg + monthly re-agg
+        "ab_test_purchase_rate": (6, 0),   # 3 logical shuffles; AQE reuses dups
+        "search_tf_saturated": (4, 0),     # postings + dl + 2-scalar stats
+        "rate_limit_violations": (1, 0),   # one user-keyed range frame
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
