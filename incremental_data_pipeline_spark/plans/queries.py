@@ -11916,3 +11916,94 @@ def rate_limit_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_24h").cast("bigint").alias("worst_burst"),
         )
     )
+
+
+def _modularity_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m),
+    cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+           FROM reach GROUP BY node),
+    mtot AS (SELECT count(*) AS m FROM pairs),
+    ec AS (SELECT c.cluster_id, count(*) AS e_c
+           FROM pairs p JOIN cl c ON p.doc_a = c.doc_id
+           GROUP BY c.cluster_id),
+    deg AS (SELECT u AS doc_id, count(*) AS d FROM edges GROUP BY u),
+    dc AS (SELECT c.cluster_id, SUM(d.d) AS d_c
+           FROM deg d JOIN cl c ON d.doc_id = c.doc_id
+           GROUP BY c.cluster_id),
+    terms AS (
+      SELECT dc.cluster_id,
+             4 * (SELECT m FROM mtot) * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c
+               AS t
+      FROM dc LEFT JOIN ec ON dc.cluster_id = ec.cluster_id)
+    SELECT CAST((SELECT m FROM mtot) AS BIGINT) AS n_edges,
+           CAST(count(*) AS BIGINT) AS n_components_with_edges,
+           CAST(SUM(t) AS BIGINT) AS q_num,
+           CAST(SUM(t) AS DOUBLE)
+             / (4.0 * (SELECT m FROM mtot) * (SELECT m FROM mtot))
+             AS modularity
+    FROM terms
+    """
+
+
+@query("graph_modularity_clusters", None)
+def graph_modularity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the duplicate-cluster partition over the LSH
+    candidate graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the standard
+    partition-quality score, computed as the EXACT integer numerator
+    Σ_c (4·m·e_c − d_c²) with ONE final divide by 4m² (a float Σ of
+    per-cluster fractions would be fold-order-dependent). Since the
+    partition IS the connected components of the same graph, every edge
+    is intra-cluster; modularity then measures how far the components
+    are from degree-random — near-zero/negative values flag a
+    hairball (one giant component dominated by hub degrees, i.e. the
+    banding threshold is too loose), high values clean well-separated
+    duplicate groups. Clusters with edges enter the sum; isolated
+    documents contribute zero terms.
+
+    Scale shape: components come from the bounded fixpoint
+    (`dedup.duplicate_clusters`); everything else is per-cluster integer
+    aggregation on the |clusters| grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.lsh_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    pairs = pairs.localCheckpoint(eager=True)
+    cl = _dedup.duplicate_clusters(docs.select("doc_id"), pairs, "doc_id").select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+    m = pairs.count()
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    ).distinct()
+    ec = (
+        pairs.join(cl.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = edges.groupBy(F.col("u").alias("doc_id")).agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        deg.join(cl, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    terms = dc.join(ec, "cluster_id", "left").select(
+        (
+            4 * F.lit(m) * F.coalesce(F.col("e_c"), F.lit(0))
+            - F.col("d_c") * F.col("d_c")
+        ).alias("t")
+    )
+    return terms.agg(
+        F.lit(m).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).cast("bigint").alias("n_components_with_edges"),
+        F.sum("t").cast("bigint").alias("q_num"),
+        (F.sum("t").cast("double") / (4.0 * m * m)).alias("modularity"),
+    )
+
+
+ORACLE["graph_modularity_clusters"] = _modularity_oracle()
