@@ -12007,3 +12007,57 @@ def graph_modularity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE["graph_modularity_clusters"] = _modularity_oracle()
+
+
+@query("dedup_savings_report", None)
+def dedup_savings_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup business case in one row: corpus size before vs after
+    cluster-survivor selection (near-dup clusters keep their min-id
+    member), in documents and in bytes (n_chars), with the savings
+    fraction — the number a curation run reports to justify its cost.
+
+    Scale shape: clusters from the bounded fixpoint; the report is two
+    aggregates over the docs relation joined to the survivor set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dedup.lsh_candidate_pairs(docs, "doc_id", "text", 12, 3, 3)
+    cl = _dedup.duplicate_clusters(docs.select("doc_id"), pairs, "doc_id")
+    joined = docs.join(cl, "doc_id").withColumn(
+        "survivor", (F.col("cluster_id") == F.col("doc_id")).cast("int")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("survivor").cast("bigint").alias("n_survivors"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+        F.sum(F.col("survivor") * F.col("n_chars")).cast("bigint").alias(
+            "survivor_bytes"
+        ),
+        (
+            1
+            - F.sum(F.col("survivor") * F.col("n_chars")).cast("double")
+            / F.sum("n_chars")
+        ).alias("bytes_saved_frac"),
+    )
+
+
+ORACLE["dedup_savings_report"] = f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, m) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.m),
+    cl AS (SELECT node AS doc_id, min(m) AS cluster_id
+           FROM reach GROUP BY node)
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN d.doc_id = c.cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_survivors,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN d.doc_id = c.cluster_id THEN d.n_chars
+                    ELSE 0 END) AS BIGINT) AS survivor_bytes,
+           1 - CAST(SUM(CASE WHEN d.doc_id = c.cluster_id THEN d.n_chars
+                    ELSE 0 END) AS DOUBLE) / SUM(d.n_chars)
+             AS bytes_saved_frac
+    FROM documents d JOIN cl c ON d.doc_id = c.doc_id
+    """
