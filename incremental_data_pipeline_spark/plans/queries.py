@@ -10529,8 +10529,8 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cx AS (SELECT term, count(*) AS c FROM pos GROUP BY term),
     n AS (SELECT count(*) AS total FROM pos)
     SELECT t1, t2, CAST(c_xy AS BIGINT) AS c_xy,
-           CAST((c_xy * (SELECT total FROM n) * 1000000)
-                // (x.c * y.c) AS BIGINT) AS pmi_ratio_ppm
+           CAST((CAST(c_xy AS HUGEINT) * (SELECT total FROM n) * 1000000)
+                // (CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS pmi_ratio_ppm
     FROM cxy JOIN cx x ON t1 = x.term JOIN cx y ON t2 = y.term
     WHERE c_xy >= 5
     ORDER BY pmi_ratio_ppm DESC, t1 ASC, t2 ASC
@@ -10582,7 +10582,15 @@ def pmi_top_cooccurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t1",
             "t2",
             F.col("c_xy").cast("bigint").alias("c_xy"),
-            F.expr(f"(c_xy * {total}L * 1000000L) div (cx1 * cx2)")
+            # 128-bit-wide arithmetic (decimal(38,0) / HUGEINT in the
+            # oracle): c_xy*N*1e6 overflows bigint past ~sf0.1 token
+            # counts and Spark (non-ANSI) would wrap silently (ADVICE r4
+            # #4); the quotient itself always fits bigint since
+            # cx1,cx2 >= c_xy.
+            F.expr(
+                f"CAST(c_xy AS DECIMAL(38,0)) * {total}L * 1000000L"
+                " div (CAST(cx1 AS DECIMAL(38,0)) * cx2)"
+            )
             .cast("bigint")
             .alias("pmi_ratio_ppm"),
         )

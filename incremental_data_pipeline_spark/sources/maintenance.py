@@ -250,6 +250,15 @@ def vacuum_swap_debris(path: str) -> list[str]:
     if _os.path.exists(path) and _os.path.exists(old):
         _shutil.rmtree(old, ignore_errors=True)
         removed.append(old)
+    # Orphaned per-writer stage dirs a crashed ``versioned_overwrite``
+    # strands INSIDE a versioned table dir (".vN.stage-<uuid>"). Same
+    # no-write-in-flight contract as above.
+    if _os.path.isdir(path):
+        for name in sorted(_os.listdir(path)):
+            if name.startswith(".v") and ".stage" in name:
+                stale = _os.path.join(path, name)
+                _shutil.rmtree(stale, ignore_errors=True)
+                removed.append(stale)
     return removed
 
 

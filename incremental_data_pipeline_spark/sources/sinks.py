@@ -196,6 +196,88 @@ class VersionConflictError(RuntimeError):
     (or the table moved past the caller's ``expected_base``)."""
 
 
+def reconcile_versions(path: str) -> int:
+    """Heal a versioned table after a writer crash and return the current
+    version. The commit point of the protocol is the atomic rename of the
+    staged dir to ``vN``; the ``_CURRENT`` pointer flip is visibility
+    bookkeeping that can lag behind after a crash. If a committed ``vN``
+    dir exists beyond the pointer, flip the pointer forward to the newest
+    committed version (idempotent; safe under concurrent writers because
+    version dirs are immutable once renamed into place). Stale
+    ``vN.commit`` markers without a ``vN`` dir — the permanent-wedge state
+    of the pre-round-5 marker-first protocol — are removed as abandoned
+    claims."""
+    cur = _current_version(path)
+    committed = list_versions(path)
+    newest = committed[-1] if committed else 0
+    if newest > cur:
+        tmp = os.path.join(path, f".{_VERSION_PTR}.heal.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(newest))
+        os.replace(tmp, os.path.join(path, _VERSION_PTR))
+        cur = newest
+    have = set(committed)
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        names = []
+    for name in names:
+        if name.startswith("v") and name.endswith(".commit") and name[1:-7].isdigit():
+            if int(name[1:-7]) not in have and int(name[1:-7]) > cur:
+                try:
+                    os.remove(os.path.join(path, name))  # abandoned claim
+                except FileNotFoundError:
+                    pass
+    return cur
+
+
+def commit_staged_version(
+    path: str, stage: str, version: int, keep: int = 3
+) -> int:
+    """Atomically publish a fully-staged directory as ``v{version}``.
+
+    The single ``os.rename(stage, vN)`` IS the commit point: a rename
+    onto an existing non-empty ``vN`` fails with ENOTEMPTY/EEXIST, which
+    is the local-FS analogue of the put-if-absent Delta performs on its
+    ``_delta_log`` JSON to serialize concurrent writers. The loser's
+    staged data is its own private dir (never shared), so losing cleans
+    up only the loser's bytes and can never corrupt the winner's. The
+    ``vN.commit`` marker and the ``_CURRENT`` pointer flip happen AFTER
+    the rename — a crash between them is healed by
+    :func:`reconcile_versions` on the next write, so there is no wedge
+    state. Raises :class:`VersionConflictError` on losing the race."""
+    vdir = os.path.join(path, f"v{version:08d}")
+    try:
+        os.rename(stage, vdir)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)  # only OUR stage, never the winner's
+        raise VersionConflictError(
+            f"{path}: version {version} was committed by a concurrent writer"
+        ) from None
+    marker = os.path.join(path, f"v{version:08d}.commit")
+    with open(marker, "w"):
+        pass  # bookkeeping only; the rename above already committed
+    ptr = os.path.join(path, _VERSION_PTR)
+    tmp = os.path.join(path, f".{_VERSION_PTR}.tmp.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        f.write(str(version))
+    # Never flip the pointer backwards: a slow writer finishing version N
+    # after a faster one already published N+1 must not roll visibility
+    # back. (Can't happen for the same-number race — the rename arbiter
+    # rejects it — but can for distinct numbers under reconcile healing.)
+    if _current_version(path) <= version:
+        os.replace(tmp, ptr)  # atomic pointer flip
+    else:
+        os.remove(tmp)
+    for v in list_versions(path)[:-keep] if keep > 0 else []:
+        shutil.rmtree(os.path.join(path, f"v{v:08d}"), ignore_errors=True)
+        try:
+            os.remove(os.path.join(path, f"v{v:08d}.commit"))
+        except FileNotFoundError:
+            pass
+    return version
+
+
 def versioned_overwrite(
     df: DataFrame, path: str, keep: int = 3, expected_base: int | None = None
 ) -> int:
@@ -203,18 +285,16 @@ def versioned_overwrite(
     read semantics without delta-spark (reference gold_dim_branch.py:178
     ``DeltaTable.forPath`` + ``versionAsOf``).
 
-    Each call stages a fresh version directory, CLAIMS the version number
-    with an exclusively-created commit marker (``O_EXCL`` — the local-FS
-    analogue of the put-if-absent Delta uses on its ``_delta_log`` JSON,
-    which is exactly how Delta serializes concurrent writers), renames the
-    staged dir into place, then atomically flips the ``_CURRENT`` pointer
-    file (write-temp + ``os.replace``). Two racing writers both compute
-    version N+1, but only one creates ``vN+1.commit`` — the loser cleans
-    up its staged data and raises :class:`VersionConflictError` so the
-    caller re-reads and retries (optimistic concurrency). Readers that
-    resolved the pointer before the flip keep reading their (immutable)
-    version dir — writers never mutate a published version, the same
-    snapshot-isolation contract Delta gives.
+    Each call heals any crashed predecessor (:func:`reconcile_versions`),
+    stages a fresh version directory under a PER-WRITER unique name
+    (``.vN.stage-<uuid>`` — two racing writers never touch each other's
+    staged bytes), then commits via :func:`commit_staged_version`, whose
+    single atomic rename to ``vN`` arbitrates the race. The loser cleans
+    up only its own staged data and raises :class:`VersionConflictError`
+    so the caller re-reads and retries (optimistic concurrency). Readers
+    that resolved the pointer before the flip keep reading their
+    (immutable) version dir — writers never mutate a published version,
+    the same snapshot-isolation contract Delta gives.
 
     ``expected_base`` opts into compare-and-swap semantics: the write
     aborts (before any data is written) unless the current version still
@@ -223,37 +303,16 @@ def versioned_overwrite(
     writer's rows. The ``keep`` most recent versions survive pruning.
     Returns the new version number.
     """
-    cur = _current_version(path)
+    os.makedirs(path, exist_ok=True)
+    cur = reconcile_versions(path)
     if expected_base is not None and cur != expected_base:
         raise VersionConflictError(
             f"{path}: expected base version {expected_base}, found {cur}"
         )
     nxt = cur + 1
-    os.makedirs(path, exist_ok=True)
-    stage = os.path.join(path, f".v{nxt:08d}.stage")
-    shutil.rmtree(stage, ignore_errors=True)  # leftover from a crashed writer
+    stage = os.path.join(path, f".v{nxt:08d}.stage-{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(stage)
-    marker = os.path.join(path, f"v{nxt:08d}.commit")
-    try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-    except FileExistsError:
-        shutil.rmtree(stage, ignore_errors=True)
-        raise VersionConflictError(
-            f"{path}: version {nxt} was committed by a concurrent writer"
-        ) from None
-    os.close(fd)
-    os.rename(stage, os.path.join(path, f"v{nxt:08d}"))
-    ptr, tmp = os.path.join(path, _VERSION_PTR), os.path.join(path, f".{_VERSION_PTR}.tmp")
-    with open(tmp, "w") as f:
-        f.write(str(nxt))
-    os.replace(tmp, ptr)  # atomic pointer flip
-    for v in list_versions(path)[:-keep] if keep > 0 else []:
-        shutil.rmtree(os.path.join(path, f"v{v:08d}"), ignore_errors=True)
-        try:
-            os.remove(os.path.join(path, f"v{v:08d}.commit"))
-        except FileNotFoundError:
-            pass
-    return nxt
+    return commit_staged_version(path, stage, nxt, keep=keep)
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:

@@ -388,13 +388,18 @@ def cusum_per_key(
 
     def update(key, pdfs, state: GroupState):
         s, alarms, n = state.get if state.exists else (0, 0, 0)
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for c in pdf["cents"]:
-                s = max(0, s + int(c) - k_ref)
-                n += 1
-                if s > h_threshold:
-                    alarms += 1
+        # Materialize the WHOLE group before sorting: pdfs yields the
+        # group in ~10k-row Arrow chunks in arbitrary post-shuffle order,
+        # so sorting each chunk independently folds the order-sensitive
+        # recurrence out of (ts, event_id) order once a key exceeds
+        # arrow.maxRecordsPerBatch rows per micro-batch (ADVICE r4 #3).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for c in pdf["cents"]:
+            s = max(0, s + int(c) - k_ref)
+            n += 1
+            if s > h_threshold:
+                alarms += 1
         state.update((s, alarms, n))
         yield pd.DataFrame(
             {

@@ -321,19 +321,45 @@ def test_versioned_overwrite_cas_expected_base(spark, tmp_path):
 
 
 def test_versioned_overwrite_commit_marker_race(spark, tmp_path):
-    """Two writers racing for the same version number: the one that loses
-    the exclusive commit-marker create raises and leaves no debris."""
+    """Two writers racing for the same version number: the rename onto an
+    already-committed vN dir is the arbiter — the loser raises and leaves
+    no debris, and the winner's data is untouched."""
     path = str(tmp_path / "race")
     sinks.versioned_overwrite(_mkdf(spark, [1]), path)
-    # simulate a concurrent writer that already claimed version 2
-    open(os.path.join(path, "v00000002.commit"), "x").close()
+    # simulate a concurrent writer that already COMMITTED version 2 (its
+    # rename landed; pointer flip may or may not have happened yet)
+    _mkdf(spark, [7, 8]).write.parquet(os.path.join(path, "v00000002"))
     with pytest.raises(sinks.VersionConflictError):
-        sinks.versioned_overwrite(_mkdf(spark, [2]), path)
-    # loser cleaned its staged dir; current pointer untouched
+        sinks.versioned_overwrite(_mkdf(spark, [2]), path, expected_base=1)
+    # loser cleaned its staged dir; winner's v2 is intact and now visible
     assert [d for d in os.listdir(path) if d.startswith(".v")] == []
+    assert spark.read.parquet(os.path.join(path, "v00000002")).count() == 2
+    assert sinks._current_version(path) == 2  # reconcile healed the pointer
+
+
+def test_versioned_overwrite_stale_marker_no_wedge(spark, tmp_path):
+    """A crashed old-protocol writer could leave ``vN.commit`` with no vN
+    dir; that must be reclaimed as an abandoned claim, not wedge every
+    future write (ADVICE r4 #2)."""
+    path = str(tmp_path / "wedge")
+    sinks.versioned_overwrite(_mkdf(spark, [1]), path)
+    open(os.path.join(path, "v00000002.commit"), "x").close()
+    assert sinks.versioned_overwrite(_mkdf(spark, [1, 2]), path) == 2
+    assert sinks.read_version(spark, path).count() == 2
+
+
+def test_versioned_overwrite_crash_between_rename_and_flip_heals(spark, tmp_path):
+    """Crash after the commit rename but before the pointer flip: the next
+    write reconciles the pointer forward and builds on the committed data
+    instead of colliding with it."""
+    path = str(tmp_path / "heal")
+    sinks.versioned_overwrite(_mkdf(spark, [1]), path)
+    # simulate the crash: v2 committed, pointer still says 1
+    _mkdf(spark, [7, 8]).write.parquet(os.path.join(path, "v00000002"))
     assert sinks._current_version(path) == 1
-    # reads through the pointer still serve v1
-    assert sinks.read_version(spark, path).count() == 1
+    assert sinks.versioned_overwrite(_mkdf(spark, [1, 2, 3]), path) == 3
+    assert sinks.read_version(spark, path).count() == 3
+    assert sinks.read_version(spark, path, version=2).count() == 2
 
 
 def test_versioned_overwrite_prunes_markers_with_versions(spark, tmp_path):
@@ -343,3 +369,74 @@ def test_versioned_overwrite_prunes_markers_with_versions(spark, tmp_path):
     names = set(os.listdir(path))
     assert "v00000005" in names and "v00000004" in names
     assert "v00000001" not in names and "v00000001.commit" not in names
+
+
+# ---------------------------------------------------------------------------
+# Multi-process OCC property test (no Spark needed: the commit protocol is
+# pure filesystem; versioned_overwrite is staging + commit_staged_version)
+
+
+def _occ_worker(path: str, wid: int, target: int, conflicts):
+    import uuid
+
+    from incremental_data_pipeline_spark.sources import sinks as sk
+
+    n_conflicts = 0
+    while True:
+        cur = sk.reconcile_versions(path)
+        if cur >= target:
+            break
+        nxt = cur + 1
+        stage = os.path.join(path, f".v{nxt:08d}.stage-{uuid.uuid4().hex[:8]}")
+        os.makedirs(stage)
+        with open(os.path.join(stage, f"payload_{wid}.txt"), "w") as f:
+            f.write(f"writer={wid} version={nxt}")
+        with open(os.path.join(stage, "data.bin"), "wb") as f:
+            f.write(bytes([wid % 256]) * 4096)
+        try:
+            sk.commit_staged_version(path, stage, nxt, keep=0)
+        except sk.VersionConflictError:
+            n_conflicts += 1
+    conflicts.put((wid, n_conflicts))
+
+
+def test_versioned_occ_multiprocess_one_winner_per_version(tmp_path):
+    """N real processes race M rounds of commits: every version has exactly
+    ONE writer's intact payload (no cross-writer corruption of staged
+    data), the pointer lands on the last version, and vacuum_swap_debris
+    leaves zero orphaned stage dirs (VERDICT r4 item 8)."""
+    import multiprocessing as mp
+
+    path = str(tmp_path / "occ_mp")
+    os.makedirs(path)
+    n_writers, target = 6, 40
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_occ_worker, args=(path, w, target, q))
+        for w in range(n_writers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    total_conflicts = sum(q.get()[1] for _ in range(n_writers))
+    assert sinks._current_version(path) == target
+    assert sinks.list_versions(path) == list(range(1, target + 1))
+    for v in range(1, target + 1):
+        vdir = os.path.join(path, f"v{v:08d}")
+        payloads = [n for n in os.listdir(vdir) if n.startswith("payload_")]
+        assert len(payloads) == 1, f"v{v}: {payloads}"
+        wid = int(payloads[0].split("_")[1].split(".")[0])
+        with open(os.path.join(vdir, payloads[0])) as f:
+            assert f.read() == f"writer={wid} version={v}"
+        with open(os.path.join(vdir, "data.bin"), "rb") as f:
+            blob = f.read()
+        assert blob == bytes([wid % 256]) * 4096  # winner's bytes untouched
+    # with 6 writers racing 40 versions, losers must have existed
+    assert total_conflicts > 0
+    from incremental_data_pipeline_spark.sources import maintenance
+
+    maintenance.vacuum_swap_debris(path)
+    assert [d for d in os.listdir(path) if d.startswith(".v")] == []

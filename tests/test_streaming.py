@@ -797,3 +797,49 @@ def test_stream_ingest_dedup_invariant_to_ordered_batch_split(spark):
         assert any(d < cut for d in got) and any(d >= cut for d in got)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_cusum_correct_with_tiny_arrow_chunks(spark):
+    """ADVICE r4 #3 regression pin: applyInPandasWithState delivers a
+    group as multiple Arrow chunks once it exceeds
+    arrow.maxRecordsPerBatch; the order-sensitive CUSUM fold must sort
+    the WHOLE group, not each chunk. Scramble the source file order and
+    force 7-row chunks — per-chunk sorting diverges, whole-group sorting
+    matches the batch replay."""
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="stream_cusum_chunks_")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        events = load_table(spark, SF_DIR, "events").select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        src_dir = os.path.join(base, "src")
+        # scrambled file order: chunk-local sort != group sort, surely
+        events.orderBy(F.hash("event_id")).coalesce(1).write.parquet(src_dir)
+
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        stream = spark.readStream.schema(events.schema).parquet(src_dir)
+        updates = sp.run_to_memory(
+            sp.cusum_per_key(stream, "event_type", 6000, 60000), "update"
+        )
+        got = {
+            r["event_type"]: (r["n_steps"], r["cusum"], r["n_alarms"])
+            for r in updates.groupBy("event_type")
+            .agg(F.max(F.struct("n_steps", "cusum", "n_alarms")).alias("st"))
+            .select("event_type", "st.*")
+            .collect()
+        }
+        want = {
+            r["event_type"]: (r["n_steps"], r["cusum"], r["n_alarms"])
+            for r in QUERIES["stream_cusum_alarms"](spark, SF_DIR).collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        shutil.rmtree(base, ignore_errors=True)
