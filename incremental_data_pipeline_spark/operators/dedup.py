@@ -433,10 +433,16 @@ def connected_components(
     bidir = und.union(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
+    # Fold propagation round 1 into label init: label = min(self, direct
+    # neighbors) is exactly what the first loop iteration's min-label step
+    # would compute from identity labels, but costs one groupBy instead of
+    # a join+groupBy+join+jump round. Real duplicate graphs are mostly
+    # 2-3-cliques, which converge AT init — the loop then needs only the
+    # single confirming round (changed == 0) instead of two full rounds.
     labels = (
-        bidir.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        bidir.groupBy("u")
+        .agg(F.least(F.col("u"), F.min("v")).alias("label"))
+        .select(F.col("u").alias("node"), "label")
         .localCheckpoint()
     )
     from pyspark.sql import Observation
