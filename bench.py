@@ -158,23 +158,41 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # r1 was n=1; r2+ report min-of-2 (see comment above) — noted
-                # here so cross-round comparisons stay honest.
-                "method": "min-of-2",
-                # headline-set size per round: r1/r2 had 16/19; totals are
-                # only comparable on the shared per-query subset.
-                "n_queries": len(HEADLINE),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_total_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # r1 was n=1; r2+ report min-of-2 (see comment above) — noted
+        # here so cross-round comparisons stay honest.
+        "method": "min-of-2",
+        # headline-set size per round: r1/r2 had 16/19; totals are
+        # only comparable on the shared per-query subset.
+        "n_queries": len(HEADLINE),
+    }
+    # Scale-ratio self-report: SPARK_GRAFT_COMPARE_JSON names a previous
+    # bench artifact (e.g. the sf0.1 run when this run is the sf1 point);
+    # the shared-subset wall ratio lands in the artifact itself so
+    # cross-SF claims don't depend on anyone re-deriving them by hand.
+    cmp_path = os.environ.get("SPARK_GRAFT_COMPARE_JSON")
+    if cmp_path and os.path.exists(cmp_path):
+        with open(cmp_path) as f:
+            prev = json.load(f)
+        shared = sorted(set(timings) & set(prev.get("queries", {})))
+        prev_total = sum(prev["queries"][q] for q in shared)
+        cur_total = sum(timings[q] for q in shared)
+        out["compare"] = {
+            "against": os.path.basename(cmp_path),
+            "against_sf": prev.get("sf"),
+            "n_shared": len(shared),
+            "shared_total_sec": round(cur_total, 3),
+            "shared_baseline_sec": round(prev_total, 3),
+            "shared_subset_ratio": round(cur_total / prev_total, 3)
+            if prev_total
+            else None,
+        }
+    print(json.dumps(out))
     spark.stop()
 
 

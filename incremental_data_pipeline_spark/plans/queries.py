@@ -2456,29 +2456,78 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_stats")  # rows-only: HLL/quantile sketches are impl-specific
+@query(
+    "sketch_stats",
+    """
+    SELECT count(DISTINCT l_orderkey) AS exact_orders,
+      TRUE AS hll_within_5pct,
+      TRUE AS p50_in_rank_bounds,
+      TRUE AS p95_in_rank_bounds,
+      TRUE AS p99_in_rank_bounds,
+      count(*) AS n_rows
+    FROM lineitem
+    """,
+)
 def sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates for 100 TB profiling: HyperLogLog++ distinct count
     and approximate percentiles — one pass, fixed memory, mergeable partial
     states (vs. exact count-distinct's full shuffle of the key universe).
-    Values are engine-specific by nature => rows-only driver check; the
-    5%-of-exact accuracy bound is asserted in tests/test_relational_ext.py."""
+
+    Raw sketch VALUES are engine-specific, so the query emits the sketches'
+    published ERROR CONTRACTS as deterministic booleans instead (plus the
+    exact anchors), which the DuckDB oracle reproduces as literal TRUE:
+    - ``hll_within_5pct``: |HLL++(rsd=0.02) − exact| / exact ≤ 0.05
+      (2.5 standard errors; Spark's HLL hash is fixed, so the flag is
+      deterministic for a given dataset — if the sketch ever drifts past
+      its bound the hash comparison goes red, which is the audit we want).
+    - ``pXX_in_rank_bounds``: percentile_approx(accuracy=10000) guarantees
+      a result whose RANK is within 1/accuracy·n of the target quantile's;
+      the flag checks the value lies between the exact interpolated
+      percentiles at q ∓ (2/accuracy + 3/n). The 2/accuracy term is the
+      sketch contract with one slack; the 3/n term widens the window by
+      three RANKS so the bound stays meaningful when 1/accuracy·n < 1 row
+      (tiny fixtures, where interpolation between adjacent data values
+      otherwise makes the window narrower than the one-rank granularity
+      the sketch can return). n comes from a parquet metadata-only
+      count(*) — no extra data scan at any scale.
+    One extra exact-percentile/distinct pass pays for auditability here;
+    the pure-sketch single-pass shape (what a 100 TB profiler runs) is the
+    same agg without the anchors."""
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias("_q"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-        # Flat scalar columns, not array<double>: tabular consumers (and the
-        # driver's pandas canonicalizer) need hashable cells.
-        .select(
-            "approx_orders",
-            F.col("_q")[0].alias("price_p50"),
-            F.col("_q")[1].alias("price_p95"),
-            F.col("_q")[2].alias("price_p99"),
-            "n_rows",
-        )
+    acc = 10000
+    eps = 2.0 / acc + 3.0 / max(li.count(), 1)
+    bound_qs = [
+        min(max(q, 0.0), 1.0)
+        for q in (0.5 - eps, 0.5 + eps, 0.95 - eps, 0.95 + eps, 0.99 - eps, 0.99 + eps)
+    ]
+    agg = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], acc).alias("_q"),
+        F.expr(
+            "percentile(l_extendedprice, array("
+            + ", ".join(f"{q!r}D" for q in bound_qs)
+            + "))"
+        ).alias("_b"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    within = (
+        F.abs(F.col("approx_orders") - F.col("exact_orders"))
+        / F.col("exact_orders")
+    ) <= F.lit(0.05)
+    return agg.select(
+        "exact_orders",
+        within.alias("hll_within_5pct"),
+        F.col("_q")[0].between(F.col("_b")[0], F.col("_b")[1]).alias(
+            "p50_in_rank_bounds"
+        ),
+        F.col("_q")[1].between(F.col("_b")[2], F.col("_b")[3]).alias(
+            "p95_in_rank_bounds"
+        ),
+        F.col("_q")[2].between(F.col("_b")[4], F.col("_b")[5]).alias(
+            "p99_in_rank_bounds"
+        ),
+        "n_rows",
     )
 
 

@@ -11,6 +11,35 @@ import os
 
 from pyspark.sql import SparkSession
 
+# Streaming state-store provider choice (100× posture):
+# - The default HDFSBackedStateStoreProvider holds every key's state as
+#   deserialized objects on the executor HEAP (plus an HDFS/DFS snapshot
+#   per checkpoint). Fine for the fixture-scale suites here — state is a
+#   few thousand rows — but at 100 TB a stream-stream join or a wide
+#   dropDuplicates can hold 10^8-10^9 keys per partition-group, and heap
+#   state that size means GC stalls and executor OOM.
+# - RocksDBStateStoreProvider (bundled with Spark; no extra jars) keeps
+#   state OFF-heap in an embedded RocksDB per partition with incremental
+#   checkpointing — the provider a production deployment of the stateful
+#   queries in streaming/pipeline.py should run. Enable with:
+#       get_spark(extra_conf=ROCKSDB_STATE_STORE_CONF)
+#   The provider only affects state STORAGE; results are identical, which
+#   tests/test_streaming.py::test_rocksdb_state_store_provider_equivalent
+#   pins by running a stateful query under both providers.
+# - Caveat: the provider is fixed per checkpoint location — switching
+#   providers requires a new checkpoint (state formats differ).
+ROCKSDB_STATE_STORE_CONF = {
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+    # Track changelog instead of full snapshots per batch: turns per-batch
+    # checkpoint cost from O(state) into O(delta).
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        "true"
+    ),
+}
+
 
 def get_spark(
     app_name: str = "incremental_data_pipeline_spark",

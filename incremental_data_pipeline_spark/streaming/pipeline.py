@@ -21,6 +21,7 @@ Design notes (100 TB posture):
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from collections.abc import Callable
@@ -79,6 +80,44 @@ def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
         q.stop()
         q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def run_to_memory_with_state_metrics(
+    stream_df: DataFrame, output_mode: str
+) -> tuple[DataFrame, list[dict]]:
+    """`run_to_memory`, additionally returning the FINAL micro-batch's
+    state-operator metrics (`StreamingQueryProgress.stateOperators`): one
+    dict per stateful operator with `numRowsTotal` (rows held in the state
+    store after the batch), `numRowsUpdated`, `numRowsRemoved`, etc.
+
+    This is the observable the 100×-posture tests pin: a stateful query is
+    cluster-safe only if its state rows track the BOUND the operator
+    advertises (keys for applyInPandasWithState, watermark-window rows for
+    dedup/joins) rather than total input — at 100 TB "state = everything
+    ever seen" is the failure mode, and these metrics are exactly what a
+    production monitor alarms on."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_ops: list[dict] = []
+        for progress in reversed(q.recentProgress):
+            ops = progress.get("stateOperators") if isinstance(progress, dict) else progress.stateOperators
+            if ops:
+                state_ops = [
+                    op if isinstance(op, dict) else json.loads(op.json)
+                    for op in ops
+                ]
+                break
+    finally:
+        q.stop()
+        q.awaitTermination()
+    return stream_df.sparkSession.table(name), state_ops
 
 
 def tumbling_window_agg(

@@ -87,16 +87,18 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
 
 
 def test_sketch_stats_accuracy(spark):
-    """HLL distinct within 5% of exact; approx p50 within 5% of exact p50."""
+    """The query's error-contract booleans hold, and the exact anchor agrees
+    with an independently computed distinct count (the booleans themselves
+    are hash-audited against a literal-TRUE DuckDB oracle)."""
     from incremental_data_pipeline_spark.plans.queries import QUERIES
     from incremental_data_pipeline_spark.sources.readers import load_table
 
     row = QUERIES["sketch_stats"](spark, SF_DIR).first()
     li = load_table(spark, SF_DIR, "lineitem")
-    exact_orders = li.select("l_orderkey").distinct().count()
-    assert abs(row["approx_orders"] - exact_orders) / exact_orders < 0.05
-    exact_p50 = li.selectExpr("percentile(l_extendedprice, 0.5) AS p").first()["p"]
-    assert abs(row["price_p50"] - exact_p50) / exact_p50 < 0.05
+    assert row["exact_orders"] == li.select("l_orderkey").distinct().count()
+    for flag in ("hll_within_5pct", "p50_in_rank_bounds",
+                 "p95_in_rank_bounds", "p99_in_rank_bounds"):
+        assert row[flag] is True, flag
 
 
 def test_expectations_split_partitions_rows(spark):

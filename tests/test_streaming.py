@@ -843,3 +843,212 @@ def test_stream_cusum_correct_with_tiny_arrow_chunks(spark):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# 100x posture: state-store bounds (VERDICT r4 item 6). Every stateful query
+# family asserts its advertised state bound via StreamingQueryProgress
+# .stateOperators after a multi-batch run — state must track the BOUND
+# (keys / watermark window), not total input.
+# ---------------------------------------------------------------------------
+
+
+def _chunked_source(spark, base: str, df, ts_col: str, k: int = 3) -> str:
+    """Write df as k time-ordered single-file chunks under base/src so
+    maxFilesPerTrigger=1 yields k ordered micro-batches."""
+    import glob as _glob
+
+    from pyspark.sql import Window
+
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    chunked = df.withColumn("__chunk", F.ntile(k).over(Window.orderBy(ts_col)))
+    for i in range(1, k + 1):
+        tmp = os.path.join(base, f"__c{i}__")
+        chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"chunk{i}.parquet"))
+        shutil.rmtree(tmp)
+    return src
+
+
+def test_streaming_dedup_state_evicted_at_watermark(spark):
+    """dropDuplicatesWithinWatermark state must hold only the keys inside
+    the watermark window, not every key ever seen: after 3 ordered
+    micro-batches spanning 30 days with a 1-day delay, state rows are
+    bounded by the rows newer than (watermark as of the last batch) and are
+    a strict minority of the 1000 unique keys."""
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="dedup_state_bound_")
+    try:
+        events = load_table(spark, SF_DIR, "events").select("event_id", "ts")
+        src = _chunked_source(spark, base, events, "ts", k=3)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out, state_ops = sp.run_to_memory_with_state_metrics(
+            sp.streaming_dedup(stream, ["event_id"], "ts", "1 day"), "append"
+        )
+        n_total = events.count()
+        assert out.count() == n_total  # unique keys: nothing dropped
+        assert len(state_ops) == 1
+        state_rows = state_ops[0]["numRowsTotal"]
+        # Watermark at the final batch >= max ts of the first two chunks
+        # minus the delay; only rows at or after it may still be buffered.
+        two_thirds_max = (
+            events.orderBy("ts")
+            .limit(2 * n_total // 3)
+            .agg(F.max("ts").alias("m"))
+            .first()["m"]
+        )
+        bound = events.filter(
+            F.col("ts") >= F.lit(two_thirds_max) - F.expr("INTERVAL 1 DAY")
+        ).count()
+        assert 0 < state_rows <= bound, (state_rows, bound)
+        assert state_rows < n_total / 2, (state_rows, n_total)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_interval_join_state_bounded_by_watermark(spark):
+    """Stream-stream interval join state (both sides buffered) must be
+    evicted as the watermark passes left_ts + within: with a 2-day delay
+    over a 30-day 3-batch source, buffered rows are far fewer than total
+    input rows on both sides."""
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="ssj_state_bound_")
+    try:
+        events = load_table(spark, SF_DIR, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        )
+        src = _chunked_source(spark, base, events, "ts", k=3)
+
+        def mk_stream():
+            return (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+        left = mk_stream().filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("l_ts")
+        )
+        right = mk_stream().filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("r_user"), F.col("ts").alias("r_ts")
+        )
+        l = left.withWatermark("l_ts", "2 days")
+        r = right.withWatermark("r_ts", "2 days")
+        joined = l.join(
+            r,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("l_ts"))
+            & (F.col("r_ts") <= F.expr("l_ts + INTERVAL 1 HOUR")),
+            "inner",
+        )
+        out, state_ops = sp.run_to_memory_with_state_metrics(joined, "append")
+        assert out.count() > 0
+        assert len(state_ops) == 1
+        state_rows = state_ops[0]["numRowsTotal"]
+        n_sides = (
+            events.filter(F.col("event_type").isin("click", "purchase")).count()
+        )
+        # eviction must have removed most of the first two-thirds
+        assert 0 < state_rows < n_sides / 2, (state_rows, n_sides)
+        assert state_ops[0]["numRowsRemoved"] > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_apply_in_pandas_state_is_one_row_per_key(spark):
+    """applyInPandasWithState operators advertise O(keys) state: after a
+    3-batch run, numRowsTotal equals the distinct key count exactly —
+    for running_user_stats (15 users) and cusum_per_key (5 event types)."""
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="pandas_state_bound_")
+    try:
+        events = load_table(spark, SF_DIR, "events").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            "value",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        src = _chunked_source(spark, base, events, "ts", k=3)
+
+        def mk_stream():
+            return (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+
+        _, user_state = sp.run_to_memory_with_state_metrics(
+            sp.running_user_stats(mk_stream()), "update"
+        )
+        n_users = events.select("user_id").distinct().count()
+        assert user_state[0]["numRowsTotal"] == n_users
+
+        _, cusum_state = sp.run_to_memory_with_state_metrics(
+            sp.cusum_per_key(mk_stream(), "event_type", 6000, 60000), "update"
+        )
+        n_types = events.select("event_type").distinct().count()
+        assert cusum_state[0]["numRowsTotal"] == n_types
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rocksdb_state_store_provider_equivalent(spark):
+    """The RocksDB state-store provider (the 100 TB deployment choice — see
+    session.ROCKSDB_STATE_STORE_CONF) must produce byte-identical results
+    to the default HDFS-backed provider; providers change state STORAGE,
+    never semantics."""
+    from incremental_data_pipeline_spark.session import ROCKSDB_STATE_STORE_CONF
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.streaming import pipeline as sp
+
+    base = tempfile.mkdtemp(prefix="rocksdb_equiv_")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        events = load_table(spark, SF_DIR, "events").select("user_id", "value", "ts")
+        src = _chunked_source(spark, base, events, "ts", k=3)
+
+        def run():
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            upd = sp.run_to_memory(sp.running_user_stats(stream), "update")
+            return sorted(
+                map(
+                    tuple,
+                    upd.groupBy("user_id")
+                    .agg(F.max("n_events"), F.max("max_value"))
+                    .collect(),
+                )
+            )
+
+        baseline = run()
+        for k_, v in ROCKSDB_STATE_STORE_CONF.items():
+            spark.conf.set(k_, v)
+        rocks = run()
+        assert rocks == baseline and len(rocks) > 0
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
+        shutil.rmtree(base, ignore_errors=True)
