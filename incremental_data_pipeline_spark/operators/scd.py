@@ -332,3 +332,30 @@ def build_fact(
         )
         out = out.join(F.broadcast(lookup), list(keymap.keys()), "left")
     return out.select(*measures, *dims.keys())
+
+
+def upsert_scd1_evolving(
+    target: DataFrame, source: DataFrame, keys: list[str]
+) -> DataFrame:
+    """SCD1 MERGE with SCHEMA EVOLUTION — the `mergeSchema`/autoMerge
+    behavior of Delta's MERGE that the plain :func:`upsert_scd1` (and the
+    reference's fixed-schema notebook merge, gold_dim_branch.py:177-184)
+    lacks: columns present on only one side are null-filled on the other,
+    so a source batch that grew a new attribute upserts without a manual
+    ALTER TABLE, and old target columns the source dropped survive.
+
+    Semantics: source rows win on key collision (update-all), target rows
+    without a source match survive with NULL in source-only columns, new
+    source columns appear for all rows (NULL for untouched target rows).
+    Same two-leg shape as upsert_scd1 — one anti join + one union — with
+    `allowMissingColumns` doing the null-fill; column order is target
+    columns first, then new source columns, deterministic for writers.
+
+    Scale note: schema evolution is plan-time metadata only; the executed
+    plan is identical to the fixed-schema merge (no extra shuffle, no
+    per-row branching)."""
+    missing_keys = [k for k in keys if k not in source.columns]
+    if missing_keys:
+        raise ValueError(f"source is missing merge keys: {missing_keys}")
+    survivors = target.join(source.select(*keys), keys, "left_anti")
+    return survivors.unionByName(source, allowMissingColumns=True)

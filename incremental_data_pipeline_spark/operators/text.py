@@ -479,3 +479,81 @@ def token_familiarity(
             (F.sum("cf").cast("double") / F.count(F.lit(1))).alias("familiarity"),
         )
     )
+
+
+def bm25_rank_per_term(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_terms: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k documents per term under BM25 (k1 = 1.2, b = 0.75), computed
+    with an INTEGER rank statistic so the ranking is bit-reproducible on
+    any engine — the retrieval scorer behind search-based corpus curation
+    (and the lexical half of hybrid RAG retrieval).
+
+    For a single term, BM25's idf factor is constant, so ranking reduces
+    to the tf-saturation term  tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)).
+    With k1 = 6/5, b = 3/4, avgdl = T/N (T total tokens, N docs), the
+    denominator × 10T is the INTEGER  10·T·tf + 3·T + 9·dl·N, giving the
+    order-preserving integer statistic
+
+        bm25_micro = (tf · 10·T · 1e6) div (10·T·tf + 3·T + 9·dl·N)
+
+    — one decimal(38,0) multiply-then-div (the pmi_top_cooccurrences
+    overflow discipline), monotone in the true score, no log, no float.
+    Terms are the ``n_terms`` highest-document-frequency tokens (df desc,
+    token asc — the deterministic stress case: the densest posting lists).
+
+    Scale shape: tf and df are map-side-combinable aggs over one explode;
+    the per-term top-k is a WindowGroupLimit partitioned by term (k rows
+    survive each partial), and the corpus constants (T, N) ride in as a
+    one-row broadcast. No posting list is ever self-joined.
+    """
+    toks = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    consts = toks.agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.count_distinct(id_col).alias("__n"),
+    )
+    top_terms = (
+        toks.distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(n_terms)
+    )
+    scored = (
+        tf.join(F.broadcast(top_terms), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "bm25_micro",
+            F.expr(
+                "CAST(tf AS DECIMAL(38,0)) * 10 * __t * 1000000"
+                " div (10 * CAST(__t AS DECIMAL(38,0)) * tf"
+                "      + 3 * CAST(__t AS DECIMAL(38,0))"
+                "      + 9 * CAST(dl AS DECIMAL(38,0)) * __n)"
+            ).cast("long"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("token").orderBy(
+        F.col("bm25_micro").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "token",
+            id_col,
+            F.col("tf").cast("long").alias("tf"),
+            F.col("dl").cast("long").alias("dl"),
+            F.col("df").cast("long").alias("df"),
+            "bm25_micro",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -12118,3 +12118,216 @@ ORACLE["dedup_savings_report"] = f"""
              AS bytes_saved_frac
     FROM documents d JOIN cl c ON d.doc_id = c.doc_id
     """
+
+
+# --------------------------------------------------------------------------
+# Round 5: blocked edit-distance dedup/ER, integer-exact BM25 retrieval,
+# robust (median/MAD) outlier profiling, and schema-evolving MERGE
+# (closing the named Delta-parity gap).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "dedup_blocked_edit",
+    """
+    WITH base AS (
+      SELECT doc_id, text, length(text) AS len,
+             string_split(text, ' ')[1] AS tok0,
+             length(text) // 32 AS band
+      FROM documents),
+    probe AS (
+      SELECT doc_id, text, len, tok0, unnest([band, band + 1]) AS b
+      FROM base),
+    cand AS (
+      SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b,
+             p.text AS ta, r.text AS tb
+      FROM probe p JOIN base r ON p.tok0 = r.tok0 AND p.b = r.band
+      WHERE p.doc_id < r.doc_id AND abs(p.len - r.len) <= 20)
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
+    FROM cand
+    WHERE levenshtein(ta, tb) <= 20
+    """,
+)
+def dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs by blocked Levenshtein: candidates
+    share (first token, adjacent length band) — sound for the edit budget
+    since lev >= |len diff| — then exact edit-distance verification.
+    Catches small in-place edits that shingle Jaccard dilutes; integer
+    distances make the oracle exact. Block-bounded candidates, never
+    corpus² (`operators/dedup.py blocked_edit_pairs`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.blocked_edit_pairs(docs, "doc_id", "text", max_dist=20, band=32)
+
+
+@query(
+    "er_blocked_match",
+    """
+    SELECT c_custkey, s_suppkey,
+           CAST(levenshtein(c_name, s_name) AS BIGINT) AS edit_dist
+    FROM customer JOIN supplier
+      ON c_nationkey = s_nationkey
+     AND substring(c_name, length(c_name) - 2, 3)
+         = substring(s_name, length(s_name) - 2, 3)
+    WHERE levenshtein(c_name, s_name) <= 5
+    """,
+)
+def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution across two dimensions: customer and supplier
+    records linked by blocked fuzzy match — equi-join on the blocking key
+    (nation, last-3 chars of the entity name) bounds candidates, exact
+    Levenshtein <= 5 verifies (the 5-substitution budget accepts the
+    Customer#/Supplier# prefix swap and rejects any digit drift). The
+    standard blocked-ER join shape: at 100 TB the block key is the shuffle
+    key and no cross-block pair is ever materialized."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    blocked = c.join(
+        s,
+        (F.col("c_nationkey") == F.col("s_nationkey"))
+        & (
+            F.expr("substring(c_name, length(c_name) - 2, 3)")
+            == F.expr("substring(s_name, length(s_name) - 2, 3)")
+        ),
+    )
+    return (
+        blocked.withColumn("edit_dist", F.levenshtein("c_name", "s_name"))
+        .filter(F.col("edit_dist") <= 5)
+        .select(
+            "c_custkey", "s_suppkey", F.col("edit_dist").cast("long").alias("edit_dist")
+        )
+    )
+
+
+@query(
+    "bm25_per_term_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+    consts AS (SELECT count(*) AS t, count(DISTINCT doc_id) AS n FROM toks),
+    dfreq AS (SELECT token, count(*) AS df
+              FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+    top_terms AS (SELECT token, df FROM dfreq
+                  ORDER BY df DESC, token ASC LIMIT 10),
+    scored AS (
+      SELECT f.doc_id, f.token, f.tf, d.dl, tt.df,
+             CAST(CAST(f.tf AS HUGEINT) * 10 * c.t * 1000000
+                  // (10 * CAST(c.t AS HUGEINT) * f.tf
+                      + 3 * CAST(c.t AS HUGEINT)
+                      + 9 * CAST(d.dl AS HUGEINT) * c.n) AS BIGINT)
+               AS bm25_micro
+      FROM tf f JOIN top_terms tt USING (token)
+           JOIN dl d USING (doc_id) CROSS JOIN consts c)
+    SELECT token, doc_id, CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+           CAST(df AS BIGINT) AS df, bm25_micro, CAST(rnk AS INT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY token ORDER BY bm25_micro DESC, doc_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 5
+    """,
+)
+def bm25_per_term_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 documents per high-df term under BM25 (k1=1.2, b=0.75) using
+    an integer rank statistic — tf·10T·1e6 div (10T·tf + 3T + 9·dl·N) —
+    that is order-equivalent to the float score for a fixed term (idf is
+    constant per term; the saturation ratio is cross-multiplied into
+    decimal(38,0)/HUGEINT). Zero floats anywhere => bit-exact oracle.
+    Plan: two combinable aggs + vocabulary-sized broadcast joins + one
+    WindowGroupLimit (`operators/text.py bm25_rank_per_term`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.bm25_rank_per_term(docs, n_terms=10, k=5)
+
+
+@query(
+    "robust_outlier_profile",
+    """
+    WITH med AS (
+      SELECT l_returnflag, l_linestatus,
+             quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY 1, 2),
+    dev AS (
+      SELECT l.l_returnflag, l.l_linestatus, m.med,
+             abs(l.l_extendedprice - m.med) AS ad,
+             l.l_extendedprice AS price
+      FROM lineitem l JOIN med m USING (l_returnflag, l_linestatus)),
+    mad AS (
+      SELECT l_returnflag, l_linestatus, quantile_cont(ad, 0.5) AS mad
+      FROM dev GROUP BY 1, 2)
+    SELECT d.l_returnflag, d.l_linestatus, d.med, m.mad,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN d.ad > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev d JOIN mad m USING (l_returnflag, l_linestatus)
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def robust_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier census per (returnflag, linestatus): rows
+    whose absolute deviation from the group median exceeds 3x the median
+    absolute deviation — the outlier detector that, unlike z-scores, is not
+    itself dragged by the outliers. Exact interpolated percentiles are
+    bit-stable cross-engine (revenue_percentiles precedent); every
+    subsequent step is single IEEE ops on identical doubles.
+    Plan: two grouped exact percentiles + one broadcast-sized join back
+    (group cardinality is tiny); the row scan stays pruned to 4 columns."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    med = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("percentile(l_extendedprice, 0.5D)").alias("med")
+    )
+    dev = li.join(F.broadcast(med), ["l_returnflag", "l_linestatus"]).withColumn(
+        "ad", F.abs(F.col("l_extendedprice") - F.col("med"))
+    )
+    mad = dev.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("percentile(ad, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), ["l_returnflag", "l_linestatus"])
+        .groupBy("l_returnflag", "l_linestatus", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum((F.col("ad") > 3 * F.col("mad")).cast("long"))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+    )
+
+
+@query(
+    "scd1_upsert_evolving",
+    """
+    WITH dim AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    upd AS (
+      SELECT c_custkey, c_name || ' v2' AS c_name, c_acctbal,
+             CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END
+               AS loyalty_tier
+      FROM customer WHERE c_custkey % 10 = 0)
+    SELECT d.c_custkey, d.c_name, d.c_acctbal,
+           CAST(NULL AS VARCHAR) AS loyalty_tier
+    FROM dim d ANTI JOIN upd u ON d.c_custkey = u.c_custkey
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal, loyalty_tier FROM upd
+    """,
+)
+def scd1_upsert_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD1 MERGE where the source batch EVOLVED the schema (grew a
+    loyalty_tier column the dim lacks): the merge null-fills the new
+    column for untouched rows instead of failing — Delta's
+    mergeSchema/autoMerge behavior, previously a named parity gap of the
+    join-emulated merge. Same anti-join + unionByName plan as the fixed
+    -schema merge; evolution is plan-time metadata only
+    (`operators/scd.py upsert_scd1_evolving`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.select("c_custkey", "c_name", "c_acctbal")
+    upd = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.concat(F.col("c_name"), F.lit(" v2")).alias("c_name"),
+        "c_acctbal",
+        F.when(F.col("c_acctbal") > 5000, F.lit("gold"))
+        .otherwise(F.lit("std"))
+        .alias("loyalty_tier"),
+    )
+    return scd.upsert_scd1_evolving(dim, upd, ["c_custkey"])

@@ -451,3 +451,51 @@ def test_cms_never_undercounts_and_merges(spark):
     full = {(r["d"], r["cell"]): r["n"] for r in counters.collect()}
     got = {(r["d"], r["cell"]): r["n"] for r in merged.collect()}
     assert got == full
+
+
+def test_blocked_edit_pairs_sound_and_guarded(spark):
+    """Exact duplicates score edit 0; a small edit is found across a length
+    -band boundary; max_dist > band is rejected (soundness guarantee)."""
+    import pytest as _pytest
+
+    from incremental_data_pipeline_spark.operators.dedup import blocked_edit_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup
+            (3, "alpha beta gamma delta epsilon zetaXY"),  # 2 inserts, len 38 vs 36
+            (4, "omega psi chi phi"),                      # unrelated
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["edit_dist"]
+        for r in blocked_edit_pairs(docs, max_dist=20, band=32).collect()
+    }
+    assert got[(1, 2)] == 0 and got[(1, 3)] == 2 and got[(2, 3)] == 2
+    assert not any(4 in p for p in got)
+    with _pytest.raises(ValueError):
+        blocked_edit_pairs(docs, max_dist=40, band=32)
+
+
+def test_upsert_scd1_evolving_null_fills_both_ways(spark):
+    """New source column appears NULL on untouched rows; a target column the
+    source dropped survives NULL on source rows; missing merge keys fail."""
+    import pytest as _pytest
+
+    from incremental_data_pipeline_spark.operators.scd import upsert_scd1_evolving
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, bal double"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", "gold"), (3, "c", "std")], "k long, name string, tier string"
+    )
+    rows = {r["k"]: r for r in upsert_scd1_evolving(target, source, ["k"]).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["tier"] is None and rows[1]["bal"] == 10.0
+    assert rows[2]["tier"] == "gold" and rows[2]["bal"] is None  # source wins
+    assert rows[3]["name"] == "c" and rows[3]["bal"] is None
+    with _pytest.raises(ValueError):
+        upsert_scd1_evolving(target, source, ["missing_key"])
