@@ -12331,3 +12331,65 @@ def scd1_upsert_evolving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("loyalty_tier"),
     )
     return scd.upsert_scd1_evolving(dim, upd, ["c_custkey"])
+
+
+@query(
+    "multi_table_txn_snapshot",
+    """
+    WITH f AS (SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1),
+    s AS (SELECT count(*) AS n_statuses, CAST(SUM(n) AS BIGINT) AS n_orders
+          FROM f)
+    SELECT CAST(1 AS INT) AS txn,
+           CAST((SELECT count(*) FROM f) AS BIGINT) AS fact_rows,
+           CAST((SELECT n_orders FROM s) AS BIGINT) AS summary_total
+    UNION ALL
+    SELECT 2,
+           (SELECT count(*) FROM f WHERE o_orderstatus <> 'F'),
+           (SELECT CAST(SUM(n) AS BIGINT) FROM f WHERE o_orderstatus <> 'F')
+    """,
+)
+def multi_table_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table ACID transactions made driver-visible (closing the
+    Delta-parity gap the join-emulated single-table sink left open): two
+    transactions each atomically replace a fact table AND its summary
+    rollup; reads at each txn id must see the fact/summary pair from ONE
+    manifest — never fact@2 with summary@1. Commit point is a single
+    put-if-absent manifest link; per-table version dirs are invisible
+    until the manifest lands (`sources/transactions.py`). The log is
+    compacted mid-test (checkpoint + manifest pruning) to prove reads
+    survive compaction."""
+    from incremental_data_pipeline_spark.sources import transactions as tx
+
+    root = os.path.join(scratch_dir("txn_snap_"), "root")
+    orders = load_table(spark, sf_dir, "orders")
+    fact1 = orders.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n"))
+    sum1 = fact1.agg(
+        F.count(F.lit(1)).alias("n_statuses"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    tx.multi_table_transaction(root, {"fact": fact1, "summary": sum1})
+    fact2 = fact1.filter(F.col("o_orderstatus") != "F")
+    sum2 = fact2.agg(
+        F.count(F.lit(1)).alias("n_statuses"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    tx.multi_table_transaction(root, {"fact": fact2, "summary": sum2})
+    tx.compact_txn_log(root, keep_tail=2)  # reads below cross the checkpoint
+    out = None
+    for t in (1, 2):
+        row = (
+            tx.read_txn_table(spark, root, "fact", txn=t)
+            .agg(F.count(F.lit(1)).alias("fact_rows"))
+            .crossJoin(
+                tx.read_txn_table(spark, root, "summary", txn=t).select(
+                    F.col("n_orders").alias("summary_total")
+                )
+            )
+            .select(
+                F.lit(t).cast("int").alias("txn"),
+                F.col("fact_rows").cast("long").alias("fact_rows"),
+                "summary_total",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -440,3 +440,192 @@ def test_versioned_occ_multiprocess_one_winner_per_version(tmp_path):
 
     maintenance.vacuum_swap_debris(path)
     assert [d for d in os.listdir(path) if d.startswith(".v")] == []
+
+
+# --- multi-table transactions + checkpointed log compaction ---------------
+
+
+def _mk2(spark, xs):
+    return spark.createDataFrame([(x, x * 10.0) for x in xs], "k long, v double")
+
+
+def test_multi_table_txn_atomic_snapshots(spark, tmp_path):
+    """All tables flip together: reading orders+summary at any txn id gives
+    versions from ONE manifest, never a mix; time travel per txn works."""
+    from incremental_data_pipeline_spark.sources import transactions as tx
+
+    root = str(tmp_path / "txn_root")
+    t1 = tx.multi_table_transaction(
+        root, {"fact": _mk2(spark, [1]), "summary": _mk2(spark, [100])}
+    )
+    t2 = tx.multi_table_transaction(
+        root, {"fact": _mk2(spark, [1, 2]), "summary": _mk2(spark, [200])}
+    )
+    assert (t1, t2) == (1, 2)
+    assert tx.read_txn_table(spark, root, "fact", txn=1).count() == 1
+    assert {r["k"] for r in tx.read_txn_table(spark, root, "summary", txn=1).collect()} == {100}
+    assert tx.read_txn_table(spark, root, "fact").count() == 2
+    assert {r["k"] for r in tx.read_txn_table(spark, root, "summary").collect()} == {200}
+    cur, state = tx.read_txn_state(root)
+    assert cur == 2 and set(state) == {"fact", "summary"}
+
+
+def test_multi_table_txn_cas_and_race_loser_is_invisible(spark, tmp_path):
+    """expected_txn mismatch aborts before data moves; a writer losing the
+    manifest put-if-absent leaves NO visible effect, and vacuum reclaims
+    its unreferenced table versions."""
+    import pytest as _pytest
+
+    from incremental_data_pipeline_spark.sources import transactions as tx
+
+    root = str(tmp_path / "txn_cas")
+    tx.multi_table_transaction(root, {"fact": _mk2(spark, [1])})
+    with _pytest.raises(tx.TxnConflictError):
+        tx.multi_table_transaction(
+            root, {"fact": _mk2(spark, [9])}, expected_txn=0
+        )
+    # rival commits txn 2 while our writer still believes the log is at 1:
+    # the CAS guard must abort BEFORE any table data is staged
+    rival = tx._manifest_path(root, 2)
+    import json as _json
+
+    _, state = tx.read_txn_state(root)
+    with open(rival, "w") as f:
+        f.write(_json.dumps({"txn": 2, "parent": 1, "tables": state}))
+    n_versions_before = len(
+        sinks.list_versions(os.path.join(root, "fact"))
+    )
+    with _pytest.raises(tx.TxnConflictError):
+        tx.multi_table_transaction(
+            root, {"fact": _mk2(spark, [5, 6])}, expected_txn=1
+        )
+    assert len(sinks.list_versions(os.path.join(root, "fact"))) == n_versions_before
+    assert tx.read_txn_table(spark, root, "fact").count() == 1
+    # the manifest link itself is put-if-absent: a loser cannot clobber
+    assert tx._link_put_if_absent(rival, "{}") is False
+    with open(rival) as f:
+        assert _json.load(f)["txn"] == 2  # winner's content intact
+    # an unreferenced (loser/crashed) table version is invisible + vacuumed
+    orphan_stage = os.path.join(root, "fact", ".v00000009.stage-test")
+    os.makedirs(orphan_stage)
+    with open(os.path.join(orphan_stage, "junk.txt"), "w") as f:
+        f.write("loser bytes")
+    sinks.commit_staged_version(os.path.join(root, "fact"), orphan_stage, 9, keep=0)
+    assert tx.read_txn_table(spark, root, "fact").count() == 1
+    removed = tx.vacuum_unreferenced(root)
+    assert any(v.endswith("v00000009") for v in removed)
+    assert tx.read_txn_table(spark, root, "fact").count() == 1
+
+
+def test_txn_log_compaction_preserves_reads(spark, tmp_path):
+    """After checkpoint+prune: latest and checkpoint-covered reads work,
+    pre-checkpoint pruned txns raise, and new txns append on top."""
+    import pytest as _pytest
+
+    from incremental_data_pipeline_spark.sources import transactions as tx
+
+    root = str(tmp_path / "txn_compact")
+    for i in range(1, 6):
+        tx.multi_table_transaction(root, {"fact": _mk2(spark, list(range(i)))})
+    ckpt = tx.compact_txn_log(root, keep_tail=1)
+    assert ckpt == 5
+    manifests, checkpoints = tx._scan_log(root)
+    assert checkpoints == [5] and all(m > 4 - 1 for m in manifests)
+    assert tx.read_txn_table(spark, root, "fact").count() == 5
+    assert tx.read_txn_table(spark, root, "fact", txn=5).count() == 5
+    with _pytest.raises(FileNotFoundError):
+        tx.read_txn_table(spark, root, "fact", txn=2)  # pruned, pre-checkpoint
+    t6 = tx.multi_table_transaction(root, {"fact": _mk2(spark, [1])})
+    assert t6 == 6 and tx.read_txn_table(spark, root, "fact").count() == 1
+
+
+def _txn_worker(root: str, wid: int, target: int, results):
+    """Pure-filesystem rendition of multi_table_transaction's commit path
+    (stage dir + commit_staged_version + manifest link) so N real processes
+    can race without a Spark session each."""
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    from incremental_data_pipeline_spark.sources import sinks as sk
+    from incremental_data_pipeline_spark.sources import transactions as tx
+
+    wins = 0
+    while True:
+        cur, _state = tx.read_txn_state(root)
+        if cur >= target:
+            break
+        committed = {}
+        for t in ("alpha", "beta"):
+            tdir = _os.path.join(root, t)
+            _os.makedirs(tdir, exist_ok=True)
+            while True:
+                base = sk.reconcile_versions(tdir)
+                stage = _os.path.join(
+                    tdir, f".v{base + 1:08d}.stage-{_uuid.uuid4().hex[:8]}"
+                )
+                _os.makedirs(stage)
+                with open(_os.path.join(stage, "payload.txt"), "w") as f:
+                    f.write(f"writer={wid} txn={cur + 1} table={t}")
+                try:
+                    committed[t] = sk.commit_staged_version(tdir, stage, base + 1, keep=0)
+                    break
+                except sk.VersionConflictError:
+                    continue
+        manifest = _json.dumps(
+            {"txn": cur + 1, "parent": cur, "tables": committed}, sort_keys=True
+        )
+        if tx._link_put_if_absent(tx._manifest_path(root, cur + 1), manifest):
+            wins += 1
+    results.put((wid, wins))
+
+
+def test_multi_table_txn_multiprocess_consistent_snapshots(tmp_path):
+    """N processes race M transactions over two tables: every committed
+    manifest references intact version dirs whose payloads agree on the
+    SAME writer and txn id (atomic multi-table snapshots under real
+    concurrency), and vacuum removes only unreferenced debris."""
+    import json as _json
+    import multiprocessing as mp
+
+    from incremental_data_pipeline_spark.sources import transactions as tx
+
+    root = str(tmp_path / "txn_mp")
+    os.makedirs(os.path.join(root, "_txn_log"))
+    n_writers, target = 5, 25
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_txn_worker, args=(root, w, target, q))
+        for w in range(n_writers)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    total_wins = sum(q.get()[1] for _ in range(n_writers))
+    assert total_wins == target  # exactly one winner per txn id
+    cur, state = tx.read_txn_state(root)
+    assert cur == target
+    for txn in range(1, target + 1):
+        with open(tx._manifest_path(root, txn)) as f:
+            m = _json.load(f)
+        payloads = {}
+        for t, v in m["tables"].items():
+            with open(os.path.join(root, t, f"v{v:08d}", "payload.txt")) as f:
+                payloads[t] = f.read()
+        # both tables in one txn were written by ONE writer for THIS txn
+        tags = {p.split(" table=")[0] for p in payloads.values()}
+        assert len(tags) == 1 and f"txn={txn}" in tags.pop(), payloads
+    tx.vacuum_unreferenced(root)
+    # every remaining version dir is referenced by some manifest
+    for t in ("alpha", "beta"):
+        from incremental_data_pipeline_spark.sources import sinks as sk
+
+        live = set(sk.list_versions(os.path.join(root, t)))
+        referenced = set()
+        for txn in range(1, target + 1):
+            with open(tx._manifest_path(root, txn)) as f:
+                referenced.add(_json.load(f)["tables"][t])
+        assert live == referenced
