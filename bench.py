@@ -85,6 +85,11 @@ HEADLINE = [
     "multimodal_ahash",
     "stream_cusum_alarms",
     "dedup_prefix_containment",
+    # round-5: blocked edit-distance dedup, integer-exact BM25 retrieval,
+    # multi-table transactional snapshot
+    "dedup_blocked_edit",
+    "bm25_per_term_topk",
+    "multi_table_txn_snapshot",
 ]
 
 

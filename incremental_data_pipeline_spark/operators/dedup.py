@@ -714,19 +714,20 @@ def prefix_filter_containment_pairs(
     sets). The prefix filter then runs losslessly ON the capped sets, so
     the result is identical to the all-pairs capped join while also
     bounding the worst posting list: belt (cap) and suspenders (prefix)."""
-    # Checkpoint the raw explode BEFORE the optional cap: the cap needs
-    # two passes (df counts + semi-join probe), and re-running the
-    # shingle explode for each is the dominant cost at scale.
+    # Checkpoint the raw explode BEFORE the optional cap: the cap and the
+    # prefix ranking both consume it, and re-running the shingle explode
+    # per consumer is the dominant cost at scale.
     s = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
-    if max_df is not None:
-        rare = (
-            s.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("shingle")
-        )
-        s = s.join(rare, "shingle", "left_semi").localCheckpoint(eager=True)
     freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        # ONE df pass serves both the cap and the prefix ranking: dropping
+        # capped shingles doesn't change the df of surviving ones (df
+        # counts rows per shingle, not per co-occurring shingle), so the
+        # capped set's frequency table is exactly this filtered one.
+        freq = freq.filter(F.col("df") <= max_df)
+        s = s.join(freq.select("shingle"), "shingle", "left_semi").localCheckpoint(
+            eager=True
+        )
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
     ranked = (
@@ -780,52 +781,63 @@ def blocked_edit_pairs(
     text_col: str = "text",
     max_dist: int = 20,
     band: int = 32,
+    head_tokens: int = 4,
 ) -> DataFrame:
     """Character-level near-dup pairs: candidates are generated by BLOCKING
-    (same leading token AND adjacent length band), then verified with exact
-    Levenshtein distance — the classic entity-resolution/dedup shape when
-    shingle overlap is too coarse (small edits anywhere in the document).
+    (same ``head_tokens``-token head AND adjacent length band), then
+    verified with exact Levenshtein distance — the classic entity
+    -resolution/dedup shape when shingle overlap is too coarse (small
+    edits anywhere in the document body).
 
-    Blocking key = (first whitespace token, length div band). A pair whose
-    lengths differ by more than ``band`` can't be a candidate, which is
-    SOUND for max_dist <= band: every single-character edit changes length
-    by at most 1, so lev(a, b) >= |len(a) - len(b)| — pairs more than one
-    band apart are guaranteed beyond ``max_dist``. Within-band boundary
-    pairs are caught by probing each doc's own band AND the next one
-    (the standard two-band trick; pairs never repeat because the probe is
-    one-directional). Documents that disagree on the first token are
-    declared out of scope for this detector (blocking recall contract —
-    MinHash/SimHash cover token-level rearrangements).
+    Blocking key = (first ``head_tokens`` whitespace tokens, length div
+    band). A pair whose lengths differ by more than ``band`` can't be a
+    candidate, which is SOUND for max_dist <= band: every single-character
+    edit changes length by at most 1, so lev(a, b) >= |len(a) - len(b)| —
+    pairs more than one band apart are guaranteed beyond ``max_dist``.
+    Within-band boundary pairs are caught by probing each doc's own band
+    AND the next one (the standard two-band trick; pairs never repeat
+    because the probe is one-directional). Documents that disagree inside
+    the head are declared out of scope for this detector (blocking recall
+    contract — MinHash/SimHash cover head-edited/rearranged duplicates).
 
-    Scale shape: candidates are bounded per block (Σ block_i²), never
-    corpus²; Levenshtein runs only on candidates. At 100 TB the band/token
-    blocks are the unit of shuffle — same geometry as the LSH bucket join.
+    Scale shape: the head key is what keeps blocks from saturating as the
+    corpus grows — a single leading token's block population grows
+    LINEARLY with corpus size (vocabulary of first words is finite), so
+    Σ block² would go quadratic; a multi-token head keeps block sizes
+    O(true duplicate cliques + hash-collision noise) (measured on the
+    fixtures: one-token blocks grew Σ block² 55x for 10x docs, four-token
+    heads 10x, with identical found pairs). Levenshtein runs only on
+    candidates. At 100 TB the (head, band) blocks are the unit of shuffle
+    — same geometry as the LSH bucket join.
     """
     if max_dist > band:
         raise ValueError(
             f"max_dist={max_dist} > band={band} breaks the adjacent-band "
             "soundness guarantee (lev >= length difference)"
         )
+    head = F.concat_ws(
+        " ", F.slice(F.split(F.col(text_col), " "), 1, head_tokens)
+    )
     base = df.select(
         F.col(id_col),
         F.col(text_col),
         F.length(text_col).alias("__len"),
-        F.substring_index(text_col, " ", 1).alias("__tok0"),
+        head.alias("__head"),
         F.expr(f"length({text_col}) div {band}").alias("__band"),
     )
     # probe side: each doc lands in its own band and the next (one-way)
     probe = base.select(
-        id_col, text_col, "__len", "__tok0",
+        id_col, text_col, "__len", "__head",
         F.explode(F.array(F.col("__band"), F.col("__band") + 1)).alias("__b"),
     )
     build = base.select(
         F.col(id_col).alias("__rid"),
         F.col(text_col).alias("__rtext"),
         F.col("__len").alias("__rlen"),
-        "__tok0",
+        "__head",
         F.col("__band").alias("__b"),
     )
-    cand = probe.join(build, ["__tok0", "__b"]).filter(
+    cand = probe.join(build, ["__head", "__b"]).filter(
         (F.col(id_col) < F.col("__rid"))
         # cheap length pre-filter: lev >= |len difference|
         & (F.abs(F.col("__len") - F.col("__rlen")) <= max_dist)

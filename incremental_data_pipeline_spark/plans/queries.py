@@ -12132,16 +12132,16 @@ ORACLE["dedup_savings_report"] = f"""
     """
     WITH base AS (
       SELECT doc_id, text, length(text) AS len,
-             string_split(text, ' ')[1] AS tok0,
+             array_to_string(string_split(text, ' ')[1:4], ' ') AS head,
              length(text) // 32 AS band
       FROM documents),
     probe AS (
-      SELECT doc_id, text, len, tok0, unnest([band, band + 1]) AS b
+      SELECT doc_id, text, len, head, unnest([band, band + 1]) AS b
       FROM base),
     cand AS (
       SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b,
              p.text AS ta, r.text AS tb
-      FROM probe p JOIN base r ON p.tok0 = r.tok0 AND p.b = r.band
+      FROM probe p JOIN base r ON p.head = r.head AND p.b = r.band
       WHERE p.doc_id < r.doc_id AND abs(p.len - r.len) <= 20)
     SELECT doc_a, doc_b,
            CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
@@ -12151,7 +12151,7 @@ ORACLE["dedup_savings_report"] = f"""
 )
 def dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level near-dup pairs by blocked Levenshtein: candidates
-    share (first token, adjacent length band) — sound for the edit budget
+    share (4-token head, adjacent length band) — sound for the edit budget
     since lev >= |len diff| — then exact edit-distance verification.
     Catches small in-place edits that shingle Jaccard dilutes; integer
     distances make the oracle exact. Block-bounded candidates, never
@@ -12393,3 +12393,64 @@ def multi_table_txn_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+           AS DOUBLE) AS revenue,
+      CAST(count(*) AS BIGINT) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= DATE '1996-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with the LOCAL-supplier correlation
+    (c_nationkey = s_nationkey rides on the lineitem-supplier join, so the
+    join graph is cyclic, not a pure star) — the canonical join-reordering
+    and broadcast-selection stress. Catalyst broadcasts the three dim
+    tables (supplier/nation/region) and keeps one shuffle pair for the
+    orders⋈lineitem fact join; the date filter pushes to the orders scan.
+    Decimal partial sums keep the revenue bit-stable cross-engine."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    j = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
