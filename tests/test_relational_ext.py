@@ -223,6 +223,13 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "ab_test_purchase_rate": (6, 0),   # 3 logical shuffles; AQE reuses dups
         "search_tf_saturated": (4, 0),     # postings + dl + 2-scalar stats
         "rate_limit_violations": (1, 0),   # one user-keyed range frame
+        # round-5
+        "dedup_blocked_edit": (1, 0),      # one (head, band) block shuffle
+        "er_blocked_match": (0, 0),        # supplier broadcasts into the block join
+        "bm25_per_term_topk": (6, 0),      # tf/dl/df aggs + top-terms + window
+        "robust_outlier_profile": (4, 0),  # med agg + mad agg + final grid
+        "scd1_upsert_evolving": (0, 0),    # source broadcasts; anti+union
+        "local_supplier_volume": (2, 0),   # one fact shuffle pair + global sort
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
