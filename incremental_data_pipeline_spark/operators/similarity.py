@@ -854,3 +854,143 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "approx_dist", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build once / upsert incrementally / probe many
+# ---------------------------------------------------------------------------
+
+
+def _cell_of(centroids: list[tuple[int, list[int]]], vcol: Column) -> Column:
+    """Best cell id for a quantized vector: argmax cosine over the codebook
+    (ties to the lowest centroid id) — the same single array_max over
+    (cosine, -id) structs `ivf_topk` uses for its corpus side."""
+    matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
+    ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+    return -F.array_max(
+        F.transform(
+            matrix,
+            lambda c, i: F.struct(
+                cosine_q(vcol, c).alias("cos"),
+                (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
+            ),
+        )
+    )["neg_id"]
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF index on disk: every vector stored under its best
+    cell, parquet PARTITIONED BY cell — the build-once/probe-many shape
+    real ANN serving uses (FAISS's add() + on-disk inverted lists,
+    re-expressed as a partitioned table).
+
+    Why persist: `ivf_topk` re-assigns the whole corpus per query batch;
+    at 100 TB assignment is the dominant cost and is identical across
+    batches. The partitioned layout turns every probe into PARTITION
+    PRUNING — a query batch touching p cells reads p directories, not the
+    corpus. The quantized vector is stored alongside the raw one so probes
+    skip re-quantization."""
+    assigned = fan_out(corpus).select(
+        F.col(id_col),
+        quantize(vec_col).alias("cv"),
+        let(quantize(vec_col), lambda v: _cell_of(centroids, v)).alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_index_upsert(
+    spark,
+    new_rows: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index WITHOUT a
+    rebuild: assign the batch to cells, then dynamically overwrite exactly
+    the touched cell partitions with (existing ∪ batch), deduped on id
+    with the batch winning — the same replay-safe partition-merge
+    discipline as `sinks.idempotent_overwrite_day_partitions`, keyed by
+    cell instead of day. Untouched cells are never read or written.
+
+    The codebook must be the one the index was built with (centroid drift
+    requires a rebuild — same contract as any IVF implementation)."""
+    batch = fan_out(new_rows).select(
+        F.col(id_col),
+        quantize("embedding").alias("cv"),
+        let(quantize("embedding"), lambda v: _cell_of(centroids, v)).alias("cell"),
+    ).dropDuplicates([id_col])
+    touched = [r["cell"] for r in batch.select("cell").distinct().collect()]
+    existing = spark.read.parquet(path).filter(F.col("cell").isin(touched))
+    survivors = existing.join(batch.select(id_col), id_col, "left_anti")
+    merged = survivors.unionByName(batch)
+    (
+        merged.repartition(F.col("cell"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Search a persisted IVF index: queries probe their ``nprobe`` best
+    cells; the index scan is FILTERED to the probed cell set, which the
+    parquet source resolves as partition pruning (only those cell
+    directories are listed/read — the scan cost is probe-local at any
+    corpus size). The probed-cell collect is bounded by nlist — codebook
+    -sized control plane, independent of corpus and query-batch size."""
+    matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
+    ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+
+    def top_cells(vcol: Column, n: int) -> Column:
+        scores = F.reverse(
+            F.array_sort(
+                F.transform(
+                    matrix,
+                    lambda c, i: F.struct(
+                        cosine_q(vcol, c).alias("cos"),
+                        (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
+                    ),
+                )
+            )
+        )
+        return F.transform(F.slice(scores, 1, n), lambda s: -s["neg_id"])
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(vec_col).alias("qv"),
+        F.explode(let(quantize(vec_col), lambda v: top_cells(v, nprobe))).alias(
+            "cell"
+        ),
+    )
+    probed = [r["cell"] for r in q.select("cell").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(probed))
+    scored = (
+        idx.select(F.col(id_col).alias("neighbor_id"), "cv", "cell")
+        .join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_q(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

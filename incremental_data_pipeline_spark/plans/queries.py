@@ -1877,7 +1877,7 @@ def embedding_near_dup_or2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sim.embedding_near_dup(emb, threshold=0.3, num_planes=8, num_tables=2)
 
 
-def _ivf_oracle(nlist: int, nprobe: int, k: int) -> str:
+def _ivf_oracle(nlist: int, nprobe: int, k: int, q_lo: int = 20, q_hi: int = 40) -> str:
     cos_cv = (
         f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
         f"(sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
@@ -1897,7 +1897,7 @@ def _ivf_oracle(nlist: int, nprobe: int, k: int) -> str:
     qassign AS (
       SELECT vec_id AS query_id, v AS qv, cid,
         row_number() OVER (PARTITION BY vec_id ORDER BY {cos_qc} DESC, cid ASC) AS rnk
-      FROM (SELECT * FROM vecs WHERE vec_id >= 20 AND vec_id < 40) CROSS JOIN cents),
+      FROM (SELECT * FROM vecs WHERE vec_id >= {q_lo} AND vec_id < {q_hi}) CROSS JOIN cents),
     probes AS (SELECT query_id, qv, cid AS cell FROM qassign WHERE rnk <= {nprobe}),
     scored AS (
       SELECT query_id, neighbor_id,
@@ -12454,3 +12454,27 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
     )
+
+
+@query(
+    "ann_ivf_index_persisted",
+    _ivf_oracle(nlist=8, nprobe=2, k=3, q_lo=40, q_hi=60),
+)
+def ann_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF as a PERSISTED index (build once / upsert incrementally / probe
+    many — the ANN serving shape): 80% of the corpus is built into a
+    cell-partitioned parquet index, the remaining 20% is upserted WITHOUT
+    a rebuild (dynamic overwrite of only the touched cell partitions), and
+    the probe reads ONLY the probed cells via partition pruning. The final
+    index holds the whole corpus, so the oracle is the standard IVF twin
+    on a fresh query window — proving build+upsert+probe end-to-end equals
+    single-shot assignment (`operators/similarity.py ivf_index_*`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _cached_codebook(emb, sf_dir, 8, "prefix")
+    path = os.path.join(scratch_dir("ivf_index_"), "index")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    late = emb.filter(F.col("vec_id") % 5 == 4)
+    _sim.ivf_index_build(base, codebook, path)
+    _sim.ivf_index_upsert(spark, late, codebook, path)
+    queries_df = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
+    return _sim.ivf_index_probe(spark, path, queries_df, codebook, k=3, nprobe=2)

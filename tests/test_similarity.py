@@ -92,6 +92,8 @@ def test_ivf_recall_vs_exact(spark):
     """IVF with nprobe=nlist degenerates to exact search: recall == 1."""
     from pyspark.sql import functions as F
 
+    import os
+
     from incremental_data_pipeline_spark.operators import similarity as sim
     from incremental_data_pipeline_spark.sources.readers import load_table
     from tests.conftest import SF_DIR
@@ -220,6 +222,8 @@ def test_ivf_argmax_cell_assignment_matches_sorted_path(spark):
     """The array_max argmax used for corpus cell assignment (n=1 fast path)
     must pick exactly the cell the sorted top-n path ranks first."""
     from pyspark.sql import functions as F
+
+    import os
 
     from incremental_data_pipeline_spark.operators import similarity as sim
     from incremental_data_pipeline_spark.sources.readers import load_table
@@ -412,3 +416,41 @@ def test_ahash_groups_visual_replicas(spark):
     assert out[1] == out[2]
     assert out[1] != out[3]
     assert len(out[1]) == 64 and set(out[1]) <= {"0", "1"}
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """The persisted-index probe must resolve probed cells as PARTITION
+    PRUNING on the parquet scan (cell directories outside the probe set
+    are never read) — the property that makes the index probe-local at
+    100 TB. Also pins upsert semantics: batch wins on id collision, only
+    touched cells rewritten."""
+    import os
+
+    from incremental_data_pipeline_spark.operators import similarity as sim
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    codebook = sim.centroid_codebook(emb, nlist=8)
+    path = str(tmp_path / "idx")
+    sim.ivf_index_build(emb.filter(F.col("vec_id") % 5 != 4), codebook, path)
+    before = {d for d in os.listdir(path) if d.startswith("cell=")}
+    sim.ivf_index_upsert(
+        spark, emb.filter(F.col("vec_id") % 5 == 4), codebook, path
+    )
+    # index now holds the whole corpus exactly once
+    idx = spark.read.parquet(path)
+    assert idx.count() == emb.count()
+    assert idx.select("vec_id").distinct().count() == emb.count()
+    assert {d for d in os.listdir(path) if d.startswith("cell=")} >= before
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = sim.ivf_index_probe(spark, path, queries, codebook, k=3, nprobe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:200]
+    assert out.count() > 0
+    # upsert overwrite: re-upserting the same batch is idempotent
+    sim.ivf_index_upsert(
+        spark, emb.filter(F.col("vec_id") % 5 == 4), codebook, path
+    )
+    assert spark.read.parquet(path).count() == emb.count()
