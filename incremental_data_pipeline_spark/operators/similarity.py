@@ -920,11 +920,16 @@ def ivf_index_upsert(
 
     The codebook must be the one the index was built with (centroid drift
     requires a rebuild — same contract as any IVF implementation)."""
+    import os
+
     batch = fan_out(new_rows).select(
         F.col(id_col),
         quantize("embedding").alias("cv"),
         let(quantize("embedding"), lambda v: _cell_of(centroids, v)).alias("cell"),
     ).dropDuplicates([id_col])
+    if not os.path.exists(path):  # first batch bootstraps the index
+        batch.repartition(F.col("cell")).write.partitionBy("cell").parquet(path)
+        return
     touched = [r["cell"] for r in batch.select("cell").distinct().collect()]
     existing = spark.read.parquet(path).filter(F.col("cell").isin(touched))
     survivors = existing.join(batch.select(id_col), id_col, "left_anti")

@@ -12478,3 +12478,148 @@ def ann_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     _sim.ivf_index_upsert(spark, late, codebook, path)
     queries_df = emb.filter((F.col("vec_id") >= 40) & (F.col("vec_id") < 60))
     return _sim.ivf_index_probe(spark, path, queries_df, codebook, k=3, nprobe=2)
+
+
+def _ivf_recall_oracle(nlist: int = 8, nprobe: int = 2, k: int = 3) -> str:
+    cos_cv = (
+        f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+    )
+    cos_qc = (
+        f"CAST({_dot('qv', 'ce')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs
+          WHERE vec_id >= 20 AND vec_id < 40),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT)
+            AS rank
+        FROM (
+          SELECT query_id, c.vec_id AS neighbor_id, {_COSINE_SQL} AS cosine
+          FROM vecs c CROSS JOIN q
+          CROSS JOIN LATERAL (SELECT c.v AS cv) t
+          WHERE c.vec_id != query_id))
+      WHERE rank <= {k}),
+    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs WHERE vec_id < {nlist}),
+    assign AS (
+      SELECT vec_id AS neighbor_id, v AS cv, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY {cos_cv} DESC, cid ASC) AS rnk
+      FROM vecs CROSS JOIN cents),
+    cells AS (SELECT neighbor_id, cv, cid AS cell FROM assign WHERE rnk = 1),
+    qassign AS (
+      SELECT query_id, qv, cid,
+        row_number() OVER (PARTITION BY query_id ORDER BY {cos_qc} DESC, cid ASC) AS rnk
+      FROM (SELECT query_id, qv AS v, qv FROM q) CROSS JOIN cents),
+    probes AS (SELECT query_id, qv, cid AS cell FROM qassign WHERE rnk <= {nprobe}),
+    ivfr AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id, CAST(row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS INT)
+            AS rank
+        FROM (
+          SELECT query_id, neighbor_id,
+            CAST({_dot('qv', 'cv')} AS DOUBLE) /
+            (sqrt(CAST({_dot('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE))) AS cosine
+          FROM cells JOIN probes USING (cell)
+          WHERE neighbor_id != query_id))
+      WHERE rank <= {k}),
+    hits AS (SELECT e.query_id, e.neighbor_id
+             FROM exact e JOIN ivfr l
+               ON e.query_id = l.query_id AND e.neighbor_id = l.neighbor_id)
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_hits,
+           CAST((SELECT count(*) FROM hits) AS DOUBLE)
+             / (SELECT count(*) FROM exact) AS recall
+    """
+
+
+@query("ann_ivf_recall", _ivf_recall_oracle(nlist=8, nprobe=2, k=3))
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall of the IVF ANN path against exact brute force —
+    the accuracy audit `ann_lsh_recall` provides for LSH, now for the
+    cell-probe family too (every production IVF deployment tunes nprobe
+    against exactly this curve). Both engines rebuild both rankings and
+    must agree on the hit set AND the ratio; the probe set is the
+    20-query window the IVF queries use."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
+    exact = _sim.brute_force_topk(emb, queries, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    codebook = _cached_codebook(emb, sf_dir, 8, "prefix")
+    ivf = _sim.ivf_topk(emb, queries, codebook, k=3, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    hits = exact.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_hits = hits.agg(F.count(F.lit(1)).alias("n_hits"))
+    return n_exact.crossJoin(n_hits).select(
+        "n_exact",
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall"
+        ),
+    )
+
+
+@query(
+    "stream_ivf_index_upsert",
+    _ivf_oracle(nlist=8, nprobe=2, k=3, q_lo=60, q_hi=80),
+)
+def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN index maintenance: embeddings arrive as 3 ordered
+    micro-batches and each batch is upserted into the persisted IVF index
+    through the exactly-once epoch ledger (replayed epochs skip; the
+    upsert itself is also idempotent — belt and suspenders). After the
+    stream drains, a probe of the streamed index must equal single-shot
+    IVF assignment over the whole corpus — the oracle is the standard IVF
+    twin on a fresh query window. This is the online half of
+    `ann_ivf_index_persisted`: a crawler continuously feeding a vector
+    index without rebuilds.
+
+    Scale shape: per batch, assignment is a narrow map over the BATCH and
+    the dynamic overwrite touches only that batch's cells — cost scales
+    with the increment, never the index."""
+    base = scratch_dir("stream_ivf_idx_")
+    src = os.path.join(base, "src")
+    idx = os.path.join(base, "index")
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _cached_codebook(emb, sf_dir, 8, "prefix")
+    # 3 ordered single-file chunks -> 3 micro-batches
+    os.makedirs(src)
+    import glob as _glob
+    import shutil as _shutil
+
+    n = emb.count()
+    for i, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        tmp = os.path.join(base, f"__c{i}__")
+        emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).coalesce(1).write.parquet(tmp)
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        os.rename(part, os.path.join(src, f"chunk{i}.parquet"))
+        _shutil.rmtree(tmp)
+
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def apply_batch(batch: DataFrame, _epoch: int) -> None:
+        _sim.ivf_index_upsert(spark, batch, codebook, idx)
+
+    _stream.foreach_batch_exactly_once(
+        stream,
+        apply_batch,
+        os.path.join(base, "ckpt"),
+        os.path.join(base, "ledger"),
+    )
+    queries_df = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
+    return _sim.ivf_index_probe(spark, idx, queries_df, codebook, k=3, nprobe=2)
