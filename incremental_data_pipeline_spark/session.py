@@ -75,6 +75,15 @@ def get_spark(
         # Parquet scans: vectorized reader + aggregate pushdown where legal.
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime Bloom-filter joins: a selective dim filter is pushed to
+        # the fact side as a bloom probe BEFORE the shuffle. Off by
+        # default in Spark; the built-in gates (creation side <10MB,
+        # probe-side scan >10GB) mean it only fires in exactly the
+        # big-fact/selective-dim case where it wins — a no-op on the test
+        # fixtures, a large shuffle saving at 100 TB.
+        # (tests/test_relational_ext.py pins the injection with the gates
+        # lowered to fixture scale.)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # Scan-split sizing. 128 MB splits are the right default for both
         # the local fixtures and a production cluster: at 100 TB that is
         # ~800k splits — enough for any executor count — while per-task

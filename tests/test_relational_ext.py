@@ -230,6 +230,8 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "robust_outlier_profile": (4, 0),  # med agg + mad agg + final grid
         "scd1_upsert_evolving": (0, 0),    # source broadcasts; anti+union
         "local_supplier_volume": (2, 0),   # one fact shuffle pair + global sort
+        "ann_ivf_index_persisted": (1, 0),  # probe reads pruned cells; 1 top-k window
+        "stream_ivf_index_upsert": (1, 0),  # same probe shape, streamed build
     }
     for name, (max_shuffles, max_smj) in expect.items():
         plan = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
@@ -465,3 +467,56 @@ def test_skyline_duplicate_and_tie_semantics(spark):
             for r in QUERIES["skyline_parts_pareto"](spark, d).collect()
         }
     assert got == {(0.5, 9): 1, (1.0, 5): 2, (2.0, 3): 1}
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark):
+    """Catalyst's runtime Bloom-filter join (the engine-native cousin of
+    operators/relational.py's explicit Bloom prefilter): with the optimizer
+    flag on and a selective build side, the probe-side scan must carry a
+    BloomFilterMightContain runtime filter so fact rows are dropped before
+    the shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling the matching slice."""
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # fixture-sized thresholds so injection triggers at test scale:
+        # the probe side must look "big" (default gate is 10GB of scan)
+        # and the filtered build side "small"
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000  # selective build side
+        )
+        joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan, plan[:2000]
+        # filter is an optimization, never a semantics change
+        n_with = joined.count()
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        li2 = load_table(spark, SF_DIR, "lineitem")
+        o2 = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        assert li2.join(o2, F.col("l_orderkey") == F.col("o_orderkey")).count() == n_with
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
