@@ -919,7 +919,15 @@ def ivf_index_upsert(
     cell instead of day. Untouched cells are never read or written.
 
     The codebook must be the one the index was built with (centroid drift
-    requires a rebuild — same contract as any IVF implementation)."""
+    requires a rebuild — same contract as any IVF implementation).
+
+    Small-files note: no separate compaction step is needed — the dynamic
+    overwrite rewrites each touched cell WHOLESALE through one cell-keyed
+    repartition, so a cell is always ~one file regardless of how many
+    upsert bursts touched it (verified: repeated upserts leave one file
+    per cell). This is deliberate: an append-based upsert would need the
+    compaction cadence `sources/maintenance.compact_table` gives plain
+    tables."""
     import os
 
     batch = fan_out(new_rows).select(
