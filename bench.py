@@ -85,11 +85,20 @@ HEADLINE = [
     "multimodal_ahash",
     "stream_cusum_alarms",
     "dedup_prefix_containment",
-    # round-5: blocked edit-distance dedup, integer-exact BM25 retrieval,
-    # multi-table transactional snapshot
+    # round-5: blocked edit-distance dedup/ER, integer-exact BM25
+    # retrieval, robust outlier census, schema-evolving merge, multi-table
+    # transactional snapshot, Q5-shaped cyclic join, persisted/streamed
+    # IVF index + recall audit
     "dedup_blocked_edit",
     "bm25_per_term_topk",
     "multi_table_txn_snapshot",
+    "er_blocked_match",
+    "robust_outlier_profile",
+    "scd1_upsert_evolving",
+    "local_supplier_volume",
+    "ann_ivf_index_persisted",
+    "stream_ivf_index_upsert",
+    "ann_ivf_recall",
 ]
 
 

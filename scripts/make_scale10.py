@@ -13,7 +13,13 @@ and measure a different (pathological) workload, not scale.
 Output: .scale/sf1/{table}.parquet directories (gitignored, regenerate on
 demand). Correctness gates never read this data — bench only.
 
-Usage: python scripts/make_scale10.py [out_dir]
+The script composes: pointing --src at a previously derived .scale/sf1
+with a larger --stride yields a 100x point (.scale/sf10). The word-level
+perturbation stacks — second-pass tags land on words offset by the new
+replica id, so ~3/4 of 3-gram shingles still break between any two of
+the 100 replicas and the duplicate RATE stays flat at 100x too.
+
+Usage: python scripts/make_scale10.py [out_dir] [--src DIR] [--stride N]
 """
 
 from __future__ import annotations
@@ -48,7 +54,17 @@ COPY_AS_IS = ["region", "nation"]
 
 
 def main() -> None:
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else str(
+    global SRC, STRIDE
+    argv = list(sys.argv[1:])
+    if "--src" in argv:
+        i = argv.index("--src")
+        SRC = argv[i + 1]
+        del argv[i : i + 2]
+    if "--stride" in argv:
+        i = argv.index("--stride")
+        STRIDE = int(argv[i + 1])
+        del argv[i : i + 2]
+    out_dir = argv[0] if argv else str(
         Path(__file__).resolve().parent.parent / ".scale" / "sf1"
     )
     os.makedirs(out_dir, exist_ok=True)
