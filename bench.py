@@ -120,8 +120,13 @@ def main() -> None:
         # Local-mode Spark defaults to a 1 GiB driver heap, which the
         # full headline set exhausts at the sf1 scale point (GCLocker
         # alloc stalls, then OOM). Effective only when this process
-        # creates the JVM — exactly the bench case.
-        extra_conf={"spark.driver.memory": "12g"},
+        # creates the JVM — exactly the bench case. The sf10 (100x)
+        # point needs more headroom: override via SPARK_GRAFT_DRIVER_MEM.
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "12g"
+            )
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
