@@ -68,8 +68,19 @@ def main() -> None:
         Path(__file__).resolve().parent.parent / ".scale" / "sf1"
     )
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark(app_name="make_scale10", master="local[32]",
-                      shuffle_partitions=32)
+    spark = get_spark(
+        app_name="make_scale10",
+        master="local[32]",
+        shuffle_partitions=32,
+        # The 100x pass (--src .scale/sf1) cross-joins ~6M-row inputs
+        # against the replica range and word-tags every document; the
+        # default 1g local-mode driver heap OOMs on the lineitem write.
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "SPARK_GRAFT_DRIVER_MEM", "24g"
+            )
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     reps = spark.range(REPLICAS).select(F.col("id").cast("int").alias("__r"))
