@@ -856,3 +856,120 @@ def blocked_edit_pairs(
         .filter(F.col("edit_dist") <= max_dist)
         .select("doc_a", "doc_b", F.col("edit_dist").cast("long").alias("edit_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-span removal (token-level substring dedup)
+# ---------------------------------------------------------------------------
+
+
+def repeated_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide repeated-SPAN removal: every SLIDING ``k``-token window
+    that occurs at least ``min_count`` times anywhere in the corpus
+    (across documents OR repeated within one) is cut out of every
+    document, and the surviving text is reconstructed — the training-data
+    "exact substring dedup" step (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better") that whole-document and
+    near-dup filters cannot express: they keep or drop documents, this
+    removes the duplicated PASSAGE and keeps the rest. Reference scope:
+    the reference pipeline has no text curation at all; this extends the
+    medallion silver layer the same way `dedup_cross_doc_spans` does,
+    but with removal semantics instead of a keep/drop signal.
+
+    Returns one row per input document: ``(id, n_tokens, n_removed,
+    clean_text)`` where ``n_removed`` counts tokens covered by at least
+    one duplicated window and ``clean_text`` is the remaining tokens
+    re-joined in order ('' when everything was duplicated).
+
+    Scale shape (the suffix-array pipeline, re-expressed as joins):
+    - window hashing is a narrow per-row map (one md5 per token via
+      array ``transform`` — no explode until the count);
+    - the duplicate-window set is one map-side-combinable count shuffle
+      on the 128-bit window hash;
+    - coverage explodes ``k`` rows PER DUPLICATED WINDOW OCCURRENCE, so
+      the expensive path is proportional to how much duplicated text
+      exists, not to corpus size;
+    - full token explode + order-preserving rebuild runs ONLY for
+      documents that contain at least one duplicated window (left-semi
+      gate) — untouched documents (the vast majority of a healthy
+      corpus) never leave the narrow path and pass their text through
+      unchanged.
+    All hashes are md5 over explicit strings -> the DuckDB oracle
+    reproduces the result bit-for-bit, including the rebuilt text.
+    """
+    toks = F.split(F.col(text_col), " ")
+    docs = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        toks.alias("__t"),
+        F.size(toks).alias("__n"),
+    )
+    # (id, start, window-hash) for every sliding k-window. Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0], not empty — short docs
+    # must short-circuit explicitly (same trap as dedup_cross_doc_spans).
+    grams = docs.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.col("__n") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__n") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("s"),
+                        F.md5(F.concat_ws(" ", F.slice("__t", i, k))).alias(
+                            "h"
+                        ),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<s:int,h:string>>"))
+        ).alias("__g"),
+    ).select(id_col, F.col("__g.s").alias("s"), F.col("__g.h").alias("h"))
+    dup_windows = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("h")
+    )
+    dup_starts = grams.join(dup_windows, "h", "left_semi").select(id_col, "s")
+    covered = dup_starts.select(
+        id_col,
+        F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("j"),
+    ).distinct()
+    n_removed = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_removed")
+    )
+    # rebuild ONLY affected documents: explode to (id, position, token),
+    # anti-join the covered positions, re-join in order
+    affected_toks = (
+        docs.join(n_removed.select(id_col), id_col, "left_semi")
+        .select(id_col, F.posexplode("__t").alias("j0", "w"))
+        .select(id_col, (F.col("j0") + 1).alias("j"), "w")
+    )
+    survivors = affected_toks.join(covered, [id_col, "j"], "left_anti")
+    rebuilt = survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("__ct")
+    )
+    return (
+        docs.join(n_removed, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            F.coalesce("n_removed", F.lit(0)).cast("bigint").alias("n_removed"),
+            F.when(F.col("n_removed").isNull(), F.col("__text"))
+            .otherwise(F.coalesce("__ct", F.lit("")))
+            .alias("clean_text"),
+        )
+    )

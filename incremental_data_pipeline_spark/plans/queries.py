@@ -6986,41 +6986,76 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 def price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded theta-join: pairs of same-type parts whose prices differ by
     at most 1.0. The oracle states it as the naive all-pairs theta join;
-    the engine converts it to an EQUI-join by flooring prices into
-    unit-width bands and probing each row against its own band ±1 — a
+    the engine (a) converts it to an EQUI-join by flooring prices into
+    unit-width bands and probing each cell against its own band ±1 — a
     bound of |Δprice| ≤ w means band ids differ by at most 1, so the
-    3-way band fan-out loses no pair and finds each exactly once.
+    3-way band fan-out loses no pair and finds each exactly once — and
+    (b) COLLAPSES the join to the distinct-(type, price) grid first:
+    every member of a grid cell participates identically, so a cell pair
+    contributes m_a·m_b pairs and m_a·m_b·|Δ| gap mass, and a cell's
+    internal pairs contribute C(m,2) with gap 0. The factorization is
+    exact — |Δ| and the ≤ predicate are evaluated on the very same
+    doubles the per-row join would see, and the per-pair
+    DECIMAL(18,4)-rounded gap is constant within a cell pair, so
+    multiplying it by the integer m_a·m_b is bit-identical to summing it
+    m_a·m_b times.
 
-    Scale shape: the quadratic blowup is confined to single (type, band)
-    buckets — the same bucket-bounding contract as the LSH/IVF dedup
-    family; the join itself is a plain shuffled equi-join on
-    (p_type, band)."""
+    Scale shape (fixed by the sf10 point, 77x wall for 10x data before):
+    row-level banding confines the blowup to (type, band) buckets, but
+    duplicate PRICES make bucket population — and the pair count itself —
+    grow with corpus size, so enumerating pairs is inherently
+    superlinear. The grid collapse does the only O(distinct) work:
+    one map-side-combinable count shuffle builds the grid, the banded
+    self-join runs on the grid (bounded by |types| × price range, NOT by
+    row count), and multiplicities multiply out."""
     part = load_table(spark, sf_dir, "part")
-    p = part.select(
-        "p_partkey",
-        "p_type",
-        F.col("p_retailprice").cast("double").alias("price"),
-    ).withColumn("band", F.floor("price").cast("long"))
-    probe = p.withColumn(
+    g = (
+        part.select(
+            "p_type", F.col("p_retailprice").cast("double").alias("price")
+        )
+        .groupBy("p_type", "price")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .withColumn("band", F.floor("price").cast("long"))
+    )
+    probe = g.withColumn(
         "nb",
-        F.explode(
-            F.array(
-                F.col("band") - 1, F.col("band"), F.col("band") + 1
-            )
-        ),
+        F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)),
     )
-    a, b = probe.alias("a"), p.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.p_type") == F.col("b.p_type"))
-        & (F.col("a.nb") == F.col("b.band"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-        & (F.abs(F.col("a.price") - F.col("b.price")) <= 1.0),
-    )
+    a, b = probe.alias("a"), g.alias("b")
+    # cross-cell pairs, each unordered cell pair once (price_a < price_b);
+    # the gap predicate/value uses the identical double arithmetic the
+    # row-level join would
     gap = F.abs(F.col("a.price") - F.col("b.price"))
-    return pairs.groupBy(F.col("a.p_type").alias("p_type")).agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.sum(gap.cast("decimal(18,4)")).cast("double").alias("gap_sum"),
+    cross = (
+        a.join(
+            b,
+            (F.col("a.p_type") == F.col("b.p_type"))
+            & (F.col("a.nb") == F.col("b.band"))
+            & (F.col("a.price") < F.col("b.price"))
+            & (F.abs(F.col("a.price") - F.col("b.price")) <= 1.0),
+        )
+        .select(
+            F.col("a.p_type").alias("p_type"),
+            (F.col("a.m") * F.col("b.m")).alias("pairs"),
+            (
+                gap.cast("decimal(18,4)")
+                * (F.col("a.m") * F.col("b.m")).cast("decimal(18,0)")
+            ).alias("gap_mass"),
+        )
+    )
+    # within-cell pairs: C(m,2) identical-price pairs, gap exactly 0
+    within = g.filter(F.col("m") >= 2).select(
+        "p_type",
+        F.expr("m * (m - 1) div 2").alias("pairs"),
+        F.lit(0).cast("decimal(18,4)").alias("gap_mass"),
+    )
+    return (
+        cross.unionByName(within)
+        .groupBy("p_type")
+        .agg(
+            F.sum("pairs").cast("bigint").alias("n_pairs"),
+            F.sum("gap_mass").cast("double").alias("gap_sum"),
+        )
     )
 
 
@@ -12623,3 +12658,55 @@ def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries_df = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
     return _sim.ivf_index_probe(spark, idx, queries_df, codebook, k=3, nprobe=2)
+
+
+@query(
+    "dedup_span_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i AS s,
+             md5(array_to_string(
+               t[CAST(i AS INTEGER):CAST(i + 9 AS INTEGER)], ' ')) AS h
+      FROM toks, unnest(generate_series(1, len(t) - 9)) AS g(i)),
+    dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+    dstart AS (SELECT g.doc_id, g.s FROM grams g JOIN dup USING (h)),
+    covered AS (
+      SELECT DISTINCT doc_id, s + o AS j
+      FROM dstart, unnest(generate_series(0, 9)) AS gg(o)),
+    nrem AS (SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY doc_id),
+    pos AS (
+      SELECT tk.doc_id, i AS j, t[CAST(i AS INTEGER)] AS w
+      FROM toks tk JOIN nrem USING (doc_id),
+           unnest(generate_series(1, len(t))) AS g(i)),
+    surv AS (
+      SELECT p.doc_id, p.j, p.w FROM pos p ANTI JOIN covered USING (doc_id, j)),
+    rebuilt AS (
+      SELECT doc_id, string_agg(w, ' ' ORDER BY j) AS ct
+      FROM surv GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(len(d.t) AS BIGINT) AS n_tokens,
+           CAST(coalesce(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+           CASE WHEN nrem.doc_id IS NULL THEN d.text
+                ELSE coalesce(r.ct, '') END AS clean_text
+    FROM toks d
+    LEFT JOIN nrem USING (doc_id)
+    LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with REMOVAL semantics: every sliding
+    10-token window that occurs >= 2 times corpus-wide is cut out of
+    every document and the surviving text is rebuilt in order — the
+    Lee-et-al.-2022 training-data curation step that document-level
+    dedup (`dedup_exact`, `dedup_minhash_lsh`) and the span keep/drop
+    signal (`dedup_cross_doc_spans`) cannot express. The oracle
+    reproduces the rebuilt text bit-for-bit, so the hash gate checks the
+    actual surviving passages, not just the counts.
+
+    Scale shape: see `operators/dedup.py:repeated_span_removal` — one
+    count shuffle on window md5s; the explode/rebuild path is gated to
+    documents that actually contain duplicated spans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dedup.repeated_span_removal(docs, "doc_id", "text", k=10, min_count=2)
