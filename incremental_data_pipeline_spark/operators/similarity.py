@@ -295,8 +295,16 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 3,
     nprobe: int = 2,
+    scaled_dot_assign: bool = False,
 ) -> DataFrame:
     """IVF-flat approximate top-k with a fixed centroid codebook.
+
+    ``scaled_dot_assign=True`` ranks cells by ``dot(v,c)/|c|`` against
+    per-centroid norm literals — argmax-equivalent to cosine (|v| is
+    constant within a row) at ONE integer dot per (row, centroid)
+    instead of three; the final candidate ranking stays full cosine.
+    Callers with a matching oracle must mirror the same scaled-dot
+    doubles in the assignment rank.
 
     ``centroids`` is a small driver-side list of (centroid_id, quantized
     vector) — in production the output of a sampling/k-means job, here a
@@ -323,16 +331,32 @@ def ivf_topk(
     # size, which is what keeps re-planning cheap as nlist grows.
     matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
     ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+    if scaled_dot_assign:
+        import math
+
+        norms = F.lit(
+            [math.sqrt(sum(x * x for x in vec)) for _, vec in centroids]
+        ).cast("array<double>")
+
+        def cell_score(vcol: Column, c: Column, i: Column) -> Column:
+            return dot_q(vcol, c).cast("double") / F.element_at(
+                norms, i + F.lit(1)
+            )
+
+    else:
+
+        def cell_score(vcol: Column, c: Column, i: Column) -> Column:
+            return cosine_q(vcol, c)
 
     def cell_scores(vcol: Column) -> Column:
-        # array<struct<cosine double, neg_id int>>, sorted desc by struct
+        # array<struct<score double, neg_id int>>, sorted desc by struct
         # comparison => best cell first, ties to the lowest centroid id.
         return F.reverse(
             F.array_sort(
                 F.transform(
                     matrix,
                     lambda c, i: F.struct(
-                        cosine_q(vcol, c).alias("cos"),
+                        cell_score(vcol, c, i).alias("cos"),
                         (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
                     ),
                 )
@@ -341,14 +365,14 @@ def ivf_topk(
 
     def top_cells(vcol: Column, n: int) -> Column:
         if n == 1:
-            # argmax via a single array_max over (cos, neg_id) structs —
+            # argmax via a single array_max over (score, neg_id) structs —
             # skips the full sort+reverse+slice on the (large) corpus side.
             return F.array(
                 -F.array_max(
                     F.transform(
                         matrix,
                         lambda c, i: F.struct(
-                            cosine_q(vcol, c).alias("cos"),
+                            cell_score(vcol, c, i).alias("cos"),
                             (-F.element_at(ids_arr, i + F.lit(1))).alias("neg_id"),
                         ),
                     )
@@ -678,6 +702,80 @@ def semantic_dedup(
     # without a barrier the per-row argmax over the codebook (the dominant
     # narrow-map cost) re-executes three times. Materialize once — same
     # pattern as the connected-components edge checkpoint.
+    cells = cells.localCheckpoint(eager=False)
+    a = cells.select(
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"), "cell",
+    )
+    b = cells.select(
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"), "cell",
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(
+            (
+                dot_q(F.col("__va"), F.col("__vb")).cast("double")
+                / (F.col("__na") * F.col("__nb"))
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        cells.join(dropped, id_col, "left")
+        .select(
+            id_col,
+            "cell",
+            F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+def semantic_dedup_lsh(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    num_planes: int | None = None,
+    dim: int = 64,
+    target_occupancy: int = 256,
+) -> DataFrame:
+    """SemDeDup with HYPERPLANE-BUCKET cells instead of a codebook:
+    within each bucket, drop every vector that has a lower-id neighbor
+    with cosine >= ``threshold`` (same min-id dominance and same
+    accepted-miss contract as ``semantic_dedup``; only the space
+    partition differs).
+
+    Why this variant exists (the sf10 lesson): codebook assignment costs
+    one dot per (row, centroid), so growing nlist ~ N/target — required
+    to keep the within-cell pair scan bounded — makes assignment
+    N²/target, and even the hierarchical split only cuts it to
+    N·2√nlist. A hyperplane bucket costs B = ceil(log2(N/m)) dots per
+    row — LOGARITHMIC in N — so assignment is ~N·log(N/m) while mean
+    cell occupancy still holds at ~m. This is the engine's only
+    constant-ish-per-row cell function, which makes it the 100 TB
+    default for one-shot (non-persisted) semantic dedup; the codebook
+    variants remain for persisted-index workflows where assignment cost
+    amortizes across runs.
+    """
+    from incremental_data_pipeline_spark.functions.vector import norm_q
+
+    if num_planes is None:
+        num_planes = auto_planes(
+            corpus.count(), target_occupancy=target_occupancy
+        )
+    planes = hyperplanes(num_planes, dim)
+    cells = fan_out(corpus).select(
+        F.col(id_col),
+        quantize(vec_col).alias("__v"),
+        let(quantize(vec_col), lambda v: _bucket(v, planes)).alias("cell"),
+    )
+    cells = cells.withColumn("__n", norm_q(F.col("__v")))
+    # one barrier: the bucket projection feeds both join sides + join-back
     cells = cells.localCheckpoint(eager=False)
     a = cells.select(
         F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),

@@ -1985,22 +1985,28 @@ def ann_lsh_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_auto_oracle(target_cell: int, nprobe: int, k: int) -> str:
+def _ivf_auto_oracle(
+    target_cell: int, nprobe: int, k: int, max_nlist: int = 65536
+) -> str:
     """Dynamic-nlist twin of ``_ivf_oracle``: nlist = ceil(N/target_cell)
-    computed in SQL with the same integer math as ``similarity.auto_nlist``,
-    then the prefix codebook is the nlist lowest-id vectors."""
+    computed in SQL with the same integer math as ``similarity.auto_nlist``
+    (including the ``max_nlist`` clamp), then the prefix codebook is the
+    nlist lowest-id vectors. Assignment ranks by the scaled dot
+    ``dot(v,c)/|c|`` — argmax-equivalent to cosine and the exact doubles
+    the Spark side computes with ``scaled_dot_assign=True``; the final
+    candidate ranking stays full cosine."""
     cos_cv = (
         f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
-        f"(sqrt(CAST({_dot('cv', 'cv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+        f"sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE))"
     )
     cos_qc = (
         f"CAST({_dot('qv', 'ce')} AS DOUBLE) / "
-        f"(sqrt(CAST({_dot('qv', 'qv')} AS DOUBLE)) * sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE)))"
+        f"sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE))"
     )
     return f"""
     WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
     params AS (
-      SELECT GREATEST(4, LEAST(65536, (count(*) + {target_cell} - 1) // {target_cell}))
+      SELECT GREATEST(4, LEAST({max_nlist}, (count(*) + {target_cell} - 1) // {target_cell}))
         AS nlist
       FROM vecs),
     cents AS (SELECT vec_id AS cid, v AS ce FROM vecs
@@ -2029,18 +2035,33 @@ def _ivf_auto_oracle(target_cell: int, nprobe: int, k: int) -> str:
     """
 
 
-@query("ann_ivf_auto_topk", _ivf_auto_oracle(target_cell=256, nprobe=2, k=3))
+@query(
+    "ann_ivf_auto_topk",
+    _ivf_auto_oracle(target_cell=256, nprobe=2, k=3, max_nlist=64),
+)
 def ann_ivf_auto_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with corpus-sized cell count: nlist = auto_nlist(N), the
-    oracle re-deriving the SAME nlist from count(*) — mean cell occupancy
-    stays ~target_cell as the corpus grows instead of cells fattening
-    linearly with N. target=256 exercises a non-floor nlist at sf0.1
-    (N=2000 -> nlist=8)."""
+    oracle re-deriving the SAME nlist (including the clamp) from
+    count(*) — mean cell occupancy stays ~target_cell as the corpus
+    grows instead of cells fattening linearly with N. target=256
+    exercises a non-floor nlist at sf0.1 (N=2000 -> nlist=8).
+
+    Why the 64-cell clamp (the sf10 lesson — 61x wall for 10x data
+    unclamped): FLAT assignment costs one dot per (row, centroid), so
+    letting nlist track N/target makes assignment N²/target. Clamping
+    nlist keeps this one-shot variant linear (N·64 scaled dots — the
+    scaled-dot rank is one dot per cell, not three); when the corpus
+    outgrows the clamp, growth belongs to the shapes built for it:
+    `ann_ivf2_topk` (hierarchical, N·2√nlist), `ann_lsh_auto_topk`
+    (N·log cells), or `ann_ivf_index_persisted` (assignment amortized
+    across runs)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    nlist = _sim.auto_nlist(emb.count(), target_cell=256)
+    nlist = _sim.auto_nlist(emb.count(), target_cell=256, max_nlist=64)
     codebook = _cached_codebook(emb, sf_dir, nlist, "prefix")
     queries_df = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 40))
-    return _sim.ivf_topk(emb, queries_df, codebook, k=3, nprobe=2)
+    return _sim.ivf_topk(
+        emb, queries_df, codebook, k=3, nprobe=2, scaled_dot_assign=True
+    )
 
 
 def _ivf2_auto_oracle(target_cell: int, nprobe: int, k: int) -> str:
@@ -3404,19 +3425,12 @@ def sample_capped_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sampling.cap_per_stratum(docs, "source", 15, ["doc_id"], salt="cap1")
 
 
-def _semantic_dedup_oracle(target_cell: int, threshold: float) -> str:
-    """Dynamic-nlist SemDeDup oracle: nlist = ceil(N/target_cell) computed
-    in SQL (same integer math as ``similarity.auto_nlist``), so cell
-    occupancy — and with it the quadratic within-cell pair scan — stays
-    ~target_cell as the corpus grows instead of fattening linearly. A
-    fixed nlist=8 measured 32x runtime at 10x data; this is the fix.
-    Assignment ranks by the scaled dot ``dot(v,c)/|c|`` (argmax-
-    equivalent to cosine), matching the Spark side's precomputed-norm
-    literals; the dedup comparison itself stays full cosine."""
-    score_cv = (
-        f"CAST({_dot('cv', 'ce')} AS DOUBLE) / "
-        f"sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE))"
-    )
+def _semantic_dedup_lsh_oracle(target_occupancy: int, threshold: float) -> str:
+    """Hyperplane-bucket SemDeDup twin: B re-derived from count(*) with
+    the auto_planes integer rule, cell = B-char prefix of the max-width
+    bit string (prefix-stable planes), dropped = lower-id within-cell
+    neighbor at cosine >= threshold."""
+    bits = _bucket_sql(_sim.MAX_AUTO_PLANES)
     cos_ab = (
         f"CAST({_dot('a.v', 'b.v')} AS DOUBLE) / "
         f"(sqrt(CAST({_dot('a.v', 'a.v')} AS DOUBLE)) * sqrt(CAST({_dot('b.v', 'b.v')} AS DOUBLE)))"
@@ -3424,37 +3438,40 @@ def _semantic_dedup_oracle(target_cell: int, threshold: float) -> str:
     return f"""
     WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
     params AS (
-      SELECT GREATEST(4, LEAST(65536, (count(*) + {target_cell} - 1) // {target_cell}))
-        AS nlist
+      SELECT GREATEST(4, LEAST({_sim.MAX_AUTO_PLANES},
+        CASE WHEN q <= 1 THEN 0 ELSE length(bin(q - 1)) END)) AS b
+      FROM (SELECT (count(*) + {target_occupancy} - 1) // {target_occupancy} AS q
+            FROM vecs)),
+    cells AS (
+      SELECT vec_id, v, substr({bits}, 1, (SELECT b FROM params)) AS cell
       FROM vecs),
-    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs
-              WHERE vec_id < (SELECT nlist FROM params)),
-    assign AS (
-      SELECT vec_id, v AS cv, cid,
-        row_number() OVER (PARTITION BY vec_id ORDER BY {score_cv} DESC, cid ASC) AS rnk
-      FROM vecs CROSS JOIN cents),
-    cells AS (SELECT vec_id, cv AS v, cid AS cell FROM assign WHERE rnk = 1),
     dropped AS (
       SELECT DISTINCT b.vec_id AS vec_id
       FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
       WHERE {cos_ab} >= {threshold})
-    SELECT c.vec_id, CAST(c.cell AS INT) AS cell, (d.vec_id IS NULL) AS kept
+    SELECT c.vec_id, c.cell, (d.vec_id IS NULL) AS kept
     FROM cells c LEFT JOIN dropped d ON c.vec_id = d.vec_id
     """
 
 
-@query("semantic_dedup_emb", _semantic_dedup_oracle(target_cell=256, threshold=0.8))
+@query(
+    "semantic_dedup_emb",
+    _semantic_dedup_lsh_oracle(target_occupancy=256, threshold=0.8),
+)
 def semantic_dedup_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style semantic dedup with corpus-sized cell count
-    (nlist = auto_nlist(N), oracle re-derives it from count(*)): per-row
-    argmax cell assignment stays zero-shuffle, and the quadratic
-    within-cell pair scan stays bounded at ~target_cell occupancy as the
-    corpus grows — the fixed nlist=8 variant measured 32x runtime at 10x
-    data before this change."""
+    """SemDeDup-style semantic dedup over HYPERPLANE-BUCKET cells
+    (B = auto_planes(N), oracle re-derives it from count(*)): bucket
+    occupancy — and with it the quadratic within-cell pair scan — stays
+    ~target as the corpus grows, while assignment costs B ≈ log2(N/m)
+    dots per row instead of the codebook's nlist = N/target dots. The
+    codebook variant this replaced measured 19.8x wall for 10x data at
+    the sf10 point purely on assignment cost; bucket assignment is
+    ~N·log N. Codebook/IVF cells remain the right shape when the index
+    is PERSISTED (`ann_ivf_index_persisted`) and assignment amortizes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    nlist = _sim.auto_nlist(emb.count(), target_cell=256)
-    codebook = _cached_codebook(emb, sf_dir, nlist, "prefix")
-    return _sim.semantic_dedup(emb, codebook, threshold=0.8)
+    return _sim.semantic_dedup_lsh(
+        emb, threshold=0.8, target_occupancy=256
+    )
 
 
 @query(
