@@ -639,12 +639,14 @@ def prefix_filter_jaccard_pairs(
     # ceil only LENGTHENS the prefix (safe direction).
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(id_col, "shingle", "sz")
+    ).select(id_col, "shingle", "sz", "rn")
     pa = prefix.select(
-        F.col(id_col).alias("doc_a"), "shingle", F.col("sz").alias("sz_a")
+        F.col(id_col).alias("doc_a"), "shingle",
+        F.col("sz").alias("sz_a"), F.col("rn").alias("rn_a"),
     )
     pb = prefix.select(
-        F.col(id_col).alias("doc_b"), "shingle", F.col("sz").alias("sz_b")
+        F.col(id_col).alias("doc_b"), "shingle",
+        F.col("sz").alias("sz_b"), F.col("rn").alias("rn_b"),
     )
     # LENGTH filter (SSJoin/PPJoin): J(A,B) >= t forces t·|A| <= |B| and
     # t·|B| <= |A| (J <= min/max), so size-incompatible postings never
@@ -654,26 +656,57 @@ def prefix_filter_jaccard_pairs(
     size_ok = (
         F.col("sz_b") >= F.lit(threshold) * F.col("sz_a") - F.lit(1e-6)
     ) & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b") - F.lit(1e-6))
+    # POSITIONAL filter (PPJoin): at the SMALLEST common shingle of a
+    # qualifying pair — which is always a join row, since prefixes are
+    # downward-closed within each set and the prefix lemma guarantees
+    # some common shingle in both prefixes — every other common shingle
+    # ranks after it on both sides, so overlap <= 1 + min(remaining).
+    # Requiring that bound to reach alpha = ceil(t/(1+t)·(sz_a+sz_b))
+    # prunes late-prefix matches; rows for non-smallest common shingles
+    # may pass spuriously (extra candidates, never lost pairs). Measured
+    # at the sf10 point: candidate volume 18.9M -> pruned before the
+    # distinct, the growth driver of the 23x wall ratio.
+    pos_ok = (
+        1
+        + F.least(
+            F.col("sz_a") - F.col("rn_a"), F.col("sz_b") - F.col("rn_b")
+        )
+    ) >= (
+        F.lit(threshold) / (1 + F.lit(threshold))
+        * (F.col("sz_a") + F.col("sz_b"))
+        - F.lit(1e-6)
+    )
     cand = (
         pa.join(pb, "shingle")
-        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok)
+        .filter((F.col("doc_a") < F.col("doc_b")) & size_ok & pos_ok)
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = s.select(F.col(id_col).alias("doc_a"), "shingle")
-    sb = s.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Verification joins each candidate to the two docs' SORTED SHINGLE
+    # ARRAYS and counts the overlap with one array_intersect per pair —
+    # the row-explosion form (candidates x |A| rows re-grouped by pair)
+    # shuffled sum(|A|+|B|) rows and dominated the sf10 wall.
+    sets = s.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("shingle")).alias("arr"),
+        F.count(F.lit(1)).alias("sz"),
     )
-    za = sizes.select(F.col(id_col).alias("doc_a"), F.col("sz").alias("sz_a"))
-    zb = sizes.select(F.col(id_col).alias("doc_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(za, "doc_a")
+    za = sets.select(
+        F.col(id_col).alias("doc_a"), F.col("arr").alias("arr_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    zb = sets.select(
+        F.col(id_col).alias("doc_b"), F.col("arr").alias("arr_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    inter = (
+        cand.join(za, "doc_a")
         .join(zb, "doc_b")
         .withColumn(
+            "inter", F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b")))
+        )
+    )
+    return (
+        inter.withColumn(
             "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
         )
         .filter(F.col("jaccard") >= threshold)
@@ -739,31 +772,51 @@ def prefix_filter_containment_pairs(
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select(
-        F.col(id_col).alias("inner_doc"), "shingle", F.col("sz").alias("sz_i")
+        F.col(id_col).alias("inner_doc"), "shingle",
+        F.col("sz").alias("sz_i"), F.col("rn").alias("rn_i"),
     )
-    full = s.join(sizes, id_col).select(
-        F.col(id_col).alias("outer_doc"), "shingle", F.col("sz").alias("sz_o")
+    full = ranked.select(
+        F.col(id_col).alias("outer_doc"), "shingle",
+        F.col("sz").alias("sz_o"), F.col("rn").alias("rn_o"),
     )
     bigger = (F.col("sz_o") > F.col("sz_i")) | (
         (F.col("sz_o") == F.col("sz_i")) & (F.col("inner_doc") < F.col("outer_doc"))
     )
+    # POSITIONAL filter at the smallest common shingle (always a join
+    # row: it sits in the inner prefix by downward-closure and trivially
+    # in the outer full postings): every other common shingle ranks
+    # after it on BOTH sides, so overlap <= 1 + min(remaining); require
+    # that to reach alpha = ceil(t·|inner|). Non-smallest rows may pass
+    # spuriously — extra candidates only, never lost pairs.
+    pos_ok = (
+        1 + F.least(F.col("sz_i") - F.col("rn_i"), F.col("sz_o") - F.col("rn_o"))
+    ) >= (F.lit(threshold) * F.col("sz_i") - F.lit(1e-6))
     cand = (
         prefix.join(full, "shingle")
-        .filter(bigger)
+        .filter(bigger & pos_ok)
         .select("inner_doc", "outer_doc")
         .distinct()
     )
-    si = s.select(F.col(id_col).alias("inner_doc"), "shingle")
-    so = s.select(F.col(id_col).alias("outer_doc"), "shingle")
-    inter = (
-        cand.join(si, "inner_doc")
-        .join(so, ["outer_doc", "shingle"])
-        .groupBy("inner_doc", "outer_doc")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Array verification: one array_intersect per candidate pair instead
+    # of re-exploding both documents' postings and re-grouping by pair
+    # (the sum(|A|+|B|)-row shuffle dominated the sf10 wall).
+    sets = s.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("shingle")).alias("arr"),
+        F.count(F.lit(1)).alias("sz"),
     )
-    zi = sizes.select(F.col(id_col).alias("inner_doc"), F.col("sz").alias("sz_i"))
+    zi = sets.select(
+        F.col(id_col).alias("inner_doc"), F.col("arr").alias("arr_i"),
+        F.col("sz").alias("sz_i"),
+    )
+    zo = sets.select(
+        F.col(id_col).alias("outer_doc"), F.col("arr").alias("arr_o")
+    )
     return (
-        inter.join(zi, "inner_doc")
+        cand.join(zi, "inner_doc")
+        .join(zo, "outer_doc")
+        .withColumn(
+            "inter", F.size(F.array_intersect(F.col("arr_i"), F.col("arr_o")))
+        )
         .withColumn("containment", F.col("inter") / F.col("sz_i"))
         .filter(F.col("containment") >= threshold)
         .select("inner_doc", "outer_doc", "containment")

@@ -209,10 +209,12 @@ def embedding_near_dup(
     num_planes: int | None = None,
     dim: int = 64,
     num_tables: int = 1,
+    target_occupancy: int = 1024,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from a shared LSH
     bucket, confirmed by exact cosine >= threshold. Returns (left_id,
-    right_id, cosine) with left_id < right_id.
+    right_id, cosine) with left_id < right_id. ``target_occupancy`` feeds
+    ``auto_planes`` when ``num_planes`` is None.
 
     Scale shape: bucketing is a narrow per-row projection; the candidate
     self-join is an equi-join on the bucket key, so the quadratic blow-up is
@@ -238,7 +240,9 @@ def embedding_near_dup(
     pass an explicit B to pin bucket assignment for a static oracle.
     """
     if num_planes is None:
-        num_planes = auto_planes(corpus.count())
+        num_planes = auto_planes(
+            corpus.count(), target_occupancy=target_occupancy
+        )
     base = fan_out(corpus)
     if num_tables == 1:
         bucket = let(

@@ -410,8 +410,13 @@ def scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # gold_fact.py:34-38 4-way left FK join; dims broadcast so the fact
-    # table never shuffles.
+    # gold_fact.py:34-38 4-way left FK join. No broadcast HINTS: parquet
+    # size stats + AQE pick broadcast whenever a side is dim-sized (the
+    # plan pin asserts zero shuffles at fixture scale), and degrade the
+    # orderkey join to a shuffle join with a runtime Bloom filter when
+    # orders is fact-sized — the sf10 point measured the forced
+    # broadcast of a 15M-row orders side at 14x wall for 10x data (one
+    # 400MB hash relation per task); at cluster scale it simply OOMs.
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -421,10 +426,10 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
     ).cast("double")
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_brand")), li.l_partkey == p.p_partkey, "left")
-        .join(F.broadcast(s.select("s_suppkey", "s_name")), li.l_suppkey == s.s_suppkey, "left")
+        li.join(p.select("p_partkey", "p_brand"), li.l_partkey == p.p_partkey, "left")
+        .join(s.select("s_suppkey", "s_name"), li.l_suppkey == s.s_suppkey, "left")
         .join(
-            F.broadcast(o.select("o_orderkey", "o_orderpriority")),
+            o.select("o_orderkey", "o_orderpriority"),
             li.l_orderkey == o.o_orderkey,
             "left",
         )
@@ -1864,6 +1869,63 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embedding_near_dup`` with num_planes=None (default)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _sim.embedding_near_dup(emb, threshold=0.3, num_planes=8)
+
+
+def _near_dup_auto_oracle(
+    threshold: float, target_occupancy: int, num_tables: int
+) -> str:
+    """Dynamic-B twin of ``_near_dup_oracle``: B re-derived from count(*)
+    with the auto_planes integer rule; each table's bucket is the B-char
+    prefix of that table's max-width bit string (plane sets are
+    prefix-stable per table seed)."""
+    cos = (
+        f"CAST({_dot('lv', 'rv')} AS DOUBLE) / "
+        f"(sqrt(CAST({_dot('lv', 'lv')} AS DOUBLE)) * sqrt(CAST({_dot('rv', 'rv')} AS DOUBLE)))"
+    )
+    per_table = "\n      UNION ALL\n      ".join(
+        f"SELECT vec_id, '{t}:' || substr({_bucket_sql(_sim.MAX_AUTO_PLANES, t)},"
+        " 1, (SELECT b FROM params)) AS bucket FROM vecs"
+        for t in range(num_tables)
+    )
+    return f"""
+    WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
+    params AS (
+      SELECT GREATEST(4, LEAST({_sim.MAX_AUTO_PLANES},
+        CASE WHEN q <= 1 THEN 0 ELSE length(bin(q - 1)) END)) AS b
+      FROM (SELECT (count(*) + {target_occupancy} - 1) // {target_occupancy} AS q
+            FROM vecs)),
+    b AS (
+      {per_table}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS left_id, r.vec_id AS right_id
+      FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+    pairs AS (
+      SELECT c.left_id, c.right_id, lv.v AS lv, rv.v AS rv
+      FROM cand c
+      JOIN vecs lv ON lv.vec_id = c.left_id
+      JOIN vecs rv ON rv.vec_id = c.right_id)
+    SELECT left_id, right_id, {cos} AS cosine
+    FROM pairs WHERE {cos} >= {threshold}
+    """
+
+
+@query(
+    "embedding_near_dup_auto",
+    _near_dup_auto_oracle(0.3, target_occupancy=64, num_tables=2),
+)
+def embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB operating point for embedding near-dup: B =
+    auto_planes(N, m=64) sizes buckets to the corpus (within-bucket
+    work stays ~m² per bucket as N grows — the pinned-B variants go
+    quadratic by contract, measured 67x wall for 10x data at sf10) and
+    TWO OR-amplified plane tables buy back the recall that raising B
+    costs (1-(1-p)^2 per pair). The oracle re-derives B from count(*)
+    and reproduces both tables' bucketing, so the auto-sizing rule and
+    the amplification are both under the hash gate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.embedding_near_dup(
+        emb, threshold=0.3, num_tables=2, target_occupancy=64
+    )
 
 
 @query("embedding_near_dup_or2", _near_dup_oracle(0.3, num_tables=2))
@@ -12219,27 +12281,37 @@ def dedup_blocked_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(levenshtein(c_name, s_name) AS BIGINT) AS edit_dist
     FROM customer JOIN supplier
       ON c_nationkey = s_nationkey
-     AND substring(c_name, length(c_name) - 2, 3)
-         = substring(s_name, length(s_name) - 2, 3)
+     AND substring(c_name, length(c_name) - 5, 6)
+         = substring(s_name, length(s_name) - 5, 6)
     WHERE levenshtein(c_name, s_name) <= 5
     """,
 )
 def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution across two dimensions: customer and supplier
     records linked by blocked fuzzy match — equi-join on the blocking key
-    (nation, last-3 chars of the entity name) bounds candidates, exact
+    (nation, last-6 chars of the entity name) bounds candidates, exact
     Levenshtein <= 5 verifies (the 5-substitution budget accepts the
     Customer#/Supplier# prefix swap and rejects any digit drift). The
     standard blocked-ER join shape: at 100 TB the block key is the shuffle
-    key and no cross-block pair is ever materialized."""
+    key and no cross-block pair is ever materialized.
+
+    Block width is part of the declared recall contract (the oracle
+    blocks identically). Six suffix chars instead of three (the sf10
+    lesson, 12x wall for 10x data): a 3-char suffix has only 1000
+    values, so block POPULATION — and with it the Levenshtein-verify
+    candidate count — grows quadratically with corpus size; six digits
+    keep candidate volume ~matches until the corpus outgrows 10^6
+    suffixes per nation. Found pairs are identical on every fixture:
+    the 5-edit budget is fully spent on the Customer#/Supplier# prefix
+    swap, so every true match agrees on ALL key digits, not just 3."""
     c = load_table(spark, sf_dir, "customer")
     s = load_table(spark, sf_dir, "supplier")
     blocked = c.join(
         s,
         (F.col("c_nationkey") == F.col("s_nationkey"))
         & (
-            F.expr("substring(c_name, length(c_name) - 2, 3)")
-            == F.expr("substring(s_name, length(s_name) - 2, 3)")
+            F.expr("substring(c_name, length(c_name) - 5, 6)")
+            == F.expr("substring(s_name, length(s_name) - 5, 6)")
         ),
     )
     return (

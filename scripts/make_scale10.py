@@ -97,6 +97,21 @@ def main() -> None:
             df = df.withColumn(
                 k, (F.col(k) + F.col("__r").cast("long") * STRIDE).cast("long")
             )
+        # Keyed ENTITY NAMES are re-derived from the offset key (the same
+        # TPC-H '<Entity>#%09d' rule — wider keys just print more digits).
+        # Cloning names verbatim made every replica a true same-name
+        # entity of its siblings, so entity-resolution OUTPUT itself grew
+        # quadratically in the replica count (measured: er_blocked_match
+        # 12x wall at the 10x point) — a duplicate-rate pathology, not
+        # scale, same class as the text/embedding perturbations.
+        if name == "customer":
+            df = df.withColumn(
+                "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
+            )
+        if name == "supplier":
+            df = df.withColumn(
+                "s_name", F.format_string("Supplier#%09d", F.col("s_suppkey"))
+            )
         if name == "documents":
             # Per-replica WORD-LEVEL perturbation: tag every 4th word
             # (offset by replica id) with a replica marker. A mere suffix
@@ -125,18 +140,39 @@ def main() -> None:
                 "n_chars", F.length("text").cast("long")
             )
         if name == "embeddings":
-            # nudge one coordinate per replica: near-identical geometry,
-            # but replicas are not bit-identical vectors
+            # Per-replica ORTHOGONAL transform: circular-shift the vector
+            # by r and flip the sign of coordinates j ≡ r (mod 10).
+            # A replica-uniform isometry preserves every within-replica
+            # cosine EXACTLY (all planted similarity structure scales
+            # with the data) while cross-replica cosines collapse to
+            # ~0 — the embedding analogue of the word-tagging above.
+            # The previous one-coordinate 0.001 nudge left replicas at
+            # cosine ≈ 0.9999: every vector acquired ~replicas mutual
+            # near-dups, so near-dup/semantic-dedup outputs (and their
+            # within-bucket confirm scans) grew QUADRATICALLY in the
+            # replica count — a pathological workload, not scale
+            # (measured: embedding_near_dup 40x wall at the 10x point).
+            # Replica 0 keeps the original vectors. Known residual: the
+            # two-pass composition (x,0) vs (0,x) applies the same total
+            # transform, so ~18% of final vectors keep exactly ONE
+            # cross-replica twin — a LINEAR near-dup population, which a
+            # realistic corpus has anyway.
+            e = F.col("embedding")
+            r = F.col("__r")
+            shifted = F.when(r == 0, e).otherwise(
+                F.concat(
+                    F.slice(e, r + 1, F.lit(64) - r), F.slice(e, F.lit(1), r)
+                )
+            )
             df = df.withColumn(
                 "embedding",
-                F.transform(
-                    "embedding",
-                    lambda x, j: F.when(
-                        j == F.col("__r") % 64,
-                        (x + F.col("__r").cast("float") * F.lit(0.001)).cast(
-                            "float"
-                        ),
-                    ).otherwise(x),
+                F.when(r == 0, e).otherwise(
+                    F.transform(
+                        shifted,
+                        lambda x, j: F.when(
+                            j % 10 == r % 10, (-x).cast("float")
+                        ).otherwise(x),
+                    )
                 ),
             )
         df = df.drop("__r").repartition(32)

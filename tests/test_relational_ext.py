@@ -171,7 +171,10 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "market_share_brand": (1, 0),     # part broadcasts; one agg shuffle
         "custdist_orders": (2, 0),        # custkey join+agg share a shuffle
         "embedding_quantize_int8": (2, 0),  # 64-row calibration broadcasts
-        "price_band_pairs": (1, 0),       # band fan-out joins as one equi-join
+        # grid collapse: all 4 shuffles move the distinct-(type,price)
+        # GRID (bounded by types x price range), never the part rows —
+        # grid build, two join-side exchanges, final rollup
+        "price_band_pairs": (4, 0),
         "session_path_bigrams": (2, 0),   # user window + 25-cell agg
         "kmv_users_by_event_type": (2, 0),  # distinct + per-group bottom-k
         "customer_balance_rank_profile": (1, 0),  # both windows share a key
@@ -207,7 +210,10 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         "pmi_top_cooccurrences": (3, 0),   # pair agg + unigram agg broadcast back
         "abc_classification_parts": (1, 0),  # part grid; window on the grid
         "multimodal_ahash": (1, 0),        # hash bucket-count window
-        "dedup_prefix_containment": (5, 0),  # rank/candidate/verify joins
+        # array verification: the extra exchanges move doc-count-sized
+        # shingle ARRAYS and candidate pairs, never the exploded
+        # sum(|A|+|B|) posting rows the old verify join shuffled
+        "dedup_prefix_containment": (8, 0),
         "dedup_cross_doc_spans": (3, 0),   # span df + per-doc rollup
         "topk_plus_other_brands": (1, 0),  # brand grid; fold on the grid
         "contingency_residuals": (1, 0),   # seg x nation grid + margins
