@@ -99,6 +99,10 @@ HEADLINE = [
     "ann_ivf_index_persisted",
     "stream_ivf_index_upsert",
     "ann_ivf_recall",
+    # round-5 session 2: the auto-sized OR-amplified near-dup operating
+    # point and C4-style repeated-span removal
+    "embedding_near_dup_auto",
+    "dedup_span_removal",
 ]
 
 
@@ -113,6 +117,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     spark = get_spark(
         app_name="bench",
         master=f"local[{cpus}]",
@@ -123,9 +128,17 @@ def main() -> None:
         # creates the JVM — exactly the bench case. The sf10 (100x)
         # point needs more headroom: override via SPARK_GRAFT_DRIVER_MEM.
         extra_conf={
-            "spark.driver.memory": os.environ.get(
-                "SPARK_GRAFT_DRIVER_MEM", "12g"
-            )
+            "spark.driver.memory": mem,
+            # Size the INITIAL heap to the max and pre-fault every page at
+            # JVM start. Without this, the first heavy query PAYS the
+            # hypervisor page-fault + heap-expansion cost for tens of GB
+            # and the measurement is an artifact of run ORDER, not query
+            # cost (measured in an otherwise-idle session: the identical
+            # dedup_containment run at sf1 took 438s on a growing heap and
+            # 15.7s immediately after, same process; AlwaysPreTouch alone
+            # doesn't help because it only pre-faults -Xms). Standard JVM
+            # benchmarking hygiene; startup eats the cost instead.
+            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
