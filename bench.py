@@ -111,11 +111,23 @@ def _force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def _cpu_stat() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat, or (0, 0) off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return (vals[7] if len(vals) > 7 else 0, sum(vals))
+    except (OSError, ValueError, IndexError):
+        return (0, 0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    steal0, total0 = _cpu_stat()
 
     mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g")
     spark = get_spark(
@@ -138,7 +150,14 @@ def main() -> None:
             # 15.7s immediately after, same process; AlwaysPreTouch alone
             # doesn't help because it only pre-faults -Xms). Standard JVM
             # benchmarking hygiene; startup eats the cost instead.
-            "spark.driver.extraJavaOptions": f"-Xms{mem} -XX:+AlwaysPreTouch",
+            # 240MB default JIT code cache fills after ~50 queries x 2
+            # reps of whole-stage-codegen classes; the JVM then silently
+            # stops compiling and late-list queries run interpreted
+            # (observed: ann_ivf_auto_topk 1.3s early-list vs 6.1s
+            # late-list, same session). 1g keeps every plan compiled.
+            "spark.driver.extraJavaOptions": (
+                f"-Xms{mem} -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -203,6 +222,15 @@ def main() -> None:
         # only comparable on the shared per-query subset.
         "n_queries": len(HEADLINE),
     }
+    # Host-contention self-report: hypervisor steal over the run, as a
+    # fraction of total CPU ticks. Observed steal waves inflate identical
+    # code 3-6x (r4/r5 notes); a number in the artifact beats a footnote
+    # asking readers to trust that the run was quiet.
+    steal1, total1 = _cpu_stat()
+    if total1 > total0:
+        out["host_steal_pct"] = round(
+            100.0 * (steal1 - steal0) / (total1 - total0), 2
+        )
     # Scale-ratio self-report: SPARK_GRAFT_COMPARE_JSON names a previous
     # bench artifact (e.g. the sf0.1 run when this run is the sf1 point);
     # the shared-subset wall ratio lands in the artifact itself so
