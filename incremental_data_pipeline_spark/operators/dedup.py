@@ -664,8 +664,9 @@ def prefix_filter_jaccard_pairs(
     # Requiring that bound to reach alpha = ceil(t/(1+t)·(sz_a+sz_b))
     # prunes late-prefix matches; rows for non-smallest common shingles
     # may pass spuriously (extra candidates, never lost pairs). Measured
-    # at the sf10 point: candidate volume 18.9M -> pruned before the
-    # distinct, the growth driver of the 23x wall ratio.
+    # at the sf10 point: 18.9M candidate rows without it -> pruned
+    # before the distinct (candidate generation is the only stage whose
+    # volume grows faster than the data).
     pos_ok = (
         1
         + F.least(

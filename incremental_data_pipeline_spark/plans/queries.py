@@ -414,9 +414,10 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size stats + AQE pick broadcast whenever a side is dim-sized (the
     # plan pin asserts zero shuffles at fixture scale), and degrade the
     # orderkey join to a shuffle join with a runtime Bloom filter when
-    # orders is fact-sized — the sf10 point measured the forced
-    # broadcast of a 15M-row orders side at 14x wall for 10x data (one
-    # 400MB hash relation per task); at cluster scale it simply OOMs.
+    # orders is fact-sized — at sf10 the forced broadcast built a
+    # 15M-row (~400MB) hash relation consulted by every task and was
+    # measured several-fold slower than letting AQE choose; at cluster
+    # scale a fact-sized broadcast simply OOMs.
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -1916,8 +1917,10 @@ def _near_dup_auto_oracle(
 def embedding_near_dup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB operating point for embedding near-dup: B =
     auto_planes(N, m=64) sizes buckets to the corpus (within-bucket
-    work stays ~m² per bucket as N grows — the pinned-B variants go
-    quadratic by contract, measured 67x wall for 10x data at sf10) and
+    work stays ~m² per bucket as N grows — the pinned-B variants'
+    bucket populations, and so their confirm-scan volume, grow
+    linearly with the corpus and the pair work quadratically, by
+    contract) and
     TWO OR-amplified plane tables buy back the recall that raising B
     costs (1-(1-p)^2 per pair). The oracle re-derives B from count(*)
     and reproduces both tables' bucketing, so the auto-sizing rule and
@@ -7079,7 +7082,9 @@ def price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     multiplying it by the integer m_a·m_b is bit-identical to summing it
     m_a·m_b times.
 
-    Scale shape (fixed by the sf10 point, 77x wall for 10x data before):
+    Scale shape (the sf10 point exposed the row-level form as sharply
+    superlinear — its per-bucket pair enumeration grows with the square
+    of duplicate-price multiplicity):
     row-level banding confines the blowup to (type, band) buckets, but
     duplicate PRICES make bucket population — and the pair count itself —
     grow with corpus size, so enumerating pairs is inherently
@@ -12296,11 +12301,11 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     key and no cross-block pair is ever materialized.
 
     Block width is part of the declared recall contract (the oracle
-    blocks identically). Six suffix chars instead of three (the sf10
-    lesson, 12x wall for 10x data): a 3-char suffix has only 1000
+    blocks identically). Six suffix chars instead of three (an sf10
+    lesson): a 3-char suffix has only 1000
     values, so block POPULATION — and with it the Levenshtein-verify
-    candidate count — grows quadratically with corpus size; six digits
-    keep candidate volume ~matches until the corpus outgrows 10^6
+    candidate count, Σ block² — grows quadratically with corpus size;
+    six digits keep candidate volume ~matches until the corpus outgrows 10^6
     suffixes per nation. Found pairs are identical on every fixture:
     the 5-edit budget is fully spent on the Customer#/Supplier# prefix
     swap, so every true match agrees on ALL key digits, not just 3."""

@@ -101,9 +101,9 @@ def main() -> None:
         # TPC-H '<Entity>#%09d' rule — wider keys just print more digits).
         # Cloning names verbatim made every replica a true same-name
         # entity of its siblings, so entity-resolution OUTPUT itself grew
-        # quadratically in the replica count (measured: er_blocked_match
-        # 12x wall at the 10x point) — a duplicate-rate pathology, not
-        # scale, same class as the text/embedding perturbations.
+        # quadratically in the replica count — a duplicate-rate
+        # pathology, not scale, same class as the text/embedding
+        # perturbations.
         if name == "customer":
             df = df.withColumn(
                 "c_name", F.format_string("Customer#%09d", F.col("c_custkey"))
@@ -151,7 +151,8 @@ def main() -> None:
             # near-dups, so near-dup/semantic-dedup outputs (and their
             # within-bucket confirm scans) grew QUADRATICALLY in the
             # replica count — a pathological workload, not scale
-            # (measured: embedding_near_dup 40x wall at the 10x point).
+            # (embedding_near_dup's output and confirm-scan volume grew
+            # with replica², dominating its 10x-point wall).
             # Replica 0 keeps the original vectors. Known residual: the
             # two-pass composition (x,0) vs (0,x) applies the same total
             # transform, so ~18% of final vectors keep exactly ONE
