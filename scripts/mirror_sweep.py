@@ -91,7 +91,16 @@ def main() -> int:
     from incremental_data_pipeline_spark.plans.queries import ORACLE, QUERIES
     from incremental_data_pipeline_spark.session import get_spark
 
-    spark = get_spark(app_name="mirror_sweep")
+    # Same JVM hygiene as bench.py: 281 queries x codegen in one session
+    # exhaust the 240MB default JIT code cache and the tail of the sweep
+    # runs interpreted (correctness unaffected; wall 2-4x).
+    spark = get_spark(
+        app_name="mirror_sweep",
+        extra_conf={
+            "spark.driver.memory": "8g",
+            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
     for t in TABLES:
