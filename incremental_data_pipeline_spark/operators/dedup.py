@@ -853,9 +853,15 @@ def blocked_edit_pairs(
     candidate, which is SOUND for max_dist <= band: every single-character
     edit changes length by at most 1, so lev(a, b) >= |len(a) - len(b)| —
     pairs more than one band apart are guaranteed beyond ``max_dist``.
-    Within-band boundary pairs are caught by probing each doc's own band
-    AND the next one (the standard two-band trick; pairs never repeat
-    because the probe is one-directional). Documents that disagree inside
+    Band-boundary pairs are caught by probing each doc's own band AND the
+    next one (the standard two-band trick). Each unordered pair is
+    emitted exactly once by ORIENTING on (band, id): a cross-band pair is
+    kept only on the lower-band doc's upward probe (whatever the id
+    order), a same-band pair only in id order — then ids are
+    canonicalized with least/greatest so ``doc_a < doc_b`` always holds.
+    (Orienting on id alone, as a naive two-band join does, silently drops
+    every cross-band pair whose lower-band member has the HIGHER id —
+    recall would depend on id assignment.) Documents that disagree inside
     the head are declared out of scope for this detector (blocking recall
     contract — MinHash/SimHash cover head-edited/rearranged duplicates).
 
@@ -884,9 +890,11 @@ def blocked_edit_pairs(
         head.alias("__head"),
         F.expr(f"length({text_col}) div {band}").alias("__band"),
     )
-    # probe side: each doc lands in its own band and the next (one-way)
+    # probe side: each doc lands in its own band and the next (one-way);
+    # __pband keeps the probe doc's OWN band for the orientation filter
     probe = base.select(
         id_col, text_col, "__len", "__head",
+        F.col("__band").alias("__pband"),
         F.explode(F.array(F.col("__band"), F.col("__band") + 1)).alias("__b"),
     )
     build = base.select(
@@ -896,17 +904,23 @@ def blocked_edit_pairs(
         "__head",
         F.col("__band").alias("__b"),
     )
+    # orient on (band, id), NOT id alone: cross-band pairs survive only on
+    # the lower-band doc's upward probe (regardless of id order); same-band
+    # pairs only in id order.  id-alone orientation drops cross-band pairs
+    # whose lower-band member has the higher id.
     cand = probe.join(build, ["__head", "__b"]).filter(
-        (F.col(id_col) < F.col("__rid"))
+        (
+            (F.col("__pband") < F.col("__b"))
+            | ((F.col("__pband") == F.col("__b")) & (F.col(id_col) < F.col("__rid")))
+        )
         # cheap length pre-filter: lev >= |len difference|
         & (F.abs(F.col("__len") - F.col("__rlen")) <= max_dist)
     )
-    # the two-band explode can produce the same (a,b) via both bands when
-    # lengths straddle a boundary — distinct on the pair key before the
-    # (expensive) edit-distance verification
+    # canonicalize the pair key (doc_a < doc_b) and defensively distinct
+    # before the (expensive) edit-distance verification
     cand = cand.select(
-        F.col(id_col).alias("doc_a"),
-        F.col("__rid").alias("doc_b"),
+        F.least(F.col(id_col), F.col("__rid")).alias("doc_a"),
+        F.greatest(F.col(id_col), F.col("__rid")).alias("doc_b"),
         F.col(text_col).alias("__ta"),
         F.col("__rtext").alias("__tb"),
     ).dropDuplicates(["doc_a", "doc_b"])

@@ -11,6 +11,28 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def clamped_prefix(values, init: int = 0):
+    """Vectorized zero-floored fold: s_i = max(0, s_{i-1} + y_i), s_0=init.
+
+    Closed form over prefix sums (init >= 0): with cs_i = init + Σ_{j<=i} y_j
+    and m_i = min(0, cs_0, ..., cs_{i-1}), each clamped value is
+    s_i = max(0, cs_i - m_i) — the subtracted running-min is exactly the
+    mass absorbed by earlier clamps. Pure numpy ``cumsum``/
+    ``minimum.accumulate``/elementwise ops, so the per-group Arrow seams
+    (CUSUM, clamped balance) pay no per-row Python cost; int64 throughout,
+    so the result is bit-identical to the sequential integer fold.
+
+    Returns the int64 numpy array of clamped values (one per input)."""
+    import numpy as np
+
+    y = np.asarray(values, dtype="int64")
+    if y.size == 0:
+        return y
+    cs = init + np.cumsum(y)
+    m = np.minimum.accumulate(np.concatenate(([0], cs[:-1])))
+    return np.maximum(0, cs - m)
+
+
 def topk_per_group(
     df: DataFrame, group_by: list[str], order_by: list[Column], k: int, rank_col: str = "rn"
 ) -> DataFrame:
@@ -333,20 +355,20 @@ def clamped_running_balance(
     )
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(order_cols, kind="mergesort")
-        bal = 0
-        clamps = 0
-        for d in pdf[delta_col]:
-            nb = bal + int(d)
-            if nb < 0:
-                bal = 0
-                clamps += 1
-            else:
-                bal = nb
+        d = pdf[delta_col].to_numpy(dtype="int64")
+        s = clamped_prefix(d)
+        # a clamp is a step whose PRE-clamp value went negative:
+        # pre_i = s_{i-1} + d_i < 0  (strict, matching the sequential fold)
+        pre = np.concatenate(([0], s[:-1])) + d
         head = pdf.iloc[0]
         row = {c: [head[c]] for c in key_cols}
         row.update(
-            final_bal_cents=[bal], n_steps=[len(pdf)], n_clamps=[clamps]
+            final_bal_cents=[int(s[-1]) if s.size else 0],
+            n_steps=[len(pdf)],
+            n_clamps=[int((pre < 0).sum())],
         )
         return pd.DataFrame(row)
 
@@ -390,17 +412,14 @@ def cusum_alarms(
 
     def scan(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
-        s = 0
-        out = []
-        for x in pdf[value_col]:
-            s = max(0, s + int(x) - k_ref)
-            out.append(s)
+        x = pdf[value_col].to_numpy(dtype="int64")
+        s = clamped_prefix(x - k_ref)
         return pd.DataFrame(
             {
                 order_col: pdf[order_col].values,
-                "x": pdf[value_col].astype("int64").values,
-                "cusum": out,
-                "alarm": [v > h_threshold for v in out],
+                "x": x,
+                "cusum": s,
+                "alarm": s > h_threshold,
             }
         )
 

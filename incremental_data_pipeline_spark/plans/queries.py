@@ -12255,13 +12255,16 @@ ORACLE["dedup_savings_report"] = f"""
              length(text) // 32 AS band
       FROM documents),
     probe AS (
-      SELECT doc_id, text, len, head, unnest([band, band + 1]) AS b
+      SELECT doc_id, text, len, head, band, unnest([band, band + 1]) AS b
       FROM base),
     cand AS (
-      SELECT DISTINCT p.doc_id AS doc_a, r.doc_id AS doc_b,
+      SELECT DISTINCT least(p.doc_id, r.doc_id) AS doc_a,
+             greatest(p.doc_id, r.doc_id) AS doc_b,
              p.text AS ta, r.text AS tb
       FROM probe p JOIN base r ON p.head = r.head AND p.b = r.band
-      WHERE p.doc_id < r.doc_id AND abs(p.len - r.len) <= 20)
+      WHERE ((p.band < r.band)
+             OR (p.band = r.band AND p.doc_id < r.doc_id))
+        AND abs(p.len - r.len) <= 20)
     SELECT doc_a, doc_b,
            CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist
     FROM cand

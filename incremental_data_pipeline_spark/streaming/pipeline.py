@@ -409,6 +409,10 @@ def cusum_per_key(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+    from incremental_data_pipeline_spark.operators.relational import (
+        clamped_prefix as _clamped_prefix,
+    )
+
     out_schema = StructType(
         [
             StructField(key_col, StringType()),
@@ -434,11 +438,14 @@ def cusum_per_key(
         # arrow.maxRecordsPerBatch rows per micro-batch (ADVICE r4 #3).
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        for c in pdf["cents"]:
-            s = max(0, s + int(c) - k_ref)
-            n += 1
-            if s > h_threshold:
-                alarms += 1
+        # vectorized clamped fold seeded from carried state — bit-identical
+        # to the sequential integer recurrence, no per-row Python cost
+        x = pdf["cents"].to_numpy(dtype="int64")
+        sv = _clamped_prefix(x - k_ref, init=s)
+        if sv.size:
+            s = int(sv[-1])
+            alarms += int((sv > h_threshold).sum())
+            n += int(sv.size)
         state.update((s, alarms, n))
         yield pd.DataFrame(
             {

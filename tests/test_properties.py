@@ -387,6 +387,30 @@ def test_signed_merge_invariant_to_split_point(spark, rows, cut):
 
 
 @given(
+    deltas=st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=0,
+        max_size=200,
+    ),
+    init=st.integers(min_value=0, max_value=10**12),
+)
+@settings(max_examples=200, deadline=None)
+def test_clamped_prefix_closed_form_equals_sequential_fold(deltas, init):
+    """The numpy closed form (prefix-sum minus running-min) is bit-identical
+    to the sequential integer fold s_i = max(0, s_{i-1} + y_i) for any
+    deltas and any non-negative seed — the contract both the CUSUM seams
+    and the clamped balance rely on."""
+    from incremental_data_pipeline_spark.operators.relational import clamped_prefix
+
+    got = clamped_prefix(deltas, init=init).tolist()
+    s, want = init, []
+    for d in deltas:
+        s = max(0, s + d)
+        want.append(s)
+    assert got == want
+
+
+@given(
     rows=st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=2),     # key

@@ -455,26 +455,39 @@ def test_cms_never_undercounts_and_merges(spark):
 
 def test_blocked_edit_pairs_sound_and_guarded(spark):
     """Exact duplicates score edit 0; a small edit is found across a length
-    -band boundary; max_dist > band is rejected (soundness guarantee)."""
+    -band boundary in BOTH id orders (including the regression case where
+    the lower-band doc has the HIGHER id, which an id-only orientation
+    silently drops); max_dist > band is rejected (soundness guarantee)."""
     import pytest as _pytest
 
     from incremental_data_pipeline_spark.operators.dedup import blocked_edit_pairs
 
+    short = "x" * 22   # head(8) + 22 = len 30 -> band 0 (len // 32)
+    long_ = "x" * 26   # head(8) + 26 = len 34 -> band 1; lev = 4
     docs = spark.createDataFrame(
         [
-            (1, "alpha beta gamma delta epsilon zeta"),
-            (2, "alpha beta gamma delta epsilon zeta"),   # exact dup
-            (3, "alpha beta gamma delta epsilon zetaXY"),  # 2 inserts, len 38 vs 36
-            (4, "omega psi chi phi"),                      # unrelated
+            # regression: lower-band (shorter) doc has the HIGHER id
+            (1, "p q r s " + long_),
+            (2, "p q r s " + short),
+            # same boundary pair, conventional id order
+            (3, "u v w x " + short),
+            (4, "u v w x " + long_),
+            # same-band exact dup + near dup
+            (5, "alpha beta gamma delta epsilon zeta"),
+            (6, "alpha beta gamma delta epsilon zeta"),    # exact dup
+            (7, "alpha beta gamma delta epsilon zetaXY"),  # 2 inserts
+            (8, "omega psi chi phi"),                      # unrelated
         ],
         "doc_id long, text string",
     )
-    got = {
-        (r["doc_a"], r["doc_b"]): r["edit_dist"]
-        for r in blocked_edit_pairs(docs, max_dist=20, band=32).collect()
-    }
-    assert got[(1, 2)] == 0 and got[(1, 3)] == 2 and got[(2, 3)] == 2
-    assert not any(4 in p for p in got)
+    out = blocked_edit_pairs(docs, max_dist=20, band=32).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["edit_dist"] for r in out}
+    assert len(out) == len(got)  # each unordered pair exactly once
+    assert got[(1, 2)] == 4      # cross-band, higher id in lower band
+    assert got[(3, 4)] == 4      # cross-band, conventional order
+    assert got[(5, 6)] == 0 and got[(5, 7)] == 2 and got[(6, 7)] == 2
+    assert not any(8 in p for p in got)
+    assert all(a < b for a, b in got)  # canonical pair orientation
     with _pytest.raises(ValueError):
         blocked_edit_pairs(docs, max_dist=40, band=32)
 
