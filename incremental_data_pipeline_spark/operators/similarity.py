@@ -1012,6 +1012,7 @@ def ivf_index_upsert(
     centroids: list[tuple[int, list[int]]],
     path: str,
     id_col: str = "vec_id",
+    allow_moves: bool = False,
 ) -> None:
     """Incrementally add vectors to a persisted IVF index WITHOUT a
     rebuild: assign the batch to cells, then dynamically overwrite exactly
@@ -1019,6 +1020,15 @@ def ivf_index_upsert(
     with the batch winning — the same replay-safe partition-merge
     discipline as `sinks.idempotent_overwrite_day_partitions`, keyed by
     cell instead of day. Untouched cells are never read or written.
+
+    Dedup scope: with the default ``allow_moves=False`` the id-dedup is
+    APPEND/REPLAY-safe only — re-delivery of an identical row is absorbed,
+    but an UPDATE whose new embedding assigns to a different cell would
+    leave the stale copy in its old (untouched) cell. Pass
+    ``allow_moves=True`` when updates are possible: the batch ids are
+    semi-joined against the full index's (id, cell) columns — a
+    column-pruned scan, no vector bytes move — and any cell holding a
+    stale copy joins the touched set so the old row is dropped too.
 
     The codebook must be the one the index was built with (centroid drift
     requires a rebuild — same contract as any IVF implementation).
@@ -1040,7 +1050,20 @@ def ivf_index_upsert(
     if not os.path.exists(path):  # first batch bootstraps the index
         batch.repartition(F.col("cell")).write.partitionBy("cell").parquet(path)
         return
-    touched = [r["cell"] for r in batch.select("cell").distinct().collect()]
+    touched = {r["cell"] for r in batch.select("cell").distinct().collect()}
+    if allow_moves:
+        # cells holding a stale copy of an updated id (id+partition cols
+        # only — parquet reads no vector bytes for this)
+        stale = (
+            spark.read.parquet(path)
+            .select(id_col, "cell")
+            .join(batch.select(id_col), id_col, "semi")
+            .select("cell")
+            .distinct()
+            .collect()
+        )
+        touched |= {r["cell"] for r in stale}
+    touched = sorted(touched)
     existing = spark.read.parquet(path).filter(F.col("cell").isin(touched))
     survivors = existing.join(batch.select(id_col), id_col, "left_anti")
     merged = survivors.unionByName(batch)

@@ -245,11 +245,24 @@ def commit_staged_version(
     ``vN.commit`` marker and the ``_CURRENT`` pointer flip happen AFTER
     the rename — a crash between them is healed by
     :func:`reconcile_versions` on the next write, so there is no wedge
-    state. Raises :class:`VersionConflictError` on losing the race."""
+    state. Raises :class:`VersionConflictError` on losing the race; only
+    the race errnos (EEXIST/ENOTEMPTY/EISDIR/EPERM — "target already
+    exists") are treated as a conflict, any other OSError (EACCES, EXDEV,
+    I/O failure) re-raises unchanged with the staged data left intact so
+    a non-retryable fault is not misreported as a retryable conflict."""
+    import errno
+
     vdir = os.path.join(path, f"v{version:08d}")
     try:
         os.rename(stage, vdir)
-    except OSError:
+    except OSError as e:
+        if e.errno not in (
+            errno.EEXIST,
+            errno.ENOTEMPTY,
+            errno.EISDIR,
+            errno.EPERM,
+        ):
+            raise  # real I/O / permission / cross-device fault, not a race
         shutil.rmtree(stage, ignore_errors=True)  # only OUR stage, never the winner's
         raise VersionConflictError(
             f"{path}: version {version} was committed by a concurrent writer"

@@ -248,13 +248,8 @@ def compact_txn_log(root: str, keep_tail: int = 2) -> int:
     return cur
 
 
-def vacuum_unreferenced(root: str) -> list[str]:
-    """Remove per-table version dirs no reachable manifest/checkpoint
-    references (loser-of-the-manifest-race debris, crashed writers).
-    Safe: transactional readers resolve versions only through the log, and
-    version dirs are immutable once published. Returns removed paths."""
-    import shutil
-
+def _log_referenced(root: str) -> dict[str, set[int]]:
+    """{table: versions} referenced by ANY reachable manifest/checkpoint."""
     manifests, checkpoints = _scan_log(root)
     referenced: dict[str, set[int]] = {}
     for c in checkpoints:
@@ -265,21 +260,72 @@ def vacuum_unreferenced(root: str) -> list[str]:
         with open(_manifest_path(root, m)) as f:
             for t, v in json.load(f)["tables"].items():
                 referenced.setdefault(t, set()).add(v)
+    return referenced
+
+
+def vacuum_unreferenced(root: str, grace_seconds: float = 3600.0) -> list[str]:
+    """Remove per-table version dirs no reachable manifest/checkpoint
+    references (loser-of-the-manifest-race debris, crashed writers).
+    Transactional readers resolve versions only through the log and
+    version dirs are immutable once published, so deleting a truly
+    unreferenced version is invisible to them. Returns removed paths.
+
+    Concurrency contract (Delta's VACUUM retention, in miniature):
+    :func:`multi_table_transaction` publishes per-table version dirs
+    BEFORE linking the manifest, so an in-flight writer's versions are
+    momentarily unreferenced by construction. Two guards close that race:
+
+    - **Retention grace**: a version whose commit marker (or dir) mtime is
+      within ``grace_seconds`` of now is NEVER touched — an in-flight
+      transaction only loses data to vacuum if its publish→manifest-link
+      gap exceeds the grace window (set it above your slowest commit, as
+      with Delta's ``retentionHours``). ``grace_seconds=0`` restores the
+      aggressive behavior and is only safe with no writer in flight.
+    - **Post-scan recheck**: the log is re-scanned AFTER the candidate
+      sweep and anything referenced by then is dropped from the kill
+      list, so a manifest that lands mid-vacuum keeps its versions.
+    """
+    import shutil
+    import time
+
+    referenced = _log_referenced(root)
     removed: list[str] = []
     try:
         entries = os.listdir(root)
     except FileNotFoundError:
         return removed
+    now = time.time()
+    candidates: list[tuple[str, int]] = []
     for t in entries:
         tdir = os.path.join(root, t)
         if t == _LOG_DIR or not os.path.isdir(tdir):
             continue
         for v in sinks.list_versions(tdir):
-            if v not in referenced.get(t, set()):
-                shutil.rmtree(os.path.join(tdir, f"v{v:08d}"), ignore_errors=True)
+            if v in referenced.get(t, set()):
+                continue
+            vdir = os.path.join(tdir, f"v{v:08d}")
+            try:
+                mtime = os.path.getmtime(f"{vdir}.commit")
+            except OSError:
                 try:
-                    os.remove(os.path.join(tdir, f"v{v:08d}.commit"))
-                except FileNotFoundError:
-                    pass
-                removed.append(os.path.join(tdir, f"v{v:08d}"))
+                    mtime = os.path.getmtime(vdir)
+                except OSError:
+                    continue  # vanished under us — rival vacuum
+            if now - mtime < grace_seconds:
+                continue  # possibly an in-flight transaction's publish
+            candidates.append((t, v))
+    # re-check the log: a transaction may have committed between the first
+    # scan and now, referencing versions we marked
+    if candidates:
+        referenced = _log_referenced(root)
+    for t, v in candidates:
+        if v in referenced.get(t, set()):
+            continue
+        vdir = os.path.join(root, t, f"v{v:08d}")
+        shutil.rmtree(vdir, ignore_errors=True)
+        try:
+            os.remove(f"{vdir}.commit")
+        except FileNotFoundError:
+            pass
+        removed.append(vdir)
     return removed

@@ -454,3 +454,46 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
         spark, emb.filter(F.col("vec_id") % 5 == 4), codebook, path
     )
     assert spark.read.parquet(path).count() == emb.count()
+
+
+def test_ivf_index_upsert_allow_moves_evicts_stale_cell_copy(spark, tmp_path):
+    """An UPDATE whose new embedding lands in a different cell must not
+    leave a stale copy behind: allow_moves=True semi-joins the batch ids
+    against the full index and rewrites the old cell too; the default
+    (append/replay scope) is pinned to show the documented limitation."""
+    from incremental_data_pipeline_spark.operators import similarity as sim
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    codebook = sim.centroid_codebook(emb, nlist=8)
+
+    def build(path):
+        sim.ivf_index_build(emb, codebook, path)
+        idx = spark.read.parquet(path).select("vec_id", "cell").collect()
+        cells = {r["vec_id"]: r["cell"] for r in idx}
+        # find two ids in different cells; give `victim` donor's embedding
+        victim = min(cells)
+        donor = next(v for v, c in sorted(cells.items()) if c != cells[victim])
+        moved = (
+            emb.filter(F.col("vec_id") == donor)
+            .select(F.lit(victim).cast("long").alias("vec_id"), "embedding")
+        )
+        return moved, victim, cells[victim]
+
+    # default scope: replay-safe only — the stale copy survives in old cell
+    p1 = str(tmp_path / "idx_default")
+    moved, victim, old_cell = build(p1)
+    sim.ivf_index_upsert(spark, moved, codebook, p1)
+    n_dup = spark.read.parquet(p1).filter(F.col("vec_id") == victim).count()
+    assert n_dup == 2  # documented limitation without allow_moves
+
+    # allow_moves: stale copy evicted, index stays unique on id
+    p2 = str(tmp_path / "idx_moves")
+    moved, victim, old_cell = build(p2)
+    sim.ivf_index_upsert(spark, moved, codebook, p2, allow_moves=True)
+    idx = spark.read.parquet(p2)
+    rows = idx.filter(F.col("vec_id") == victim).collect()
+    assert len(rows) == 1 and rows[0]["cell"] != old_cell
+    assert idx.count() == emb.count()
+    assert idx.select("vec_id").distinct().count() == emb.count()

@@ -512,9 +512,70 @@ def test_multi_table_txn_cas_and_race_loser_is_invisible(spark, tmp_path):
         f.write("loser bytes")
     sinks.commit_staged_version(os.path.join(root, "fact"), orphan_stage, 9, keep=0)
     assert tx.read_txn_table(spark, root, "fact").count() == 1
-    removed = tx.vacuum_unreferenced(root)
+    removed = tx.vacuum_unreferenced(root, grace_seconds=0.0)
     assert any(v.endswith("v00000009") for v in removed)
     assert tx.read_txn_table(spark, root, "fact").count() == 1
+
+
+def test_vacuum_grace_window_protects_inflight_publish(spark, tmp_path):
+    """A freshly-published (unreferenced) version survives vacuum inside
+    the grace window — the in-flight-writer guard — and is reclaimed once
+    its commit marker ages past the window; a manifest that lands between
+    the candidate sweep and deletion rescues its versions (post-scan
+    recheck)."""
+    import json as _json
+
+    from incremental_data_pipeline_spark.sources import transactions as tx
+
+    root = str(tmp_path / "txn_grace")
+    tx.multi_table_transaction(root, {"fact": _mk2(spark, [1])})
+    # simulate a writer mid-transaction: version published, manifest not yet
+    stage = os.path.join(root, "fact", ".v00000005.stage-test")
+    os.makedirs(stage)
+    with open(os.path.join(stage, "junk.txt"), "w") as f:
+        f.write("in-flight bytes")
+    sinks.commit_staged_version(os.path.join(root, "fact"), stage, 5, keep=0)
+    vdir = os.path.join(root, "fact", "v00000005")
+    assert tx.vacuum_unreferenced(root) == []  # grace window holds
+    assert os.path.isdir(vdir)
+    # age the publish past the window -> now it is reclaimable debris
+    old = 1_000_000_000
+    os.utime(f"{vdir}.commit", (old, old))
+    os.utime(vdir, (old, old))
+    removed = tx.vacuum_unreferenced(root)
+    assert removed == [vdir] and not os.path.isdir(vdir)
+    # post-scan recheck: a manifest landing mid-vacuum rescues its version
+    stage2 = os.path.join(root, "fact", ".v00000006.stage-test")
+    os.makedirs(stage2)
+    with open(os.path.join(stage2, "junk.txt"), "w") as f:
+        f.write("late-commit bytes")
+    sinks.commit_staged_version(os.path.join(root, "fact"), stage2, 6, keep=0)
+    vdir2 = os.path.join(root, "fact", "v00000006")
+    os.utime(f"{vdir2}.commit", (old, old))
+    os.utime(vdir2, (old, old))
+    orig = tx._log_referenced
+    calls = {"n": 0}
+
+    def scan_then_commit(r):
+        calls["n"] += 1
+        out = orig(r)
+        if calls["n"] == 1:  # manifest links AFTER the candidate sweep
+            cur, _ = tx.read_txn_state(r)
+            tx._link_put_if_absent(
+                tx._manifest_path(r, cur + 1),
+                _json.dumps(
+                    {"txn": cur + 1, "parent": cur, "tables": {"fact": 6}}
+                ),
+            )
+        return out
+
+    tx._log_referenced = scan_then_commit
+    try:
+        assert tx.vacuum_unreferenced(root) == []
+    finally:
+        tx._log_referenced = orig
+    assert os.path.isdir(vdir2)  # rescued by the recheck
+    assert calls["n"] == 2
 
 
 def test_txn_log_compaction_preserves_reads(spark, tmp_path):
@@ -618,7 +679,7 @@ def test_multi_table_txn_multiprocess_consistent_snapshots(tmp_path):
         # both tables in one txn were written by ONE writer for THIS txn
         tags = {p.split(" table=")[0] for p in payloads.values()}
         assert len(tags) == 1 and f"txn={txn}" in tags.pop(), payloads
-    tx.vacuum_unreferenced(root)
+    tx.vacuum_unreferenced(root, grace_seconds=0.0)
     # every remaining version dir is referenced by some manifest
     for t in ("alpha", "beta"):
         from incremental_data_pipeline_spark.sources import sinks as sk
