@@ -19,7 +19,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from incremental_data_pipeline_spark.operators import cdc, relational, scd
@@ -418,6 +418,16 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 15M-row (~400MB) hash relation consulted by every task and was
     # measured several-fold slower than letting AQE choose; at cluster
     # scale a fact-sized broadcast simply OOMs.
+    #
+    # JOIN ORDER: the (possibly shuffling) orderkey join runs FIRST, the
+    # broadcast dim joins after. Left joins keyed on the fact side
+    # commute, and Catalyst does not reorder outer joins — so the written
+    # order decides whether the shuffle carries NARROW fact rows or rows
+    # already widened with p_brand/s_name strings. Dims-first widened the
+    # exchange+sort payload ~2.5x and was measured 2.3x slower at the
+    # sf10 point (23.1 s vs 10.0 s same-session; see STAR_JOIN_SCALE.md);
+    # orders-first restores a sub-linear 6.4x wall for 10x data. At
+    # fixture scale every side broadcasts and the order is irrelevant.
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
@@ -427,13 +437,13 @@ def star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.lit(1).cast("decimal(4,2)") - F.col("l_discount").cast("decimal(4,2)"))
     ).cast("double")
     return (
-        li.join(p.select("p_partkey", "p_brand"), li.l_partkey == p.p_partkey, "left")
-        .join(s.select("s_suppkey", "s_name"), li.l_suppkey == s.s_suppkey, "left")
-        .join(
+        li.join(
             o.select("o_orderkey", "o_orderpriority"),
             li.l_orderkey == o.o_orderkey,
             "left",
         )
+        .join(p.select("p_partkey", "p_brand"), li.l_partkey == p.p_partkey, "left")
+        .join(s.select("s_suppkey", "s_name"), li.l_suppkey == s.s_suppkey, "left")
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -12327,6 +12337,69 @@ def er_blocked_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 5)
         .select(
             "c_custkey", "s_suppkey", F.col("edit_dist").cast("long").alias("edit_dist")
+        )
+    )
+
+
+@query(
+    "er_blocked_match_auto",
+    """
+    WITH p AS (
+      SELECT greatest(1, least(6, length(CAST(
+               greatest((SELECT (count(*) + 199) // 200 FROM customer), 1) - 1
+             AS VARCHAR)))) AS l
+    )
+    SELECT c_custkey, s_suppkey,
+           CAST(levenshtein(c_name, s_name) AS BIGINT) AS edit_dist,
+           CAST(p.l AS INT) AS suffix_len
+    FROM customer, supplier, p
+    WHERE c_nationkey = s_nationkey
+      AND substring(c_name, length(c_name) - p.l + 1, p.l)
+          = substring(s_name, length(s_name) - p.l + 1, p.l)
+      AND levenshtein(c_name, s_name) <= 5
+    """,
+)
+def er_blocked_match_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`er_blocked_match` with the block width derived from corpus size
+    instead of hand-tuned — the same self-sizing discipline as
+    `similarity.auto_planes`, applied to ER blocking. Suffix length
+    L = clamp(1, 6, decimal_digits(ceil(N/200) - 1)) keeps expected
+    block population ~8 per (nation, suffix) block (25 nations x 10^L
+    suffixes), so Σ |cust_block|x|supp_block| — the Levenshtein-verify
+    candidate volume — stays linear in corpus size as N grows; a fixed
+    width is either too coarse at scale (quadratic candidates) or wastes
+    blocks at small N. Integer-exact derivation (ceil-div + decimal digit
+    count, no float log10), re-derived by the oracle from count(*) and
+    emitted as ``suffix_len`` so the sizing itself is hash-checked.
+
+    FOUND PAIRS ARE WIDTH-INVARIANT, so auto-sizing is purely a
+    performance knob: names are fixed-length 'Customer#%09d'/
+    'Supplier#%09d', the 5-edit budget is fully consumed by the
+    prefix swap, so every surviving pair agrees on ALL nine key digits —
+    any suffix of those digits matches for any L. Narrower blocks only
+    admit more candidates for the verifier to reject."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = c.count()  # control-plane scalar: sizes the blocking key
+    q = max((n + 199) // 200, 1)
+    width = max(1, min(6, len(str(q - 1))))
+
+    def suffix(col: str) -> Column:
+        return F.expr(f"substring({col}, length({col}) - {width - 1}, {width})")
+
+    blocked = c.join(
+        s,
+        (F.col("c_nationkey") == F.col("s_nationkey"))
+        & (suffix("c_name") == suffix("s_name")),
+    )
+    return (
+        blocked.withColumn("edit_dist", F.levenshtein("c_name", "s_name"))
+        .filter(F.col("edit_dist") <= 5)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.col("edit_dist").cast("long").alias("edit_dist"),
+            F.lit(width).cast("int").alias("suffix_len"),
         )
     )
 
