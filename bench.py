@@ -322,6 +322,12 @@ def main() -> None:
     # cross-round (VERDICT r5: session-to-session walls are not
     # comparable; 1.29x r4→r5 was host conditions, not code).
     prev_ref = os.environ.get("SPARK_GRAFT_PREV_REF")
+    if prev_ref is None:
+        # committed default so the per-round driver run embeds the ratio
+        # without env plumbing; set SPARK_GRAFT_PREV_REF="" to disable
+        ref_file = Path(__file__).resolve().parent / ".prev_round_ref"
+        if ref_file.exists():
+            prev_ref = ref_file.read_text().strip()
     if prev_ref:
         spark.stop()  # free the cores before the subprocess JVM starts
         out["vs_prev_round"] = _bench_prev_round(

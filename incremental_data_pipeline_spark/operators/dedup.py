@@ -715,6 +715,68 @@ def prefix_filter_jaccard_pairs(
     )
 
 
+def _prefix_containment_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    max_df: int | None,
+) -> tuple[DataFrame, DataFrame]:
+    """Candidate-generation stage of the asymmetric prefix filter —
+    shared by :func:`prefix_filter_containment_pairs` (verification) and
+    ``scripts/containment_volume_probe.py`` (diagnostics: candidate
+    volume vs true pair count is the number that decides whether the
+    verification join is the bottleneck at scale). Returns
+    ``(s, cand)``: the checkpointed capped shingle relation and the
+    distinct (inner_doc, outer_doc) candidate pairs."""
+    raw = doc_shingles(df, id_col, text_col, n)
+    freq = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    s = raw.join(freq, "shingle")
+    if max_df is not None:
+        # Cap as a POST-join filter on the df column, not a pre-join
+        # filter on the frequency table: filtering freq first makes the
+        # optimizer underestimate the join side and try to BROADCAST a
+        # corpus-sized shingle-df relation (measured ~2.4x the whole
+        # query at the sf10 point); as a filter here it is a free
+        # codegen predicate and both cap settings share one join shape.
+        s = s.filter(F.col("df") <= max_df)
+    s = s.localCheckpoint(eager=True)
+    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
+    ranked = s.withColumn("rn", F.row_number().over(w)).join(sizes, id_col)
+    # ceil float overshoot only LENGTHENS the prefix — safe direction.
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(
+        F.col(id_col).alias("inner_doc"), "shingle",
+        F.col("sz").alias("sz_i"), F.col("rn").alias("rn_i"),
+    )
+    full = ranked.select(
+        F.col(id_col).alias("outer_doc"), "shingle",
+        F.col("sz").alias("sz_o"), F.col("rn").alias("rn_o"),
+    )
+    bigger = (F.col("sz_o") > F.col("sz_i")) | (
+        (F.col("sz_o") == F.col("sz_i")) & (F.col("inner_doc") < F.col("outer_doc"))
+    )
+    # POSITIONAL filter at the smallest common shingle (always a join
+    # row: it sits in the inner prefix by downward-closure and trivially
+    # in the outer full postings): every other common shingle ranks
+    # after it on BOTH sides, so overlap <= 1 + min(remaining); require
+    # that to reach alpha = ceil(t·|inner|). Non-smallest rows may pass
+    # spuriously — extra candidates only, never lost pairs.
+    pos_ok = (
+        1 + F.least(F.col("sz_i") - F.col("rn_i"), F.col("sz_o") - F.col("rn_o"))
+    ) >= (F.lit(threshold) * F.col("sz_i") - F.lit(1e-6))
+    cand = (
+        prefix.join(full, "shingle")
+        .filter(bigger & pos_ok)
+        .select("inner_doc", "outer_doc")
+        .distinct()
+    )
+    return s, cand
+
+
 def prefix_filter_containment_pairs(
     df: DataFrame,
     id_col: str,
@@ -759,49 +821,8 @@ def prefix_filter_containment_pairs(
     # consumers (sizes, ranking, verification arrays); it is the one
     # thing worth materializing — the explode feeding it is a narrow
     # recomputable map.
-    raw = doc_shingles(df, id_col, text_col, n)
-    freq = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    s = raw.join(freq, "shingle")
-    if max_df is not None:
-        # Cap as a POST-join filter on the df column, not a pre-join
-        # filter on the frequency table: filtering freq first makes the
-        # optimizer underestimate the join side and try to BROADCAST a
-        # corpus-sized shingle-df relation (measured ~2.4x the whole
-        # query at the sf10 point); as a filter here it is a free
-        # codegen predicate and both cap settings share one join shape.
-        s = s.filter(F.col("df") <= max_df)
-    s = s.localCheckpoint(eager=True)
-    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
-    ranked = s.withColumn("rn", F.row_number().over(w)).join(sizes, id_col)
-    # ceil float overshoot only LENGTHENS the prefix — safe direction.
-    prefix = ranked.filter(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(
-        F.col(id_col).alias("inner_doc"), "shingle",
-        F.col("sz").alias("sz_i"), F.col("rn").alias("rn_i"),
-    )
-    full = ranked.select(
-        F.col(id_col).alias("outer_doc"), "shingle",
-        F.col("sz").alias("sz_o"), F.col("rn").alias("rn_o"),
-    )
-    bigger = (F.col("sz_o") > F.col("sz_i")) | (
-        (F.col("sz_o") == F.col("sz_i")) & (F.col("inner_doc") < F.col("outer_doc"))
-    )
-    # POSITIONAL filter at the smallest common shingle (always a join
-    # row: it sits in the inner prefix by downward-closure and trivially
-    # in the outer full postings): every other common shingle ranks
-    # after it on BOTH sides, so overlap <= 1 + min(remaining); require
-    # that to reach alpha = ceil(t·|inner|). Non-smallest rows may pass
-    # spuriously — extra candidates only, never lost pairs.
-    pos_ok = (
-        1 + F.least(F.col("sz_i") - F.col("rn_i"), F.col("sz_o") - F.col("rn_o"))
-    ) >= (F.lit(threshold) * F.col("sz_i") - F.lit(1e-6))
-    cand = (
-        prefix.join(full, "shingle")
-        .filter(bigger & pos_ok)
-        .select("inner_doc", "outer_doc")
-        .distinct()
+    s, cand = _prefix_containment_candidates(
+        df, id_col, text_col, n, threshold, max_df
     )
     # Array verification: one array_intersect per candidate pair instead
     # of re-exploding both documents' postings and re-grouping by pair
