@@ -52,17 +52,16 @@ def main() -> None:
     # dedup_containment      -> threshold=0.7, max_df=10000 (capped)
     # dedup_prefix_containment -> threshold=0.7, max_df=None (lossless)
     for variant, max_df in (("capped_10000", 10000), ("lossless", None)):
+        t0 = time.monotonic()
         s, cand = dedup._prefix_containment_candidates(
             docs, "doc_id", "text", 3, 0.7, max_df
         )
         n_cand = cand.count()
-        t0 = time.monotonic()
         full = dedup.prefix_filter_containment_pairs(
             docs, "doc_id", "text", n=3, threshold=0.7, max_df=max_df
         )
-        full.write.mode("overwrite").format("noop").save()
-        dt = time.monotonic() - t0
         n_pairs = full.count()
+        dt = time.monotonic() - t0
         print(
             json.dumps(
                 {
@@ -71,7 +70,7 @@ def main() -> None:
                     "n_candidates": n_cand,
                     "n_pairs": n_pairs,
                     "cand_per_pair": round(n_cand / max(n_pairs, 1), 2),
-                    "seconds_full_query": round(dt, 2),
+                    "seconds_counts": round(dt, 2),
                 },
                 sort_keys=True,
             )
