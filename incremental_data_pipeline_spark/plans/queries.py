@@ -83,11 +83,13 @@ def scratch_dir(prefix: str) -> str:
       l_linestatus,
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) * 1000000 AS BIGINT)
+           AS DOUBLE) / 1000000.0 AS sum_disc_price,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                * (1 - CAST(l_discount AS DECIMAL(4,2)))
-               * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               * (1 + CAST(l_tax AS DECIMAL(4,2)))) * 1000000 AS BIGINT)
+           AS DOUBLE) / 1000000.0 AS sum_charge,
       COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -100,18 +102,33 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Decimal arithmetic end-to-end: casting the 2-dp source doubles to
     # decimal is unambiguous, and decimal * / - / sum are exact, so the
     # result is bit-identical to the oracle regardless of shuffle order.
+    #
+    # The final decimal->double conversion is the ONE step the engines do
+    # differently once the scaled value passes 2^53: Spark rounds the
+    # exact decimal correctly (BigDecimal.doubleValue), DuckDB converts
+    # the int128 payload to double and THEN divides by 10^scale — two
+    # roundings, up to 1 ulp apart (caught by the sf1 headline mirror:
+    # sum_charge, scale 6, crossed 2^53/10^6 ~ 9e9 first). Both sides
+    # therefore shift the scale-6 sums into exact INTEGER micros (no
+    # rounding anywhere) and perform one identical IEEE divide.
     price_d = F.col("l_extendedprice").cast("decimal(18,2)")
     one = F.lit(1).cast("decimal(4,2)")
     disc_price = price_d * (one - F.col("l_discount").cast("decimal(4,2)"))
     charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
+
+    def micros_exact(col: Column) -> Column:
+        return (
+            F.sum(col).cast("decimal(24,6)") * F.lit(1000000).cast("decimal(8,0)")
+        ).cast("long").cast("double") / F.lit(1000000.0)
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dec_sum("l_quantity", "sum_qty"),
             dec_sum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            micros_exact(disc_price).alias("sum_disc_price"),
+            micros_exact(charge).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -10383,28 +10400,35 @@ def fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_cusum_alarms",
     """
-    WITH RECURSIVE seq AS (
-      SELECT event_type,
-             row_number() OVER (PARTITION BY event_type
-                                ORDER BY ts, event_id) AS rn,
-             CAST(round(value * 100) AS BIGINT) AS cents
+    WITH seq AS (
+      SELECT event_type, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) - 6000 AS y
       FROM events),
-    cnt AS (SELECT event_type, max(rn) AS n FROM seq GROUP BY event_type),
-    walk(event_type, rn, s, alarms) AS (
-      SELECT event_type, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM cnt
-      UNION ALL
-      SELECT w.event_type, w.rn + 1,
-             greatest(w.s + q.cents - 6000, 0),
-             w.alarms + CASE WHEN greatest(w.s + q.cents - 6000, 0) > 60000
-                             THEN 1 ELSE 0 END
-      FROM walk w JOIN seq q
-        ON q.event_type = w.event_type AND q.rn = w.rn + 1)
-    SELECT c.event_type,
-           CAST(c.n AS BIGINT) AS n_steps,
-           CAST(w.s AS BIGINT) AS cusum,
-           CAST(w.alarms AS BIGINT) AS n_alarms
-    FROM walk w JOIN cnt c
-      ON w.event_type = c.event_type AND w.rn = c.n
+    cs AS (
+      SELECT event_type, ts, event_id,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS c,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM seq),
+    st AS (
+      SELECT event_type, rn,
+             GREATEST(CAST(0 AS BIGINT),
+                      c - LEAST(CAST(0 AS BIGINT),
+                                COALESCE(MIN(c) OVER (
+                                  PARTITION BY event_type
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING),
+                                  CAST(0 AS BIGINT)))) AS s
+      FROM cs)
+    SELECT event_type,
+           CAST(max(rn) AS BIGINT) AS n_steps,
+           CAST(max_by(s, rn) AS BIGINT) AS cusum,
+           CAST(SUM(CASE WHEN s > 60000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms
+    FROM st
+    GROUP BY event_type
     """,
 )
 def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10413,8 +10437,14 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
     h=60000), with keyed Arrow state carrying the recurrence across
     micro-batches — see `streaming.cusum_per_key`. The final state per
     key (max-by-n_steps emission; n_steps is monotone) is hash-compared
-    against a recursive-CTE replay of the identical recurrence, so the
-    STREAMING stateful path itself sits under the correctness gate."""
+    against an ORACLE that replays the clamped fold via its window-
+    function closed form (s_i = max(0, cs_i - min(0, min cs_{<i})) over
+    per-key prefix sums) — LINEAR in DuckDB, so this gate also runs at
+    sf1+ where the old recursive-CTE step-replay timed out (the
+    step-by-step sequential oracle survives on `changepoint_cusum_daily`,
+    whose series is calendar-bounded; the closed form's equivalence to
+    the literal fold is hypothesis-pinned in
+    test_clamped_prefix_closed_form_equals_sequential_fold)."""
     stream = _stream.read_stream(spark, sf_dir, "events").select(
         "event_type",
         "ts",
@@ -12799,13 +12829,14 @@ def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob as _glob
     import shutil as _shutil
 
-    n = emb.count()
-    for i, (lo, hi) in enumerate(
-        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
-    ):
+    # chunk by id residue, NOT contiguous id ranges: fixture ids are only
+    # contiguous at driver scale — the scale fixtures offset replica ids,
+    # so [0, n/3) ranges would silently stream a SUBSET of the corpus
+    # (caught by the sf1 headline mirror). Residues partition ANY id set.
+    for i in range(3):
         tmp = os.path.join(base, f"__c{i}__")
         emb.filter(
-            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            F.pmod(F.col("vec_id"), F.lit(3)) == i
         ).coalesce(1).write.parquet(tmp)
         part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         os.rename(part, os.path.join(src, f"chunk{i}.parquet"))

@@ -26,6 +26,7 @@ import argparse
 import hashlib
 import json
 import sys
+import time
 import traceback
 from pathlib import Path
 
@@ -84,6 +85,13 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=None)
     ap.add_argument("--names", nargs="*", default=None)
+    ap.add_argument(
+        "--oracle-timeout",
+        type=float,
+        default=None,
+        help="interrupt a DuckDB oracle after this many seconds and "
+        "record the query oracle_timeout (engine result kept rows-only)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -104,16 +112,44 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
     for t in TABLES:
+        # driver testdata is one flat file per table; the scale fixtures
+        # (scripts/make_scale10.py) are Spark-written DIRECTORIES — glob
+        # the part files in that case
+        p = Path(args.sf_dir) / f"{t}.parquet"
+        src = f"{p}/*.parquet" if p.is_dir() else str(p)
         duck.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
+
+    def _oracle_exec(sql: str):
+        """Run the oracle; if --oracle-timeout is set, interrupt DuckDB
+        after that many seconds (big-SF sweeps: some oracles are
+        deliberately quadratic all-pairs references that are tractable at
+        the sf0.01 gate but not at sf1 — the sweep must finish and record
+        WHICH oracles were out of reach, not hang)."""
+        if not args.oracle_timeout:
+            return duck.execute(sql)
+        import threading
+
+        done = threading.Event()
+
+        def _watchdog():
+            if not done.wait(args.oracle_timeout):
+                duck.interrupt()
+
+        t = threading.Thread(target=_watchdog, daemon=True)
+        t.start()
+        try:
+            return duck.execute(sql)
+        finally:
+            done.set()
 
     names = args.names or sorted(QUERIES)
     report: dict[str, dict] = {}
     n_bad = 0
     for name in names:
         entry: dict = {}
+        t_q = time.monotonic()
         try:
             sdf = QUERIES[name](spark, args.sf_dir)
             spark_cols = sdf.columns
@@ -122,10 +158,11 @@ def main() -> int:
             entry["rows"] = len(spark_rows)
             entry["cols"] = len(spark_cols)
             entry["value_sha256"] = _value_hash(s_canon)
+            entry["spark_sec"] = round(time.monotonic() - t_q, 1)
             if name not in ORACLE:
                 entry["status"] = "rows_only_ok"
             else:
-                res = duck.execute(ORACLE[name])
+                res = _oracle_exec(ORACLE[name])
                 duck_cols = [d[0] for d in res.description]
                 duck_rows = res.fetchall()
                 if sorted(spark_cols) != sorted(duck_cols):
@@ -155,14 +192,30 @@ def main() -> int:
                     else:
                         entry["status"] = "match"
         except Exception as exc:  # noqa: BLE001 — sweep must finish
-            entry["status"] = "ERROR"
-            entry["detail"] = "".join(
+            msg = "".join(
                 traceback.format_exception_only(type(exc), exc)
             ).strip()[:500]
+            if "INTERRUPT" in msg.upper():
+                # oracle hit --oracle-timeout: the ENGINE result stands
+                # (rows + value hash recorded above); only the reference
+                # was out of reach at this SF
+                entry["status"] = "oracle_timeout"
+                entry["detail"] = (
+                    f"oracle exceeded {args.oracle_timeout}s; engine "
+                    "result recorded rows-only"
+                )
+            else:
+                entry["status"] = "ERROR"
+                entry["detail"] = msg
+        entry["total_sec"] = round(time.monotonic() - t_q, 1)
         if entry["status"] in ("MISMATCH", "ERROR"):
             n_bad += 1
             print(f"RED  {name}: {entry.get('detail', '')}", file=sys.stderr)
         report[name] = entry
+        print(f"{entry['status']:>14} {entry['total_sec']:>8.1f}s {name}")
+        if args.out:  # incremental flush: a killed sweep keeps its prefix
+            with open(args.out + ".partial", "w") as f:
+                json.dump({"sf_dir": args.sf_dir, "queries": report}, f)
 
     out = {
         "sf_dir": args.sf_dir,
