@@ -1050,19 +1050,35 @@ def ivf_index_upsert(
     if not os.path.exists(path):  # first batch bootstraps the index
         batch.repartition(F.col("cell")).write.partitionBy("cell").parquet(path)
         return
-    touched = {r["cell"] for r in batch.select("cell").distinct().collect()}
+    batch_cells = {r["cell"] for r in batch.select("cell").distinct().collect()}
+    touched = set(batch_cells)
+    emptied: set = set()
     if allow_moves:
         # cells holding a stale copy of an updated id (id+partition cols
         # only — parquet reads no vector bytes for this)
-        stale = (
-            spark.read.parquet(path)
-            .select(id_col, "cell")
-            .join(batch.select(id_col), id_col, "semi")
+        idx_cols = spark.read.parquet(path).select(id_col, "cell")
+        stale_cells = {
+            r["cell"]
+            for r in idx_cols.join(batch.select(id_col), id_col, "semi")
             .select("cell")
             .distinct()
             .collect()
-        )
-        touched |= {r["cell"] for r in stale}
+        }
+        touched |= stale_cells
+        # A cell whose ONLY occupants moved out receives no rows in the
+        # merge, and dynamic partitionOverwriteMode rewrites only
+        # partitions that RECEIVE rows — without an explicit drop the
+        # stale copies would survive in the never-rewritten directory.
+        # Emptied = stale cells with no surviving occupant and no batch
+        # arrival; both probes are id+cell column-pruned, nlist-bounded.
+        surviving_cells = {
+            r["cell"]
+            for r in idx_cols.join(batch.select(id_col), id_col, "anti")
+            .select("cell")
+            .distinct()
+            .collect()
+        }
+        emptied = stale_cells - surviving_cells - batch_cells
     touched = sorted(touched)
     existing = spark.read.parquet(path).filter(F.col("cell").isin(touched))
     survivors = existing.join(batch.select(id_col), id_col, "left_anti")
@@ -1074,6 +1090,12 @@ def ivf_index_upsert(
         .partitionBy("cell")
         .parquet(path)
     )
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for c in sorted(emptied):
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/cell={c}")
+            p.getFileSystem(hconf).delete(p, True)
 
 
 def ivf_index_probe(

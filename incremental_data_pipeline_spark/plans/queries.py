@@ -117,9 +117,23 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge = disc_price * (one + F.col("l_tax").cast("decimal(4,2)"))
 
     def micros_exact(col: Column) -> Column:
-        return (
-            F.sum(col).cast("decimal(24,6)") * F.lit(1000000).cast("decimal(8,0)")
-        ).cast("long").cast("double") / F.lit(1000000.0)
+        # BIGINT ceiling: per-group micros are ~5e17 at sf10, leaving
+        # ~18x headroom before 2^63 — safe through ~sf150, NOT unbounded.
+        # The decimal(30,6) widening plus the assert_true boundary guard
+        # makes overflow fail LOUDLY instead of the non-ANSI long cast's
+        # silent NULL (which would poison the hash gate undetectably).
+        micros = F.sum(col).cast("decimal(30,6)") * F.lit(1000000).cast(
+            "decimal(8,0)"
+        )
+        lo, hi = F.lit(-(2**63) + 1), F.lit(2**63 - 1)
+        guarded = F.when(
+            F.assert_true(
+                micros.between(lo, hi),
+                F.lit("micros_exact overflow: scale-6 sum exceeds BIGINT"),
+            ).isNull(),
+            micros,
+        )
+        return guarded.cast("long").cast("double") / F.lit(1000000.0)
 
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
@@ -12859,6 +12873,52 @@ def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     queries_df = emb.filter((F.col("vec_id") >= 60) & (F.col("vec_id") < 80))
     return _sim.ivf_index_probe(spark, idx, queries_df, codebook, k=3, nprobe=2)
+
+
+@query(
+    "ann_ivf_index_moves_audit",
+    f"""
+    WITH vecs AS (SELECT vec_id, {_QV2} AS v FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS ce FROM vecs WHERE vec_id < 8),
+    updated AS (
+      SELECT a.vec_id, coalesce(b.v, a.v) AS v
+      FROM vecs a LEFT JOIN (
+        SELECT vec_id - 50 AS vec_id, v FROM vecs
+        WHERE vec_id >= 90 AND vec_id < 100) b ON a.vec_id = b.vec_id),
+    assign AS (
+      SELECT vec_id, cid,
+        row_number() OVER (PARTITION BY vec_id ORDER BY
+          CAST({_dot('v', 'ce')} AS DOUBLE) /
+          (sqrt(CAST({_dot('v', 'v')} AS DOUBLE)) *
+           sqrt(CAST({_dot('ce', 'ce')} AS DOUBLE))) DESC, cid ASC) AS rnk
+      FROM updated CROSS JOIN cents)
+    SELECT vec_id, CAST(cid AS INT) AS cell FROM assign WHERE rnk = 1
+    """,
+)
+def ann_ivf_index_moves_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE-with-cell-move through the persisted IVF index, audited as a
+    FULL index dump: the whole corpus is built into the index, then ids
+    [40,50) are UPDATED with the embeddings of ids [90,100) (donors in
+    other cells, so some updates genuinely cross cells) via
+    ``ivf_index_upsert(allow_moves=True)``. The query returns every
+    (vec_id, cell) row in the index; the oracle re-derives the assignment
+    of the UPDATED corpus from scratch. A stale copy surviving in a moved
+    id's old cell is an extra row (rows mismatch); a missed eviction of an
+    emptied cell or a wrong destination flips the value hash — this pins
+    the `allow_moves` contract end-to-end, including the
+    dynamic-overwrite-skips-empty-partitions edge
+    (`operators/similarity.py ivf_index_upsert`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = _cached_codebook(emb, sf_dir, 8, "prefix")
+    path = os.path.join(scratch_dir("ivf_moves_"), "index")
+    _sim.ivf_index_build(emb, codebook, path)
+    moved = emb.filter((F.col("vec_id") >= 90) & (F.col("vec_id") < 100)).select(
+        (F.col("vec_id") - 50).alias("vec_id"), "embedding"
+    )
+    _sim.ivf_index_upsert(spark, moved, codebook, path, allow_moves=True)
+    return spark.read.parquet(path).select(
+        F.col("vec_id"), F.col("cell").cast("int").alias("cell")
+    )
 
 
 @query(

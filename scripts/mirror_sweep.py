@@ -131,16 +131,22 @@ def main() -> int:
             return duck.execute(sql)
         import threading
 
+        # fresh cursor per oracle: a watchdog that loses the race with
+        # completion (timer fires between execute() returning and
+        # done.set()) interrupts only THIS cursor, never the next
+        # query's — interrupting the shared connection could misreport
+        # an unrelated fast oracle as oracle_timeout.
+        cur = duck.cursor()
         done = threading.Event()
 
         def _watchdog():
             if not done.wait(args.oracle_timeout):
-                duck.interrupt()
+                cur.interrupt()
 
         t = threading.Thread(target=_watchdog, daemon=True)
         t.start()
         try:
-            return duck.execute(sql)
+            return cur.execute(sql)
         finally:
             done.set()
 

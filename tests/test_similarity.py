@@ -497,3 +497,50 @@ def test_ivf_index_upsert_allow_moves_evicts_stale_cell_copy(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["cell"] != old_cell
     assert idx.count() == emb.count()
     assert idx.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ivf_index_upsert_allow_moves_drops_emptied_cell(spark, tmp_path):
+    """A cell whose ONLY occupant moves out gets no rows in the merge, and
+    dynamic partitionOverwriteMode rewrites only partitions that receive
+    rows — the upsert must drop the emptied cell directory explicitly or
+    the stale copy survives (ADVICE r6: the multi-survivor fixture missed
+    this)."""
+    import os
+
+    from incremental_data_pipeline_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    codebook = sim.centroid_codebook(emb, nlist=8)
+
+    # construct a corpus where one cell has EXACTLY one occupant: assign
+    # the full corpus, pick the cell with the fewest members, keep one
+    probe = str(tmp_path / "probe_idx")
+    sim.ivf_index_build(emb, codebook, probe)
+    assigned = spark.read.parquet(probe).select("vec_id", "cell").collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in assigned:
+        by_cell.setdefault(r["cell"], []).append(r["vec_id"])
+    lone_cell = min(by_cell, key=lambda c: (len(by_cell[c]), c))
+    lone_id = min(by_cell[lone_cell])
+    drop = set(by_cell[lone_cell]) - {lone_id}
+    donor_cell = next(c for c in sorted(by_cell) if c != lone_cell)
+    donor_id = min(by_cell[donor_cell])
+
+    path = str(tmp_path / "idx")
+    corpus = emb.filter(~F.col("vec_id").isin(sorted(drop)))
+    sim.ivf_index_build(corpus, codebook, path)
+    only = spark.read.parquet(path).filter(F.col("cell") == lone_cell).collect()
+    assert [r["vec_id"] for r in only] == [lone_id]  # fixture holds
+
+    # UPDATE the lone occupant with an embedding that assigns elsewhere
+    moved = emb.filter(F.col("vec_id") == donor_id).select(
+        F.lit(lone_id).cast("long").alias("vec_id"), "embedding"
+    )
+    sim.ivf_index_upsert(spark, moved, codebook, path, allow_moves=True)
+    idx = spark.read.parquet(path)
+    rows = idx.filter(F.col("vec_id") == lone_id).collect()
+    assert len(rows) == 1 and rows[0]["cell"] == donor_cell
+    assert idx.filter(F.col("cell") == lone_cell).count() == 0
+    assert not os.path.exists(os.path.join(path, f"cell={lone_cell}"))
+    assert idx.count() == corpus.count()
+    assert idx.select("vec_id").distinct().count() == corpus.count()
