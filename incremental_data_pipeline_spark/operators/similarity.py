@@ -281,14 +281,23 @@ def embedding_near_dup(
         left.join(right, "bucket")
         .filter(F.col("left_id") < F.col("right_id"))
     )
-    if num_tables > 1:
-        # A pair can collide in several tables; confirm each pair once.
-        pairs = pairs.dropDuplicates(["left_id", "right_id"])
-    return (
+    # Confirm cosine BEFORE the cross-table dedup: the dedup is a shuffle,
+    # and rows entering it used to carry both quantized vectors (~1 KB/row
+    # — ~15 GB at the sf10 point's 15M candidates, the dominant cost in
+    # the r6 34x artifact, see NEAR_DUP_SCALE.md). Cosine is a codegen'd
+    # 64-mult map; computing it per candidate OCCURRENCE (<= num_tables
+    # per pair) and shuffling only confirmed (id, id, cosine) rows is
+    # strictly cheaper than deduping first. Same result set: cosine is
+    # deterministic per pair, so dedup-of-confirmed == confirm-of-deduped.
+    scored = (
         pairs.withColumn("cosine", cosine_q(F.col("lv"), F.col("rv")))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+    if num_tables > 1:
+        # A pair can collide in several tables; emit each pair once.
+        scored = scored.dropDuplicates(["left_id", "right_id"])
+    return scored
 
 
 def ivf_topk(
