@@ -1046,6 +1046,15 @@ def repeated_span_removal(
     # (id, start, window-hash) for every sliding k-window. Spark's
     # sequence(1, 0) is the DESCENDING [1, 0], not empty — short docs
     # must short-circuit explicitly (same trap as dedup_cross_doc_spans).
+    # Window ids are 60-bit BIGINTs (md5 prefix, same rule as
+    # ``_shingle60``) FROM THE EXPLODE: the duplicate-window count and the
+    # dup-starts semi-join are both corpus-window-sized shuffles, and an
+    # 8-byte key moves ~4x less exchange volume than the 32-char md5 hex
+    # (r7 probe: 22.6M window rows at the sf10 point). The registered
+    # oracle stays on full md5 strings, so a within-corpus collision
+    # (probability ~windows²/2^61) would remove extra tokens and flip the
+    # value-hash gate red — every green mirror certifies collision-
+    # freeness on that fixture.
     grams = docs.select(
         id_col,
         F.explode(
@@ -1055,12 +1064,20 @@ def repeated_span_removal(
                     F.sequence(F.lit(1), F.col("__n") - (k - 1)),
                     lambda i: F.struct(
                         i.alias("s"),
-                        F.md5(F.concat_ws(" ", F.slice("__t", i, k))).alias(
-                            "h"
-                        ),
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat_ws(" ", F.slice("__t", i, k))),
+                                1,
+                                15,
+                            ),
+                            16,
+                            10,
+                        )
+                        .cast("long")
+                        .alias("h"),
                     ),
                 ),
-            ).otherwise(F.array().cast("array<struct<s:int,h:string>>"))
+            ).otherwise(F.array().cast("array<struct<s:int,h:bigint>>"))
         ).alias("__g"),
     ).select(id_col, F.col("__g.s").alias("s"), F.col("__g.h").alias("h"))
     dup_windows = (

@@ -123,6 +123,18 @@ def main() -> None:
             # cross-replica Jaccard to ~0.14 — well under the 0.6 dedup
             # thresholds — so the duplicate RATE genuinely stays flat
             # while sizes scale 10x. Replica 0 keeps the original text.
+            # Tag VALUE is the replica's GLOBAL key offset (r * STRIDE),
+            # not the bare replica index: bare-index tags COMMUTE across
+            # passes — pass-1 tag a at positions i%4==a%4 composed with
+            # pass-2 tag b at i%4==b%4 touches disjoint positions whenever
+            # a%4 != b%4, so replicas (a,b) and (b,a) of the 100x point
+            # produced IDENTICAL text. 74 of every 100 sf10 replicas had
+            # an exact whole-document twin; 80% of all k=10 windows were
+            # duplicated (r7 span_removal_probe: dup occurrences 88x for
+            # 10x data) — a duplicate-rate pathology, not scale. The
+            # stride differs between passes, so r*STRIDE values from
+            # different passes never collide and the composition is
+            # order-sensitive again.
             words = F.split(F.col("text"), " ")
             tagged = F.array_join(
                 F.zip_with(
@@ -131,7 +143,13 @@ def main() -> None:
                     lambda w, i: F.when(
                         (F.col("__r") > 0)
                         & (i % 4 == F.col("__r") % 4),
-                        F.concat(w, F.lit("~"), F.col("__r").cast("string")),
+                        F.concat(
+                            w,
+                            F.lit("~"),
+                            (F.col("__r").cast("long") * STRIDE).cast(
+                                "string"
+                            ),
+                        ),
                     ).otherwise(w),
                 ),
                 " ",
