@@ -1046,16 +1046,24 @@ def repeated_span_removal(
     # (id, start, window-hash) for every sliding k-window. Spark's
     # sequence(1, 0) is the DESCENDING [1, 0], not empty — short docs
     # must short-circuit explicitly (same trap as dedup_cross_doc_spans).
-    # Window ids are 60-bit BIGINTs (md5 prefix, same rule as
-    # ``_shingle60``) FROM THE EXPLODE: the duplicate-window count and the
-    # dup-starts semi-join are both corpus-window-sized shuffles, and an
-    # 8-byte key moves ~4x less exchange volume than the 32-char md5 hex
-    # (r7 probe: 22.6M window rows at the sf10 point). The registered
-    # oracle stays on full md5 strings, so a within-corpus collision
-    # (probability ~windows²/2^61) would remove extra tokens and flip the
+    #
+    # Window ids are 64-bit xxhash64 values, built WITHOUT strings: each
+    # token is hashed once per document, and a window's id is xxhash64
+    # over the k-long slice of that hash array. The original md5-over-
+    # concat built an O(k·chars) string plus a crypto hash PER WINDOW
+    # (O(n·k) bytes corpus-wide); this folds k longs — measured faster at
+    # every point, and the 8-byte key quarters the two corpus-window-
+    # sized shuffles (duplicate count + dup-starts semi-join) vs 32-char
+    # md5 hex. The window id never reaches the output and the registered
+    # oracle hashes RAW md5 strings, so any xxhash collision (window- or
+    # token-level, ~windows²/2^64) would remove extra tokens and flip the
     # value-hash gate red — every green mirror certifies collision-
     # freeness on that fixture.
     grams = docs.select(
+        id_col,
+        F.transform(F.col("__t"), lambda w: F.xxhash64(w)).alias("__th"),
+        F.col("__n"),
+    ).select(
         id_col,
         F.explode(
             F.when(
@@ -1064,17 +1072,7 @@ def repeated_span_removal(
                     F.sequence(F.lit(1), F.col("__n") - (k - 1)),
                     lambda i: F.struct(
                         i.alias("s"),
-                        F.conv(
-                            F.substring(
-                                F.md5(F.concat_ws(" ", F.slice("__t", i, k))),
-                                1,
-                                15,
-                            ),
-                            16,
-                            10,
-                        )
-                        .cast("long")
-                        .alias("h"),
+                        F.xxhash64(F.slice("__th", i, k)).alias("h"),
                     ),
                 ),
             ).otherwise(F.array().cast("array<struct<s:int,h:bigint>>"))
