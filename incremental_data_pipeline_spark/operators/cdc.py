@@ -78,6 +78,57 @@ def merge_partial_aggs(
     )
 
 
+def max_rescan_under_deletes(
+    base: DataFrame,
+    delete_pred: Column,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "max_value",
+    flag_col: str = "rescanned",
+) -> DataFrame:
+    """Incremental maintenance of a per-key MAX view under DELETES — the
+    aggregate ``merge_partial_aggs`` / ``ivm_agg_retract`` CANNOT handle:
+    sums and counts absorb a retraction as a signed partial, but MAX is
+    not invertible (deleting the max tells you nothing about the runner-
+    up), so the textbook IVM answer is a rescan SCOPED to the groups
+    whose maximum was actually deleted.
+
+    ``base`` is the pre-delete table, ``delete_pred`` marks the deleted
+    rows (the CDC delete batch). A group is AFFECTED iff the max over
+    its deleted rows equals the stored max — every other group's stored
+    max is provably still valid (only non-extremal rows left). Affected
+    groups are recomputed from base-minus-deletes via a semi-join whose
+    key set is the affected groups only; groups whose every row was
+    deleted drop out of the view. ``flag_col`` exposes the
+    affected/untouched classification so the oracle can re-derive and
+    hash-check the SCOPING decision itself, not just the final values.
+
+    Scale shape: the delete batch collapses to per-key partials
+    map-side; the stored view shuffles only its |keys| rows; the rescan
+    scan is pruned to affected keys by a semi-join (broadcast when the
+    affected set is small — the common case: |affected| ≤ |delete
+    batch|)."""
+    stored = base.groupBy(*keys).agg(F.max(value_col).alias(out_col))
+    dmax = (
+        base.filter(delete_pred)
+        .groupBy(*keys)
+        .agg(F.max(value_col).alias("__del_max"))
+    )
+    st = stored.join(dmax, keys, "left")
+    untouched = st.filter(
+        F.col("__del_max").isNull() | (F.col("__del_max") < F.col(out_col))
+    ).select(*keys, out_col, F.lit(False).alias(flag_col))
+    affected_keys = st.filter(F.col("__del_max") == F.col(out_col)).select(*keys)
+    rescanned = (
+        base.join(affected_keys, keys, "left_semi")
+        .filter(~delete_pred)
+        .groupBy(*keys)
+        .agg(F.max(value_col).alias(out_col))
+        .select(*keys, out_col, F.lit(True).alias(flag_col))
+    )
+    return untouched.unionByName(rescanned)
+
+
 def reconcile_checksums(
     left: DataFrame,
     right: DataFrame,

@@ -517,6 +517,76 @@ def duplicate_clusters(
     )
 
 
+def incremental_components(
+    old_labels: DataFrame,
+    delta_edges: DataFrame,
+    new_nodes: DataFrame,
+    id_col: str = "doc_id",
+    label_col: str = "cluster_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Fold a batch of NEW near-dup edges (and new documents) into stored
+    component labels WITHOUT re-running the fixpoint over the full graph —
+    the clustering analogue of the watermark-CDC extract.
+
+    Every delta edge is CONTRACTED onto the stored labels: each endpoint
+    is replaced by its component id (unseen endpoints stand for
+    themselves), so the min-label fixpoint runs on the QUOTIENT graph
+    whose node set is {components touched by the batch} ∪ {new
+    documents} — sized by the batch, not the corpus. Stored component
+    ids are component MINIMA (``connected_components``' invariant), so
+    the quotient minimum equals the full-graph minimum and the
+    incremental result is bit-identical to a from-scratch run over
+    base ∪ delta — which is exactly what the oracle recomputes.
+
+    Scale shape: two hash-join label lookups on the delta's endpoints +
+    a fixpoint over ≤ |delta| contracted edges; untouched components
+    never leave the stored label table (one broadcast-or-hash left join
+    to apply the relabel map at the end)."""
+    lab = old_labels.select(
+        F.col(id_col).alias("__n"), F.col(label_col).alias("__l")
+    )
+    contracted = (
+        delta_edges.select(F.col(src).alias("__u"), F.col(dst).alias("__v"))
+        .join(
+            lab.select(F.col("__n").alias("__u"), F.col("__l").alias("__lu")),
+            "__u",
+            "left",
+        )
+        .join(
+            lab.select(F.col("__n").alias("__v"), F.col("__l").alias("__lv")),
+            "__v",
+            "left",
+        )
+        .select(
+            F.coalesce("__lu", F.col("__u")).alias("doc_a"),
+            F.coalesce("__lv", F.col("__v")).alias("doc_b"),
+        )
+        # edges inside one existing component contract to self-loops:
+        # already merged, nothing to propagate
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    relabel = connected_components(contracted, "doc_a", "doc_b").select(
+        F.col("node").alias("__q"), F.col("cluster_id").alias("__new")
+    )
+    fresh = (
+        new_nodes.select(F.col(id_col))
+        .join(old_labels.select(id_col), id_col, "left_anti")
+        .select(F.col(id_col), F.col(id_col).alias(label_col))
+    )
+    universe = old_labels.select(id_col, label_col).unionByName(fresh)
+    return (
+        universe.join(
+            relabel, universe[label_col] == relabel["__q"], "left"
+        )
+        .select(
+            id_col,
+            F.coalesce("__new", F.col(label_col)).alias(label_col),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash (dialect-common bit arithmetic)
 # ---------------------------------------------------------------------------

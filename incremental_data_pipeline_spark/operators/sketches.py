@@ -358,3 +358,128 @@ def kmv_grouped_oracle_sql(
            END AS est_distinct
     FROM mins GROUP BY {group_alias}
     """
+
+
+# ---------------------------------------------------------------------------
+# Dyadic range/rank sketch (CMS over dyadic intervals)
+# ---------------------------------------------------------------------------
+
+
+def dyadic_cms_counters(
+    df: DataFrame,
+    value_col: str,
+    levels: int,
+    width: int = 2048,
+    depth: int = 3,
+) -> DataFrame:
+    """Rank/range-query sketch [Cormode & Muthukrishnan 2005 §4.2]: a
+    count-min sketch over DYADIC intervals of a bounded integer domain
+    [0, 2^levels). Level ``l`` buckets the domain into intervals of
+    length 2^l (node id = value >> l); any prefix [0, q) decomposes into
+    at most ``levels`` dyadic nodes, so rank(q) is answered by at most
+    ``levels`` CMS point queries — approximate quantiles/ranks from a
+    fixed-size mergeable summary, where a plain CMS can only answer
+    point frequencies.
+
+    Determinism discipline matches ``cms_counters``: cells come from md5
+    windows over the "l|node" key string, so any engine (the DuckDB
+    oracle included) rebuilds identical counters and identical
+    estimates.
+
+    Scale shape: values collapse to exact level-0 counts first (ONE
+    map-side-combined shuffle bounded by min(rows, domain)); the dyadic
+    tree is then built from those counts (≤ 2·domain weighted nodes),
+    and the final counter table is ≤ depth×width rows regardless of
+    input size. Counters are additive — merge batches by summing cells;
+    the incremental path never rescans history."""
+    v0 = (
+        df.groupBy(F.col(value_col).alias("node0"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lvl_structs = F.array(
+        *[
+            F.struct(
+                F.lit(l).cast("int").alias("l"),
+                F.shiftright(F.col("node0"), l).alias("node"),
+            )
+            for l in range(levels)
+        ]
+    )
+    nodes = (
+        v0.select(F.explode(lvl_structs).alias("s"), "n")
+        .groupBy(F.col("s.l").alias("l"), F.col("s.node").alias("node"))
+        .agg(F.sum("n").alias("n"))
+    )
+    cells = _cms_cells(["l", "node"], width, depth)
+    pairs = nodes.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).cast("int").alias("d"), c.alias("cell"))
+                    for j, c in enumerate(cells)
+                ]
+            )
+        ).alias("p"),
+        "n",
+    ).select("p.d", "p.cell", "n")
+    return pairs.groupBy("d", "cell").agg(F.sum("n").cast("long").alias("n"))
+
+
+def dyadic_cover(q: int, levels: int) -> list[tuple[int, int]]:
+    """The (level, node) dyadic decomposition of the prefix [0, q):
+    bit ``l`` of q contributes the node covering
+    [q cleared below bit l+1, +2^l) — at most ``levels`` intervals."""
+    return [
+        (l, 2 * (q >> (l + 1))) for l in range(levels) if (q >> l) & 1
+    ]
+
+
+def dyadic_rank_estimate(
+    spark,
+    counters: DataFrame,
+    probes: list[int],
+    levels: int,
+    width: int = 2048,
+    depth: int = 3,
+    probe_alias: str = "probe",
+) -> DataFrame:
+    """rank(q) = |{v : v < q}| for each probe q, estimated from the
+    dyadic CMS: sum of CMS point estimates over q's prefix cover. Never
+    an undercount (each CMS point estimate is exact-or-over), so
+    ``estimate - exact`` is a non-negative error bounded by
+    levels·e·N/width w.h.p.
+
+    Scale shape: the cover is a driver-built constant (≤ levels rows per
+    probe — probes are query parameters, not data), joined against the
+    broadcast-sized counter table; nothing about the base data is
+    touched at estimate time."""
+    rows = [
+        (int(q), lvl, node)
+        for q in probes
+        for (lvl, node) in dyadic_cover(int(q), levels)
+    ]
+    cover = spark.createDataFrame(
+        rows, schema=f"{probe_alias} long, l int, node long"
+    )
+    cells = _cms_cells(["l", "node"], width, depth)
+    probed = cover.select(
+        probe_alias,
+        "l",
+        "node",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).cast("int").alias("d"), c.alias("cell"))
+                    for j, c in enumerate(cells)
+                ]
+            )
+        ).alias("p"),
+    ).select(probe_alias, "l", "node", "p.d", "p.cell")
+    per_node = (
+        probed.join(F.broadcast(counters), ["d", "cell"], "left")
+        .groupBy(probe_alias, "l", "node")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("node_est"))
+    )
+    return per_node.groupBy(probe_alias).agg(
+        F.sum("node_est").cast("long").alias("rank_est")
+    )

@@ -12971,3 +12971,226 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents that actually contain duplicated spans."""
     docs = load_table(spark, sf_dir, "documents")
     return _dedup.repeated_span_removal(docs, "doc_id", "text", k=10, min_count=2)
+
+
+# --------------------------------------------------------------------------
+# Round-7 additions: dyadic rank sketch, incremental clustering, IVM max
+# under deletes
+# --------------------------------------------------------------------------
+
+_RANK_PROBES = [500, 1000, 2500, 5000, 10000, 15000, 20000, 30000, 45000, 60000]
+_RANK_LEVELS = 17  # events.value cents < 2^17 at every SF (max ~56k)
+_RANK_WIDTH = 2048
+_RANK_DEPTH = 3
+
+
+def _dyadic_cell_sql(j: int, width: int) -> str:
+    # md5 windows over the "l|node" key string — the exact twin of
+    # sketches._cms_cells(["l", "node"], ...).
+    key = "CAST(l AS VARCHAR) || '|' || CAST(node AS VARCHAR)"
+    return f"('0x' || substring(md5({key}), {1 + 8 * j}, 8))::BIGINT % {width}"
+
+
+def _rank_sketch_oracle(
+    probes: list[int] = _RANK_PROBES,
+    levels: int = _RANK_LEVELS,
+    width: int = _RANK_WIDTH,
+    depth: int = _RANK_DEPTH,
+) -> str:
+    cell_cols = ", ".join(f"{_dyadic_cell_sql(j, width)} AS c{j}" for j in range(depth))
+    counter_ctes = ",\n    ".join(
+        f"counters{j} AS (SELECT c{j} AS cell, sum(n) AS n FROM h GROUP BY c{j})"
+        for j in range(depth)
+    )
+    least = ", ".join(f"coalesce(x{j}.n, 0)" for j in range(depth))
+    joins = " ".join(
+        f"LEFT JOIN counters{j} x{j} ON t.c{j} = x{j}.cell" for j in range(depth)
+    )
+    probe_rows = ", ".join(f"({q})" for q in probes)
+    return f"""
+    WITH vals AS (
+      SELECT least(greatest(CAST(round(value * 100) AS BIGINT), 0),
+                   {2**levels - 1}) AS v
+      FROM events),
+    v0 AS (SELECT v, count(*) AS n FROM vals GROUP BY v),
+    lv AS (SELECT CAST(range AS INTEGER) AS l FROM range(0, {levels})),
+    nodes AS (SELECT l, v >> l AS node, sum(n) AS n
+              FROM v0 CROSS JOIN lv GROUP BY 1, 2),
+    h AS (SELECT l, node, n, {cell_cols} FROM nodes),
+    {counter_ctes},
+    probes AS (SELECT CAST(q AS BIGINT) AS q FROM (VALUES {probe_rows}) p(q)),
+    cover AS (
+      SELECT q, l, 2 * (q >> (l + 1)) AS node
+      FROM probes CROSS JOIN lv WHERE ((q >> l) & 1) = 1),
+    cc AS (SELECT q, l, node, {cell_cols} FROM cover),
+    est AS (
+      SELECT q, sum(least({least})) AS rank_est
+      FROM cc t {joins} GROUP BY q),
+    exact AS (
+      SELECT p.q,
+             (SELECT coalesce(sum(n), 0) FROM v0 WHERE v < p.q) AS exact_rank
+      FROM probes p)
+    SELECT e.q AS probe_cents,
+           CAST(e.exact_rank AS BIGINT) AS exact_rank,
+           CAST(s.rank_est AS BIGINT) AS rank_est,
+           CAST(s.rank_est - e.exact_rank AS BIGINT) AS overcount
+    FROM exact e JOIN est s ON e.q = s.q
+    """
+
+
+@query("rank_sketch_dyadic", _rank_sketch_oracle())
+def rank_sketch_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate RANK/quantile queries from a dyadic count-min sketch
+    [Cormode & Muthukrishnan 2005 §4.2]: event values (cents, clamped to
+    [0, 2^17)) are summarized once into a ≤ depth×width counter table
+    over dyadic intervals; each probe threshold's rank is answered by at
+    most 17 CMS point queries over its prefix cover — percentiles from a
+    fixed-size MERGEABLE summary, the piece CMS point queries
+    (`cms_heavy_hitters`) and exact percentiles (`revenue_percentiles`)
+    both lack. The oracle rebuilds identical counters from the same md5
+    cell hashes, so sketch construction, the dyadic decomposition, AND
+    the sum-of-mins estimator are hash-checked cross-engine; `overcount`
+    is the sketch error (never negative — CMS never undercounts).
+
+    Scale shape: one map-side-combined groupBy collapses rows to exact
+    value counts (bounded by the 2^17 domain, not the row count); the
+    dyadic tree and counters are domain-bounded; estimation joins the
+    broadcast counter table against a driver-built constant cover. At
+    100 TB the only full-data touch is the first groupBy; counters from
+    concurrent batches merge by summing cells."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    vals = ev.select(
+        F.least(
+            F.greatest(cents, F.lit(0)), F.lit(2**_RANK_LEVELS - 1)
+        ).alias("v")
+    )
+    counters = _sk.dyadic_cms_counters(
+        vals, "v", _RANK_LEVELS, _RANK_WIDTH, _RANK_DEPTH
+    )
+    est = _sk.dyadic_rank_estimate(
+        spark,
+        counters,
+        _RANK_PROBES,
+        _RANK_LEVELS,
+        _RANK_WIDTH,
+        _RANK_DEPTH,
+        probe_alias="probe_cents",
+    )
+    exact_wide = vals.agg(
+        *[
+            F.sum((F.col("v") < q).cast("long")).alias(f"e{q}")
+            for q in _RANK_PROBES
+        ]
+    )
+    exact = exact_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).cast("long").alias("probe_cents"),
+                        F.coalesce(F.col(f"e{q}"), F.lit(0)).alias("exact_rank"),
+                    )
+                    for q in _RANK_PROBES
+                ]
+            )
+        ).alias("s")
+    ).select("s.probe_cents", "s.exact_rank")
+    return exact.join(est, "probe_cents").select(
+        "probe_cents",
+        F.col("exact_rank").cast("bigint").alias("exact_rank"),
+        F.col("rank_est").cast("bigint").alias("rank_est"),
+        (F.col("rank_est") - F.col("exact_rank")).cast("bigint").alias("overcount"),
+    )
+
+
+@query(
+    "dedup_clusters_incremental",
+    None,  # oracle injected below: the FULL-graph recursive-CTE clustering
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate clustering: the stored corpus (doc_id % 5
+    != 4) already carries component labels; a new crawl batch (doc_id %
+    5 == 4) arrives, its LSH candidate pairs are generated ONLY against
+    batch docs (`incremental_lsh_pairs` — never re-pairing the stored
+    corpus against itself), and `dedup.incremental_components` folds
+    them in by contracting edges onto stored labels and running the
+    fixpoint on the batch-sized quotient graph. The oracle recomputes
+    clustering OVER THE FULL GRAPH from scratch (the same recursive CTE
+    as `dedup_clusters`), so the hash proves the incremental path lands
+    bit-identically on the from-scratch fixpoint — labels, merges,
+    min-id canonicalization and all.
+
+    Scale shape: per batch, one signature pass over new docs + a bucket
+    join sized by the batch's occupancy + a fixpoint on ≤ |delta| 
+    contracted edges; the 100 TB corpus contributes one stored-label
+    lookup join and is never re-paired."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    batch = docs.filter(F.col("doc_id") % 5 == 4)
+    corpus_pairs = _dedup.lsh_candidate_pairs(corpus, "doc_id", "text", 12, 3, 3)
+    stored = _dedup.duplicate_clusters(
+        corpus.select("doc_id"), corpus_pairs, "doc_id"
+    )
+    delta = _dedup.incremental_lsh_pairs(corpus, batch, "doc_id", "text", 12, 3, 3)
+    res = _dedup.incremental_components(stored, delta, batch.select("doc_id"))
+    return res.select(
+        "doc_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+ORACLE["dedup_clusters_incremental"] = _clusters_oracle()
+
+
+@query(
+    "ivm_max_rescan",
+    """
+    WITH dels AS (
+      SELECT o_custkey, max(o_totalprice) AS del_max
+      FROM orders WHERE o_orderkey % 53 = 0 GROUP BY o_custkey),
+    cur AS (
+      SELECT o_custkey, max(o_totalprice) AS cur_max
+      FROM orders GROUP BY o_custkey)
+    SELECT k.o_custkey,
+           CAST(max(k.o_totalprice) AS DOUBLE) AS max_price,
+           coalesce(d.del_max = c.cur_max, FALSE) AS rescanned
+    FROM orders k
+    JOIN cur c ON k.o_custkey = c.o_custkey
+    LEFT JOIN dels d ON k.o_custkey = d.o_custkey
+    WHERE k.o_orderkey % 53 != 0
+    GROUP BY k.o_custkey, c.cur_max, d.del_max
+    """,
+)
+def ivm_max_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MAX maintenance under DELETES — the retraction case
+    signed partials (`ivm_agg_retract`) cannot express, because MAX is
+    not invertible: deleting the max reveals nothing about the
+    runner-up. `cdc.max_rescan_under_deletes` re-derives only the groups
+    whose maximum was actually deleted (del_max == stored max) via a
+    semi-join-pruned rescan; every other group's stored max is provably
+    still valid and is served from the view untouched. The `rescanned`
+    flag exposes the scoping decision itself, and the oracle re-derives
+    both the post-delete maxima AND that flag, so a wrong rescan scope
+    (missed group, spurious rescan) flips the hash gate even when the
+    final values happen to coincide.
+
+    Scale shape: the delete batch collapses map-side to per-key del-max
+    partials; the stored view shuffles |keys| rows; the rescan reads
+    only affected keys' rows (left-semi prune, broadcast when the batch
+    is small). Groups deleted in full drop out of the view."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    res = cdc.max_rescan_under_deletes(
+        o,
+        F.col("o_orderkey") % 53 == 0,
+        ["o_custkey"],
+        "o_totalprice",
+        out_col="max_price",
+        flag_col="rescanned",
+    )
+    return res.select(
+        "o_custkey", F.col("max_price").cast("double").alias("max_price"), "rescanned"
+    )

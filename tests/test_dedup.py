@@ -252,3 +252,50 @@ def test_repeated_span_removal_semantics(spark):
     # 1..10; token 21 ('') is NOT covered by a duplicate window pair unless
     # some other window repeats; just assert the self-repeat was detected.
     assert out[5]["n_removed"] >= 20
+
+
+def test_incremental_components_merges_and_relabels(spark):
+    """A delta edge that BRIDGES two stored components must relabel both
+    to the joint minimum; a new node attaching to a component takes its
+    label; an isolated new node labels itself; untouched components keep
+    their stored label — and a new node with a SMALLER id than the
+    stored minimum must become the new component id."""
+    from incremental_data_pipeline_spark.operators import dedup as dd
+
+    stored = spark.createDataFrame(
+        # components {10, 11} (min 10), {20, 21} (min 20), {30} untouched
+        [(10, 10), (11, 10), (20, 20), (21, 20), (30, 30)],
+        "doc_id long, cluster_id long",
+    )
+    delta = spark.createDataFrame(
+        # bridge the two components via non-min members, attach new node
+        # 40 to the merged component, and new node 5 (below every stored
+        # id) to component 30
+        [(11, 21), (21, 40), (5, 30)],
+        "doc_a long, doc_b long",
+    )
+    new_nodes = spark.createDataFrame([(40,), (5,), (99,)], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.incremental_components(stored, delta, new_nodes).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 20: 10, 21: 10, 40: 10,  # merged, min 10
+        30: 5, 5: 5,                              # new smaller id wins
+        99: 99,                                   # isolated new doc
+    }
+
+
+def test_incremental_components_empty_delta_is_identity(spark):
+    from incremental_data_pipeline_spark.operators import dedup as dd
+
+    stored = spark.createDataFrame(
+        [(1, 1), (2, 1), (7, 7)], "doc_id long, cluster_id long"
+    )
+    delta = spark.createDataFrame([], "doc_a long, doc_b long")
+    new_nodes = spark.createDataFrame([], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.incremental_components(stored, delta, new_nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 7: 7}

@@ -382,3 +382,39 @@ def test_signed_partial_merge_retracts_exactly(spark):
     want = {r["k"]: (r["n"], float(r["s"])) for r in base.collect()}
     assert {k: v for k, v in got.items() if v[0] != 0} == want
     assert got["c"][0] == 0  # fully-retracted key visible as zero-count
+
+
+def test_max_rescan_under_deletes_scoping(spark):
+    """Groups are rescanned iff a deleted row carried the group max;
+    fully-deleted groups drop out; deleting a non-max row keeps the
+    stored max with rescanned=False; a TIED max (duplicate value, one
+    copy deleted) rescans and lands on the same value."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import cdc
+
+    base = spark.createDataFrame(
+        [
+            # g=a: max 9.0 deleted -> rescan to 5.0
+            ("a", 9.0, 1), ("a", 5.0, 0),
+            # g=b: non-max deleted -> untouched, max 8.0
+            ("b", 8.0, 0), ("b", 3.0, 1),
+            # g=c: everything deleted -> drops out
+            ("c", 4.0, 1),
+            # g=d: tied max, one copy deleted -> rescan, same value
+            ("d", 7.0, 1), ("d", 7.0, 0),
+            # g=e: no deletes at all
+            ("e", 2.0, 0),
+        ],
+        "g string, v double, del int",
+    )
+    res = cdc.max_rescan_under_deletes(
+        base, F.col("del") == 1, ["g"], "v", out_col="mx", flag_col="resc"
+    )
+    got = {r["g"]: (r["mx"], r["resc"]) for r in res.collect()}
+    assert got == {
+        "a": (5.0, True),
+        "b": (8.0, False),
+        "d": (7.0, True),
+        "e": (2.0, False),
+    }

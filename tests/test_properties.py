@@ -549,3 +549,19 @@ def test_containment_pairs_matches_python_reference(spark, texts):
         ).collect()
     }
     assert got_prefix == expected
+
+
+@given(st.integers(min_value=1, max_value=2**17 - 1))
+def test_dyadic_cover_partitions_prefix(q):
+    """The dyadic cover of [0, q) is a DISJOINT partition: interval
+    lengths sum to q and the concatenated intervals tile [0, q)."""
+    from incremental_data_pipeline_spark.operators.sketches import dyadic_cover
+
+    cover = dyadic_cover(q, 17)
+    ivals = sorted((node << l, (node + 1) << l) for l, node in cover)
+    assert sum(b - a for a, b in ivals) == q
+    pos = 0
+    for a, b in ivals:
+        assert a == pos
+        pos = b
+    assert pos == q
