@@ -13194,3 +13194,107 @@ def ivm_max_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select(
         "o_custkey", F.col("max_price").cast("double").alias("max_price"), "rescanned"
     )
+
+
+@query("stream_rank_sketch", _rank_sketch_oracle())
+def stream_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dyadic rank sketch maintained as a STREAM: events arrive in
+    micro-batches (maxFilesPerTrigger=1 over a 4-way split of the
+    fixture), each batch's counters fold into the persisted sketch by
+    SUMMING cells — the mergeability `dyadic_cms_counters` advertises,
+    exercised across real micro-batch boundaries and then hash-checked:
+    the oracle is the one-shot batch sketch (`rank_sketch_dyadic`'s), so
+    merged-across-batches must land bit-identically on
+    built-in-one-pass, for the counters AND the rank estimates derived
+    from them. Replays (at-least-once file source) are skipped via an
+    epoch marker committed atomically with the counter swap, since
+    summing is not idempotent.
+
+    Scale shape: per micro-batch, one map-side-combined groupBy over the
+    batch only plus a ≤ depth×width counter merge; history is never
+    rescanned — the always-on analytics-store pattern for streaming
+    percentile dashboards."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    base = scratch_dir("stream_ranksk_")
+    src_dir = os.path.join(base, "events_split")
+    store = os.path.join(base, "counters")
+
+    ev = load_table(spark, sf_dir, "events")
+    # 4-way hash split so the file stream genuinely produces multiple
+    # micro-batches; cell sums are associative-commutative, so ANY split
+    # merges to the identical counter table.
+    ev.repartition(4, "user_id").write.mode("overwrite").parquet(src_dir)
+
+    def clamped(df: DataFrame) -> DataFrame:
+        cents = F.round(F.col("value") * 100).cast("bigint")
+        return df.select(
+            F.least(
+                F.greatest(cents, F.lit(0)), F.lit(2**_RANK_LEVELS - 1)
+            ).alias("v")
+        )
+
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
+        bc = _sk.dyadic_cms_counters(
+            clamped(batch), "v", _RANK_LEVELS, _RANK_WIDTH, _RANK_DEPTH
+        )
+        if os.path.exists(store):
+            marker = os.path.join(store, "_applied_epoch")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    if epoch <= int(f.read().strip()):
+                        return  # replayed batch already folded in
+            merged = (
+                spark.read.parquet(store)
+                .unionByName(bc)
+                .groupBy("d", "cell")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        else:
+            merged = bc
+        atomic_overwrite(merged, store, extra_files={"_applied_epoch": str(epoch)})
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+
+    counters = spark.read.parquet(store)
+    est = _sk.dyadic_rank_estimate(
+        spark,
+        counters,
+        _RANK_PROBES,
+        _RANK_LEVELS,
+        _RANK_WIDTH,
+        _RANK_DEPTH,
+        probe_alias="probe_cents",
+    )
+    exact_wide = clamped(ev).agg(
+        *[
+            F.sum((F.col("v") < q).cast("long")).alias(f"e{q}")
+            for q in _RANK_PROBES
+        ]
+    )
+    exact = exact_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).cast("long").alias("probe_cents"),
+                        F.coalesce(F.col(f"e{q}"), F.lit(0)).alias("exact_rank"),
+                    )
+                    for q in _RANK_PROBES
+                ]
+            )
+        ).alias("s")
+    ).select("s.probe_cents", "s.exact_rank")
+    return exact.join(est, "probe_cents").select(
+        "probe_cents",
+        F.col("exact_rank").cast("bigint").alias("exact_rank"),
+        F.col("rank_est").cast("bigint").alias("rank_est"),
+        (F.col("rank_est") - F.col("exact_rank")).cast("bigint").alias("overcount"),
+    )
