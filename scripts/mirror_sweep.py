@@ -111,6 +111,15 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     duck = duckdb.connect()
+    try:
+        # Big-SF sweeps: a deliberately-quadratic reference oracle can
+        # spill DuckDB temp storage past the free disk, starving the
+        # CONCURRENT Spark shuffle dirs before the wall-clock watchdog
+        # fires. Cap the spill so an intractable oracle fails fast and
+        # is recorded as oracle infeasibility (engine result stands).
+        duck.execute("SET max_temp_directory_size='40GiB'")
+    except duckdb.Error:
+        pass  # older DuckDB without the setting: watchdog still bounds us
     for t in TABLES:
         # driver testdata is one flat file per table; the scale fixtures
         # (scripts/make_scale10.py) are Spark-written DIRECTORIES — glob
@@ -267,6 +276,20 @@ def main() -> int:
                 entry["detail"] = (
                     f"oracle exceeded {args.oracle_timeout}s; engine "
                     "result recorded rows-only"
+                )
+            elif entry.get("value_sha256") and (
+                "No space left" in msg
+                or "max_temp_directory_size" in msg
+                or "Out of Memory" in msg
+            ):
+                # oracle exhausted memory/spill budget BEFORE the
+                # watchdog: same semantic class as a timeout — the
+                # reference, not the engine, was out of reach at this SF
+                # (the engine's rows + value hash were already recorded)
+                entry["status"] = "oracle_oom"
+                entry["detail"] = (
+                    f"oracle exhausted spill/memory budget; engine "
+                    f"result recorded rows-only ({msg[:200]})"
                 )
             else:
                 entry["status"] = "ERROR"
