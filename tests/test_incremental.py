@@ -418,3 +418,26 @@ def test_max_rescan_under_deletes_scoping(spark):
         "d": (7.0, True),
         "e": (2.0, False),
     }
+
+
+def test_dyadic_counters_merge_equals_one_shot(spark):
+    """Counter mergeability — the contract stream_rank_sketch rides:
+    building the dyadic CMS on two disjoint batches and summing cells
+    must equal building it on the union in one pass."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import sketches as sk
+
+    vals = [(v,) for v in [3, 7, 7, 100, 255, 255, 255, 1023, 4095, 9999]]
+    full = spark.createDataFrame(vals, "v long")
+    a = spark.createDataFrame(vals[:4], "v long")
+    b = spark.createDataFrame(vals[4:], "v long")
+    one = sk.dyadic_cms_counters(full, "v", 14, 256, 3)
+    merged = (
+        sk.dyadic_cms_counters(a, "v", 14, 256, 3)
+        .unionByName(sk.dyadic_cms_counters(b, "v", 14, 256, 3))
+        .groupBy("d", "cell")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    as_map = lambda df: {(r["d"], r["cell"]): r["n"] for r in df.collect()}
+    assert as_map(one) == as_map(merged)
