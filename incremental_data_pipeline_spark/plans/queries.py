@@ -6586,16 +6586,25 @@ def file_provenance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row provenance down to the SOURCE FILE: per-file row counts and id
     ranges via ``input_file_name()`` — the audit that answers "which
     upload produced these rows" (bad-batch blame, re-ingest scoping,
-    min/max pruning stats per file). The fixture is one file per table,
-    so the oracle pins the basename and the whole-table stats; in
-    production the same query fans out per file and its min/max columns
+    min/max pruning stats per file). Provenance rolls up to the LOGICAL
+    dataset: a Spark-written table is a directory of ``part-*`` files,
+    so those group under their parent dataset name, while a single-file
+    upload keeps its basename — the same query and the same oracle hold
+    at both layouts (the driver's flat one-file fixtures AND the
+    Spark-written directory fixtures of the big-SF sweeps, where the
+    per-physical-file grouping used to fan out to 32 rows the
+    view-bound oracle cannot see). In production the per-file min/max
     are exactly what a file-skipping reader prunes on.
 
     Scale shape: input_file_name is a zero-cost scan-stage expression;
     the aggregate is one map-side-combined shuffle over #files groups."""
     ev = load_table(spark, sf_dir, "events")
-    fname = F.element_at(F.split(F.input_file_name(), "/"), -1)
-    return ev.groupBy(fname.alias("file_name")).agg(
+    parts = F.split(F.input_file_name(), "/")
+    base = F.element_at(parts, -1)
+    dataset = F.when(
+        base.startswith("part-"), F.element_at(parts, -2)
+    ).otherwise(base)
+    return ev.groupBy(dataset.alias("file_name")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("event_id").cast("bigint").alias("min_id"),
         F.max("event_id").cast("bigint").alias("max_id"),
