@@ -1061,6 +1061,157 @@ def blocked_edit_pairs(
     )
 
 
+def qgram_edit_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+    q: int = 3,
+    group_cols: tuple = (),
+) -> DataFrame:
+    """LOSSLESS small-edit-distance pair join via q-gram prefix filtering
+    (the ED-Join family, Xiao et al. 2008): all pairs (within the same
+    ``group_cols`` block, if given) with levenshtein <= ``max_dist`` —
+    candidates bounded WITHOUT any attribute whose cardinality is
+    constant in the corpus (a brand-only block has ~25 values forever,
+    so within-block pairs grow quadratically with the table; measured: a
+    heap OOM at the 100x point).
+
+    Soundness: one edit destroys at most ``q`` distinct q-grams, so two
+    strings within distance k share all but <= k*q of the longer side's
+    distinct grams. Under any global total order on grams (rarest-first
+    here, for minimal candidates), prefixes of length k*q + 1 must then
+    intersect — every true pair is found by the (group, gram) equi-join
+    on prefixes. Strings with <= k*q grams carry a sentinel gram in
+    their prefix (their whole gram set is below the bound's bite point,
+    so short-short pairs get no guarantee otherwise); short-long pairs
+    are covered by the long side's theorem. The |len(a)-len(b)| <= k
+    filter (lev >= length difference) prunes before verification.
+
+    Scale shape — three output-proportional stages, because duplicate
+    VALUES are collapsed before anything pairwise runs (the fixture
+    family has a CONSTANT name vocabulary, so same-value cliques — and
+    the contract's true output — grow with the table; any design that
+    pairs rows instead of values pays clique² in candidates):
+    (1) one groupBy collapses rows to distinct (group, value) cliques
+    with their sorted member-id arrays; (2) same-value pairs (distance
+    0) explode directly from each clique array — output-sized, no join;
+    (3) the q-gram prefix join runs over DISTINCT VALUES only (postings
+    bounded by the value vocabulary, not the row count), verified pairs
+    then expand back through the two cliques' id arrays — again
+    output-sized. The oracle twin stays the quadratic reference
+    definition, so the gate certifies losslessness at every mirrored
+    SF."""
+    gcols = list(group_cols)
+    prefix_len = max_dist * q + 1
+    grams_expr = F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col})"
+        f" - {q - 1}, 1)), i -> substring({text_col}, i, {q})))"
+    )
+    cliq = df.groupBy(*gcols, text_col).agg(
+        F.array_sort(F.collect_list(id_col)).alias("__ids"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # (2) same-value pairs: every row pair inside a clique is a true
+    # distance-0 result; nested-transform pair explode (basket_lift's
+    # narrow fan-out), never a join
+    pair_structs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice("__ids", i + 2, F.size("__ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    same = (
+        cliq.filter(F.col("__n") >= 2)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", F.lit(0).cast("int").alias("edit_dist"))
+    )
+    # (3) prefix join over distinct values
+    reps = cliq.select(
+        *gcols, text_col, "__ids", F.length(text_col).alias("__len")
+    )
+    base = reps.select(
+        *gcols, text_col, "__len", F.explode(grams_expr).alias("__g")
+    )
+    dfreq = base.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*gcols, text_col).orderBy("__df", "__g")
+    ranked = base.join(dfreq, "__g").select(
+        *gcols, text_col, "__len", "__g",
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*gcols, text_col)
+        ).alias("__ng"),
+    )
+    pref = ranked.filter(F.col("__rn") <= prefix_len).select(
+        *gcols, text_col, "__len", "__g"
+    )
+    # sentinel for values whose whole gram set is <= k*q: short-short
+    # pairs are below the prefix theorem's bite point, so they all meet
+    # in one per-group sentinel bucket (bounded: only values shorter
+    # than (k+1)*q characters land here)
+    sentinel = (
+        ranked.filter((F.col("__rn") == 1) & (F.col("__ng") <= max_dist * q))
+        .select(*gcols, text_col, "__len")
+        .withColumn("__g", F.lit("\x00"))
+    )
+    pref = pref.unionByName(sentinel)
+    a = pref.select(
+        *gcols,
+        F.col(text_col).alias("__ta"),
+        F.col("__len").alias("__la"),
+        "__g",
+    )
+    b = pref.select(
+        *gcols,
+        F.col(text_col).alias("__tb"),
+        F.col("__len").alias("__lb"),
+        "__g",
+    )
+    cand = (
+        a.join(b, [*gcols, "__g"])
+        # lexicographic orientation: each unordered VALUE pair once
+        .filter(
+            (F.col("__ta") < F.col("__tb"))
+            & (F.abs(F.col("__la") - F.col("__lb")) <= max_dist)
+        )
+        .select(*gcols, "__ta", "__tb")
+        .dropDuplicates([*gcols, "__ta", "__tb"])
+    )
+    vpairs = cand.withColumn(
+        "edit_dist", F.levenshtein("__ta", "__tb").cast("int")
+    ).filter(F.col("edit_dist") <= max_dist)
+    # expand verified value pairs through both cliques' member ids
+    ids_a = reps.select(
+        *gcols, F.col(text_col).alias("__ta"), F.col("__ids").alias("__idsa")
+    )
+    ids_b = reps.select(
+        *gcols, F.col(text_col).alias("__tb"), F.col("__ids").alias("__idsb")
+    )
+    cross = (
+        vpairs.join(ids_a, [*gcols, "__ta"])
+        .join(ids_b, [*gcols, "__tb"])
+        .select(
+            "edit_dist",
+            F.explode("__idsa").alias("__xa"),
+            "__idsb",
+        )
+        .select(
+            "edit_dist", "__xa", F.explode("__idsb").alias("__xb")
+        )
+        .select(
+            F.least("__xa", "__xb").alias("id_a"),
+            F.greatest("__xa", "__xb").alias("id_b"),
+            "edit_dist",
+        )
+    )
+    return same.unionByName(cross.select("id_a", "id_b", "edit_dist"))
+
+
 # ---------------------------------------------------------------------------
 # repeated-span removal (token-level substring dedup)
 # ---------------------------------------------------------------------------

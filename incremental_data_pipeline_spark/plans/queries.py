@@ -4385,27 +4385,23 @@ def agg_collect_status_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy record linkage: near-identical part names (edit distance <= 3)
-    within a brand — the MDM/entity-resolution shape. The brand equi-join
-    bounds the candidate set (never all-pairs); levenshtein runs only on
-    within-bucket candidates, the same blocking discipline as the dedup
-    family."""
+    within a brand — the MDM/entity-resolution shape, candidate-bounded
+    by `dedup.qgram_edit_pairs` (lossless ED-Join q-gram prefix filter +
+    length filter). The brand alone is NOT a usable block: its
+    cardinality is constant (~25), so within-brand pairs grow
+    quadratically with the table — at the 100x point the naive
+    brand-join heap-OOMed. The rare-gram prefix join's bucket population
+    tracks true near-duplicate cliques instead, and the oracle stays the
+    quadratic reference definition, so every mirrored SF certifies the
+    filter lost nothing."""
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a = p.select(
-        F.col("p_partkey").alias("part_a"),
-        "p_brand",
-        F.col("p_name").alias("__na"),
+    pairs = _dedup.qgram_edit_pairs(
+        p, "p_partkey", "p_name", max_dist=3, q=3, group_cols=("p_brand",)
     )
-    b = p.select(
-        F.col("p_partkey").alias("part_b"),
-        "p_brand",
-        F.col("p_name").alias("__nb"),
-    )
-    return (
-        a.join(b, "p_brand")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .withColumn("edit_dist", F.levenshtein("__na", "__nb").cast("int"))
-        .filter(F.col("edit_dist") <= 3)
-        .select("part_a", "part_b", "edit_dist")
+    return pairs.select(
+        F.col("id_a").alias("part_a"),
+        F.col("id_b").alias("part_b"),
+        "edit_dist",
     )
 
 

@@ -112,6 +112,36 @@ def main() -> None:
             df = df.withColumn(
                 "s_name", F.format_string("Supplier#%09d", F.col("s_suppkey"))
             )
+        if name == "part":
+            # p_name was cloned VERBATIM across replicas, so every part
+            # had ~R exact same-name twins within its brand and the
+            # fuzzy-linkage OUTPUT grew quadratically in the replica
+            # count (measured: heap OOM at the 100x point) — the same
+            # duplicate-rate pathology as the cloned customer/supplier
+            # names. A REPLICA-level md5 suffix (derived from the global
+            # key offset, like the document word tags) pushes
+            # cross-replica name distance far past the lev<=3 linkage
+            # threshold while keeping within-replica near-name structure
+            # intact (both members of a pair get the identical suffix).
+            # Replica 0 keeps the original names.
+            df = df.withColumn(
+                "p_name",
+                F.when(F.col("__r") == 0, F.col("p_name")).otherwise(
+                    F.concat(
+                        F.col("p_name"),
+                        F.lit(" "),
+                        F.substring(
+                            F.md5(
+                                (
+                                    F.col("__r").cast("long") * STRIDE
+                                ).cast("string")
+                            ),
+                            1,
+                            8,
+                        ),
+                    )
+                ),
+            )
         if name == "documents":
             # Per-replica WORD-LEVEL perturbation: tag every 4th word
             # (offset by replica id) with a replica marker. A mere suffix

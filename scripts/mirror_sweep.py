@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import hashlib
 import json
+import os
 import sys
 import time
 import traceback
@@ -102,14 +103,20 @@ def main() -> int:
     # Same JVM hygiene as bench.py: 281 queries x codegen in one session
     # exhaust the 240MB default JIT code cache and the tail of the sweep
     # runs interpreted (correctness unaffected; wall 2-4x).
-    spark = get_spark(
-        app_name="mirror_sweep",
-        extra_conf={
-            "spark.driver.memory": "8g",
-            "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
-        },
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def fresh_spark():
+        s = get_spark(
+            app_name="mirror_sweep",
+            extra_conf={
+                "spark.driver.memory": os.environ.get(
+                    "SPARK_GRAFT_MIRROR_MEM", "16g"
+                ),
+                "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=1g",
+            },
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = fresh_spark()
     duck = duckdb.connect()
     try:
         # Big-SF sweeps: a deliberately-quadratic reference oracle can
@@ -294,6 +301,25 @@ def main() -> int:
             else:
                 entry["status"] = "ERROR"
                 entry["detail"] = msg
+                # A heap-OOM in local mode poisons the shared JVM (driver
+                # == executor): without a restart every later query fails
+                # instantly and the sweep reports 200 bogus reds for one
+                # real one. The failing query keeps its ERROR; the session
+                # is rebuilt so the rest of the sweep stands on its own.
+                if (
+                    "OutOfMemoryError" in msg
+                    or "Py4JNetworkError" in msg
+                    or "Answer from Java side is empty" in msg
+                ):
+                    print(
+                        f"JVM fatal during {name}; restarting Spark session",
+                        file=sys.stderr,
+                    )
+                    try:
+                        spark.stop()
+                    except Exception:  # noqa: BLE001
+                        pass
+                    spark = fresh_spark()
         entry["total_sec"] = round(time.monotonic() - t_q, 1)
         if entry["status"] in ("MISMATCH", "ERROR"):
             n_bad += 1

@@ -299,3 +299,46 @@ def test_incremental_components_empty_delta_is_identity(spark):
         for r in dd.incremental_components(stored, delta, new_nodes).collect()
     }
     assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_qgram_edit_pairs_matches_quadratic_reference(spark):
+    """Lossless vs the brute-force definition, including the prefix
+    theorem's blind spot: strings with <= k*q grams (short names) only
+    meet through the sentinel bucket."""
+    import itertools
+
+    from incremental_data_pipeline_spark.operators import dedup as dd
+
+    rows = [
+        (1, "g", "ab"),            # short-short pair, disjoint grams
+        (2, "g", "xy"),            # lev(ab, xy) = 2 <= 3
+        (3, "g", "powder almond metallic steel"),
+        (4, "g", "powder almond metalic steel"),   # lev 1
+        (5, "g", "saddle orange chocolate mint"),  # far from all
+        (6, "g", "abc"),           # short, near 1 and 2
+        (7, "h", "powder almond metallic steel"),  # other group: no pair
+    ]
+    df = spark.createDataFrame(rows, "pid long, grp string, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dd.qgram_edit_pairs(
+            df, "pid", "name", max_dist=3, q=3, group_cols=("grp",)
+        ).collect()
+    }
+    # brute-force reference within groups
+    def lev(a, b):
+        import numpy as np
+        m = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, m[0] = m[0], i
+            for j, cb in enumerate(b, 1):
+                prev, m[j] = m[j], min(m[j] + 1, m[j - 1] + 1,
+                                       prev + (ca != cb))
+        return int(m[len(b)])
+
+    want = {}
+    for (i1, g1, n1), (i2, g2, n2) in itertools.combinations(rows, 2):
+        if g1 == g2 and lev(n1, n2) <= 3:
+            want[(min(i1, i2), max(i1, i2))] = lev(n1, n2)
+    assert got == want
+    assert (1, 2) in got  # the sentinel-only pair
