@@ -69,6 +69,15 @@ def assign_surrogate_keys(
     pid = F.spark_partition_id()
     wp = Window.partitionBy(pid).orderBy(*order_by)
     numbered = parted.withColumn("__pid", pid).withColumn("__rn", F.row_number().over(wp))
+    # Materialize ONCE before the two consumers: `numbered` feeds both the
+    # per-pid count map and the offset join, and spark_partition_id() is
+    # only meaningful per PHYSICAL evaluation — AQE may coalesce the range
+    # exchange differently in the two plan instances, so their pid spaces
+    # diverge and the inner join on __pid silently DROPS every row whose
+    # pid has no counterpart in the count map (first seen at the 100x
+    # mirror: 834,610 of 1,500,000 dim rows survived). The checkpoint
+    # freezes one partitioning that both consumers read.
+    numbered = numbered.localCheckpoint(eager=True)
     counts = numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)))
