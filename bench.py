@@ -41,7 +41,11 @@ HEADLINE = [
     "medallion_e2e",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "embedding_near_dup",
+    # embedding_near_dup (pinned B=8) left the headline set in round 8:
+    # its fixed-band bucket populations grow with the corpus BY CONTRACT
+    # (69.5x wall at the sf1->sf10 step, SCALE_CLAIMS.md), so it is a
+    # recall-contract registry query, not a scale benchmark; the
+    # auto-sized twin embedding_near_dup_auto below is the scale path.
     "text_quality",
     "knn_cosine_topk",
     "ann_lsh_topk",

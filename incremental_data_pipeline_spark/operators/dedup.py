@@ -570,8 +570,20 @@ def incremental_components(
     relabel = connected_components(contracted, "doc_a", "doc_b").select(
         F.col("node").alias("__q"), F.col("cluster_id").alias("__new")
     )
+    # Fresh nodes = declared new documents PLUS any delta-edge endpoint
+    # not already labeled: an endpoint outside old_labels ∪ new_nodes
+    # participates in the quotient fixpoint, so silently omitting it
+    # from the universe would make it vanish from the output instead of
+    # gaining its component label.
+    endpoints = (
+        delta_edges.select(F.col(src).alias(id_col))
+        .unionByName(delta_edges.select(F.col(dst).alias(id_col)))
+        .distinct()
+    )
     fresh = (
         new_nodes.select(F.col(id_col))
+        .unionByName(endpoints)
+        .distinct()
         .join(old_labels.select(id_col), id_col, "left_anti")
         .select(F.col(id_col), F.col(id_col).alias(label_col))
     )
@@ -1108,6 +1120,10 @@ def qgram_edit_pairs(
         f"array_distinct(transform(sequence(1, greatest(length({text_col})"
         f" - {q - 1}, 1)), i -> substring({text_col}, i, {q})))"
     )
+    # NULL text never pairs: the reference definition (levenshtein) is
+    # NULL on NULL input, so a NULL-valued clique must NOT emit
+    # distance-0 pairs — drop those rows before the clique groupBy.
+    df = df.filter(F.col(text_col).isNotNull())
     cliq = df.groupBy(*gcols, text_col).agg(
         F.array_sort(F.collect_list(id_col)).alias("__ids"),
         F.count(F.lit(1)).alias("__n"),

@@ -19,6 +19,82 @@ from incremental_data_pipeline_spark.operators.cdc import new_rows
 # range-partitioned prefix-sum path instead of one global window task.
 SCALABLE_KEY_THRESHOLD = 1_000_000
 
+# Scalable-path tuning: target rows per range bucket, hard cap on bucket
+# count (the bucket-lookup when-tree has depth log2(buckets)), and sample
+# rows collected per bucket to pick boundaries (Spark's own range
+# exchange uses ~100 per output partition).
+SCALABLE_KEY_ROWS_PER_BUCKET = 1_000_000
+SCALABLE_KEY_MAX_BUCKETS = 4096
+SCALABLE_KEY_SAMPLES_PER_BUCKET = 100
+
+
+def _range_boundaries(df: DataFrame, order_by: list[str], n_rows: int) -> list[tuple]:
+    """Driver-computed range-split points for the scalable key generator.
+
+    Samples ~SAMPLES_PER_BUCKET key tuples per target bucket, sorts them
+    on the driver, and picks evenly spaced split points. Any boundary set
+    yields CORRECT keys (bucketing only has to be monotone w.r.t. the
+    global sort order); sampling quality only affects balance. Tuples
+    containing NULLs are excluded from the boundary set so that the
+    bucket comparison's NULL semantics reduce exactly to NULLS FIRST
+    (a NULL reached mid-comparison makes ``key >= boundary`` NULL, which
+    the when-tree treats as "left of the boundary" — correct, because
+    under NULLS FIRST a NULL field does sort before every non-NULL
+    boundary value once the prefix fields are equal).
+    """
+    import math
+
+    n_buckets = min(
+        SCALABLE_KEY_MAX_BUCKETS,
+        max(1, math.ceil(n_rows / SCALABLE_KEY_ROWS_PER_BUCKET)),
+    )
+    if n_buckets == 1:
+        return []
+    target = n_buckets * SCALABLE_KEY_SAMPLES_PER_BUCKET
+    fraction = min(1.0, 1.2 * target / max(n_rows, 1))
+    sampled = [
+        tuple(r)
+        for r in df.select(*order_by).sample(False, fraction, seed=42).collect()
+        if all(v is not None for v in r)
+    ]
+    sampled = sorted(set(sampled))
+    if len(sampled) < 2:
+        return []
+    step = len(sampled) / n_buckets
+    picks = []
+    for i in range(1, n_buckets):
+        b = sampled[min(int(i * step), len(sampled) - 1)]
+        if not picks or b > picks[-1]:
+            picks.append(b)
+    return picks
+
+
+def _bucket_expr(df: DataFrame, order_by: list[str], boundaries: list[tuple]):
+    """Binary-search when-tree: bucket id = count of boundaries <= key.
+
+    A pure function of the row's own values and frozen literals — unlike
+    ``spark_partition_id()`` it is stable across plan instances, AQE
+    re-planning, and task retries, so the window, the per-bucket count
+    map, and the offset join all agree without any checkpoint. Depth is
+    log2(buckets); each boundary appears exactly once in the tree.
+    """
+    key = F.struct(*[F.col(c) for c in order_by])
+    types = [df.schema[c].dataType for c in order_by]
+
+    def lit_tuple(vals: tuple):
+        return F.struct(*[F.lit(v).cast(t) for v, t in zip(vals, types)])
+
+    def build(lo: int, hi: int):
+        # invariant: the answer is in [lo, hi]
+        if lo == hi:
+            return F.lit(lo)
+        mid = (lo + hi) // 2
+        return F.when(key >= lit_tuple(boundaries[mid]), build(mid + 1, hi)).otherwise(
+            build(lo, mid)
+        )
+
+    return build(0, len(boundaries))
+
 
 def assign_surrogate_keys(
     df: DataFrame,
@@ -42,18 +118,35 @@ def assign_surrogate_keys(
       above ``SCALABLE_KEY_THRESHOLD`` rows — a forgotten default can no
       longer funnel a billion-row key assignment through one task, while
       dimension-sized inputs keep the cheap single-window plan.
-    - ``scalable=True``: range-partition on the order keys, number within
-      partitions, offset each partition by the cumulative count of the
-      partitions before it (zipWithIndex-style prefix sum, all
-      DataFrame-side). Because the range partitioning follows the same
-      keys, the result is the EXACT global row_number whenever
+    - ``scalable=True``: range-bucket on DRIVER-COMPUTED boundary values
+      (sampled split points baked into the plan as literals), number
+      within buckets, offset each bucket by the cumulative count of the
+      buckets before it (zipWithIndex-style prefix sum, all
+      DataFrame-side). Because the buckets are contiguous ranges of the
+      same keys, the result is the EXACT global row_number whenever
       ``order_by`` is a unique ordering (which ``build_dim`` guarantees
       by deduplicating on the natural key first — the oracle-checked
       ``dim_build_scalable_keys`` proves key-for-key equality). With
       ties, keys stay dense and unique but tie order is unspecified —
-      the same contract row_number itself gives.
+      the same contract row_number itself gives. The bucket id is a pure
+      function of row values, NOT ``spark_partition_id()``: the count
+      map and the window therefore agree across separate evaluations and
+      AQE re-plans with no ``localCheckpoint`` (the round-7 checkpoint
+      fix traded an AQE row-loss bug for executor-loss fragility and an
+      eager job at plan-construction time; driver-frozen boundaries have
+      neither failure mode, and the operator is lazy again apart from
+      the count + boundary-sample jobs). Caller contract: ``df`` itself
+      must be deterministic (true everywhere in this repo — inputs are
+      files, not rand()/mono_id sources).
     - ``scalable=False``: the literal single-window global sort, for
       callers that know the input is tiny and want zero extra jobs.
+
+    Scale shape: one count job + one ~(buckets x 100)-row boundary-sample
+    collect on the driver, then a single hash shuffle by bucket id for
+    the window, a map-side-combined per-bucket count aggregate, and a
+    broadcast join of the <= MAX_BUCKETS-row offset map. No global-sort
+    single task, no checkpoint materialization. At extreme scale raise
+    SCALABLE_KEY_MAX_BUCKETS (lookup cost grows as log2(buckets)).
     """
     if scalable is None:
         probe = df.limit(SCALABLE_KEY_THRESHOLD + 1).count()
@@ -62,29 +155,29 @@ def assign_surrogate_keys(
         w = Window.orderBy(*order_by)
         return df.withColumn(key_col, (F.lit(base) + F.row_number().over(w)).cast("long"))
 
-    # Scalable path: range-partition by the natural order (so keys are
-    # *globally* ordered too), number within partitions, then add per-
-    # partition offsets computed from a tiny driver-side count map.
-    parted = df.repartitionByRange(*order_by)
-    pid = F.spark_partition_id()
-    wp = Window.partitionBy(pid).orderBy(*order_by)
-    numbered = parted.withColumn("__pid", pid).withColumn("__rn", F.row_number().over(wp))
-    # Materialize ONCE before the two consumers: `numbered` feeds both the
-    # per-pid count map and the offset join, and spark_partition_id() is
-    # only meaningful per PHYSICAL evaluation — AQE may coalesce the range
-    # exchange differently in the two plan instances, so their pid spaces
-    # diverge and the inner join on __pid silently DROPS every row whose
-    # pid has no counterpart in the count map (first seen at the 100x
-    # mirror: 834,610 of 1,500,000 dim rows survived). The checkpoint
-    # freezes one partitioning that both consumers read.
-    numbered = numbered.localCheckpoint(eager=True)
-    counts = numbered.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # Scalable path: bucket rows by driver-frozen range boundaries (so
+    # bucket order IS global order), number within buckets, then add
+    # per-bucket offsets from a tiny broadcast count map. The bucket id
+    # is data-derived, so the two consumers (window + count aggregate)
+    # agree under AQE / re-evaluation — the spark_partition_id() variant
+    # of this operator silently dropped rows when AQE coalesced the two
+    # plan instances differently (first seen at the 100x mirror:
+    # 834,610 of 1,500,000 dim rows survived).
+    n_rows = df.count()
+    boundaries = _range_boundaries(df, order_by, n_rows)
+    if not boundaries:
+        w = Window.orderBy(*order_by)
+        return df.withColumn(key_col, (F.lit(base) + F.row_number().over(w)).cast("long"))
+    bucketed = df.withColumn("__bkt", _bucket_expr(df, order_by, boundaries))
+    wp = Window.partitionBy("__bkt").orderBy(*order_by)
+    numbered = bucketed.withColumn("__rn", F.row_number().over(wp))
+    counts = bucketed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    woff = Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("__off", F.coalesce(F.sum("__cnt").over(woff), F.lit(0)))
     return (
-        numbered.join(F.broadcast(offsets.select("__pid", "__off")), "__pid")
+        numbered.join(F.broadcast(offsets.select("__bkt", "__off")), "__bkt")
         .withColumn(key_col, (F.lit(base) + F.col("__off") + F.col("__rn")).cast("long"))
-        .drop("__pid", "__rn", "__off")
+        .drop("__bkt", "__rn", "__off")
     )
 
 

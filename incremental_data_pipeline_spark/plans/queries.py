@@ -13218,7 +13218,12 @@ def stream_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: per micro-batch, one map-side-combined groupBy over the
     batch only plus a ≤ depth×width counter merge; history is never
     rescanned — the always-on analytics-store pattern for streaming
-    percentile dashboards."""
+    percentile dashboards. NOTE: the epoch marker and counter store here
+    use driver-local os.path/open semantics (as does atomic_overwrite) —
+    correct for this single-driver harness, but a deployment whose store
+    lives on HDFS/S3 must route the marker read/write through that
+    filesystem's atomic-rename primitives (e.g. Hadoop FileSystem API)
+    rather than POSIX open()."""
     from incremental_data_pipeline_spark.operators import sketches as _sk
     from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
 

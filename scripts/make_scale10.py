@@ -64,6 +64,13 @@ def main() -> None:
         i = argv.index("--stride")
         STRIDE = int(argv[i + 1])
         del argv[i : i + 2]
+    global REPLICAS
+    if "--replicas" in argv:
+        # e.g. --src .scale/sf10 --replicas 3 gives a 3x step (sf30) for
+        # between-decade scale spot-probes (VERDICT r7 #6)
+        i = argv.index("--replicas")
+        REPLICAS = int(argv[i + 1])
+        del argv[i : i + 2]
     out_dir = argv[0] if argv else str(
         Path(__file__).resolve().parent.parent / ".scale" / "sf1"
     )

@@ -81,6 +81,31 @@ def _value_hash(canon_rows) -> str:
     return h.hexdigest()
 
 
+def _norm_type(t: str) -> str:
+    """Collapse Spark and DuckDB type spellings into one comparable
+    normal form for the degraded (no-values) compare — names alone let a
+    silent int-vs-double drift pass as rows_only_large."""
+    t = t.strip().lower()
+    if t.endswith("[]") or t.startswith("array"):
+        return "array"
+    if t.startswith(("struct", "row(")):
+        return "struct"
+    if t.startswith(("map", "json")):
+        return "map"
+    if t.startswith(("decimal", "numeric")):
+        return "decimal"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    base = {
+        "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+        "bigint": "int", "hugeint": "int", "ubigint": "int", "long": "int",
+        "float": "float", "real": "float", "double": "float",
+        "string": "str", "varchar": "str", "text": "str",
+        "boolean": "bool", "date": "date", "binary": "binary", "blob": "binary",
+    }
+    return base.get(t, t)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -185,6 +210,10 @@ def main() -> int:
                 # Degrade HONESTLY to a counted rows+schema compare —
                 # the full value hash for such queries is on record at
                 # the largest SF whose output fits (sf1 for star_join).
+                # The count() below re-executes the query once; accepted
+                # — persisting every query's result before collect()
+                # would tax the ~280 healthy queries to spare the
+                # handful of oversized ones.
                 n_spark = sdf.count()
                 entry["rows"] = n_spark
                 entry["cols"] = len(spark_cols)
@@ -193,18 +222,25 @@ def main() -> int:
                     entry["status"] = "rows_only_ok"
                 else:
                     sql = ORACLE[name]
-                    duck_cols = [
-                        r[0]
-                        for r in duck.execute(f"DESCRIBE {sql}").fetchall()
-                    ]
+                    duck_desc = duck.execute(f"DESCRIBE {sql}").fetchall()
+                    duck_cols = [r[0] for r in duck_desc]
+                    # degraded compare never sees values, so dtype drift
+                    # (int vs double) must be caught here: compare
+                    # normalized (name, type) pairs, not names alone
+                    spark_typed = sorted(
+                        (c, _norm_type(t)) for c, t in sdf.dtypes
+                    )
+                    duck_typed = sorted(
+                        (r[0], _norm_type(r[1])) for r in duck_desc
+                    )
                     n_duck = _oracle_exec(
                         f"SELECT count(*) AS n FROM ({sql})"
                     ).fetchone()[0]
-                    if sorted(spark_cols) != sorted(duck_cols):
+                    if spark_typed != duck_typed:
                         entry["status"] = "MISMATCH"
                         entry["detail"] = (
-                            f"columns spark={sorted(spark_cols)} "
-                            f"duck={sorted(duck_cols)}"
+                            f"typed columns spark={spark_typed} "
+                            f"duck={duck_typed}"
                         )
                     elif n_spark != n_duck:
                         entry["status"] = "MISMATCH"

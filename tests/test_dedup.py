@@ -286,6 +286,26 @@ def test_incremental_components_merges_and_relabels(spark):
     }
 
 
+def test_incremental_components_undeclared_edge_endpoint_survives(spark):
+    """A delta-edge endpoint that is neither in old_labels nor declared
+    in new_nodes must still appear in the output with its component's
+    label (it participated in the quotient fixpoint; dropping it would
+    silently lose a document)."""
+    from incremental_data_pipeline_spark.operators import dedup as dd
+
+    stored = spark.createDataFrame([(10, 10), (11, 10)], "doc_id long, cluster_id long")
+    # endpoint 50 attaches to the stored component but was never declared
+    # as a new node; endpoints 60-61 form a brand-new component entirely
+    # outside old_labels ∪ new_nodes
+    delta = spark.createDataFrame([(11, 50), (60, 61)], "doc_a long, doc_b long")
+    new_nodes = spark.createDataFrame([], "doc_id long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dd.incremental_components(stored, delta, new_nodes).collect()
+    }
+    assert got == {10: 10, 11: 10, 50: 10, 60: 60, 61: 60}
+
+
 def test_incremental_components_empty_delta_is_identity(spark):
     from incremental_data_pipeline_spark.operators import dedup as dd
 
@@ -299,6 +319,23 @@ def test_incremental_components_empty_delta_is_identity(spark):
         for r in dd.incremental_components(stored, delta, new_nodes).collect()
     }
     assert got == {1: 1, 2: 1, 7: 7}
+
+
+def test_qgram_edit_pairs_null_text_never_pairs(spark):
+    """NULL text matches the reference definition (levenshtein on NULL
+    is NULL, i.e. no pair): NULL-valued rows must not clique together as
+    distance-0 duplicates."""
+    from incremental_data_pipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "abc"), (4, "abd")],
+        "pid long, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dd.qgram_edit_pairs(df, "pid", "name", max_dist=2).collect()
+    }
+    assert got == {(3, 4): 1}
 
 
 def test_qgram_edit_pairs_matches_quadratic_reference(spark):

@@ -271,8 +271,9 @@ def test_merge_partial_aggs_invariant_any_cut(spark, rows, cut):
 
 def test_surrogate_keys_auto_selects_by_size(spark, monkeypatch):
     """scalable=None probes size with an early-terminating limit-count:
-    small inputs keep the single-window plan (no range exchange), inputs
-    over the threshold switch to the range-partitioned prefix sum — and
+    small inputs keep the single-window plan (no bucket column), inputs
+    over the threshold switch to the range-bucketed prefix sum (bucket
+    window visible in the plan, lazy — no checkpoint LogicalRDD) — and
     the keys are identical either way for unique order keys."""
     from pyspark.sql import functions as F
 
@@ -281,14 +282,36 @@ def test_surrogate_keys_auto_selects_by_size(spark, monkeypatch):
     df = spark.range(100).select(F.col("id").alias("nk"))
     small = scd.assign_surrogate_keys(df, "sk", ["nk"])
     plan_small = small._jdf.queryExecution().optimizedPlan().toString()
-    assert "repartitionbyexpression" not in plan_small.lower().replace(" ", "")
+    assert "__bkt" not in plan_small
 
     monkeypatch.setattr(scd, "SCALABLE_KEY_THRESHOLD", 10)
+    monkeypatch.setattr(scd, "SCALABLE_KEY_ROWS_PER_BUCKET", 10)
     big = scd.assign_surrogate_keys(df, "sk", ["nk"])
     plan_big = big._jdf.queryExecution().optimizedPlan().toString()
-    assert "repartitionbyexpression" in plan_big.lower().replace(" ", "")
+    # bucket-windowed prefix-sum path, and lazy: a localCheckpoint would
+    # show up as a LogicalRDD scan replacing the real lineage.
+    assert "__bkt" in plan_big
+    assert "logicalrdd" not in plan_big.lower()
+    assert "__bkt" not in big.columns
     assert [r["sk"] for r in big.orderBy("nk").collect()] == list(range(1, 101))
     assert [r["sk"] for r in small.orderBy("nk").collect()] == list(range(1, 101))
+
+
+def test_surrogate_keys_scalable_multi_bucket_with_nulls_and_strings(spark, monkeypatch):
+    """Scalable keygen on a composite (string, int) key with NULL-bearing
+    rows matches the single-window global row_number exactly (NULLS FIRST
+    ordering), across many buckets."""
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import scd
+
+    monkeypatch.setattr(scd, "SCALABLE_KEY_ROWS_PER_BUCKET", 25)
+    rows = [(f"k{i % 37:02d}" if i % 11 else None, i) for i in range(500)]
+    df = spark.createDataFrame(rows, "a string, b int")
+    got = scd.assign_surrogate_keys(df, "sk", ["a", "b"], base=7, scalable=True)
+    want = scd.assign_surrogate_keys(df, "sk", ["a", "b"], base=7, scalable=False)
+    key = lambda r: (r["a"] is not None, r["a"] or "", r["b"])  # noqa: E731
+    assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
 
 
 interval_rows = st.lists(
