@@ -3058,7 +3058,13 @@ def catalog_roundtrip_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SCHEMA, gold_dim_branch.py:51 tableExists gate, gold_fact.py:22-25
     catalog-table reads): build a segment dim, persist it as a managed
     parquet table in the gold database, probe existence, read it back
-    through the catalog."""
+    through the catalog. When the SessionAliasCatalog plugin is on the
+    session's classpath (java/idps.jar — every get_spark session), the
+    round trip ALSO runs through the reference's verbatim 3-level names
+    (``cars_catalog.gold.dim_segment_probe``): overwrite-write, exists
+    probe, and read all through the 3-part identifier. The returned data
+    is identical either way, so the oracle covers both environments (the
+    driver harness session lacks the jar and takes the 2-part path)."""
     from incremental_data_pipeline_spark.operators.scd import build_dim
     from incremental_data_pipeline_spark.sources.catalog import LayerCatalog
 
@@ -3074,6 +3080,12 @@ def catalog_roundtrip_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left an unmarked orphan dir at its location.
     cat.write(dim, "gold", "dim_segment_probe", reclaim=True)  # S10: saveAsTable
     assert cat.exists("gold", "dim_segment_probe")  # S12: tableExists
+    q3 = cat.three_part("gold", "dim_segment_probe")
+    if q3 is not None:
+        # the reference's literal surface: cars_catalog.gold.<table>
+        dim.write.mode("overwrite").saveAsTable(q3)  # S10 via 3-level name
+        assert spark.catalog.tableExists(q3)  # S12 via 3-level name
+        return spark.table(q3)  # S7 via 3-level name
     return cat.read("gold", "dim_segment_probe")  # S7: catalog scan
 
 

@@ -8,8 +8,19 @@ for cross-engine determinism, Arrow for the Pandas-UDF slow path).
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+# Three-level-namespace parity shim (reference database_notebook.py:8-23
+# uses cars_catalog.gold.* names): a tiny JVM catalog plugin that aliases
+# a named catalog onto the session catalog. Built by java/build.sh;
+# sessions created here get it on the driver classpath automatically,
+# and sources.catalog.three_part_enabled() degrades gracefully when a
+# foreign session (e.g. the driver harness) lacks the jar.
+ALIAS_CATALOG_JAR = Path(__file__).resolve().parent.parent / "java" / "idps.jar"
+ALIAS_CATALOG_NAME = "cars_catalog"
+ALIAS_CATALOG_CLASS = "idps.catalog.SessionAliasCatalog"
 
 # Streaming state-store provider choice (100× posture):
 # - The default HDFSBackedStateStoreProvider holds every key's state as
@@ -97,6 +108,10 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
+    if ALIAS_CATALOG_JAR.exists():
+        builder = builder.config(
+            "spark.driver.extraClassPath", str(ALIAS_CATALOG_JAR)
+        ).config(f"spark.sql.catalog.{ALIAS_CATALOG_NAME}", ALIAS_CATALOG_CLASS)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -2,9 +2,13 @@
 namespaces, tableExists gates, CREATE SCHEMA — database_notebook.py:8-23,
 gold_dim_branch.py:51).
 
-Spark's default session catalog is two-level (database.table), so the
+Spark's default session catalog is two-level (database.table); the
 reference's 3-level ``catalog.schema.table`` maps to ``{layer}`` databases:
-``silver.events``, ``gold.dim_user``. Tables are parquet-backed managed or
+``silver.events``, ``gold.dim_user``. When the SessionAliasCatalog JVM
+plugin (java/idps.jar, registered by session.get_spark) is on the
+classpath, reference-style THREE-part names also resolve verbatim:
+``cars_catalog.gold.dim_x`` aliases the same warehouse tables —
+``three_part_enabled`` probes for it. Tables are parquet-backed managed or
 path-based external tables; bucketed variants go through
 sinks.write_bucketed.
 """
@@ -12,6 +16,28 @@ sinks.write_bucketed.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def three_part_enabled(spark: SparkSession) -> bool:
+    """True when the 3-level-namespace alias catalog can serve this
+    session: the plugin class must be on the JVM classpath (driver
+    extraClassPath is fixed at JVM launch, so a foreign session — e.g.
+    the driver harness — may lack it; callers degrade to 2-part names).
+    Registers the catalog conf on first success, which is safe because
+    ``spark.sql.catalog.*`` is read lazily at first catalog lookup."""
+    from incremental_data_pipeline_spark.session import (
+        ALIAS_CATALOG_CLASS,
+        ALIAS_CATALOG_NAME,
+    )
+
+    try:
+        spark._jvm.java.lang.Class.forName(ALIAS_CATALOG_CLASS)  # noqa: SLF001
+    except Exception:
+        return False
+    key = f"spark.sql.catalog.{ALIAS_CATALOG_NAME}"
+    if spark.conf.get(key, None) is None:
+        spark.conf.set(key, ALIAS_CATALOG_CLASS)
+    return True
 
 
 class LayerCatalog:
@@ -26,6 +52,16 @@ class LayerCatalog:
 
     def qualified(self, layer: str, table: str) -> str:
         return f"{layer}.{table}"
+
+    def three_part(self, layer: str, table: str) -> str | None:
+        """Reference-style ``catalog.schema.table`` name
+        (database_notebook.py:8-23), or None when the alias-catalog
+        plugin is absent from this session's JVM."""
+        if not three_part_enabled(self.spark):
+            return None
+        from incremental_data_pipeline_spark.session import ALIAS_CATALOG_NAME
+
+        return f"{ALIAS_CATALOG_NAME}.{self.qualified(layer, table)}"
 
     def exists(self, layer: str, table: str) -> bool:
         """Reference: spark.catalog.tableExists('cars_catalog.gold.dim_branch')
