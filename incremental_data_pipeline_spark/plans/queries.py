@@ -2855,7 +2855,9 @@ def parquet_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a mid-footer truncation of a real file); the batch still completes,
     reads exactly the intact rows, and the quarantine probe logs both bad
     files — the skip is never silent. Oracle: full nation row count plus
-    the planted corrupt-file count."""
+    the planted corrupt-file count. Layout-agnostic: the fixture table
+    may be one flat file (driver testdata) or a Spark-written DIRECTORY
+    of part files (scale fixtures) — every intact part is landed."""
     import shutil
 
     from incremental_data_pipeline_spark.sources.readers import (
@@ -2866,12 +2868,24 @@ def parquet_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     land = os.path.join(base, "bronze_nation")
     os.makedirs(land)
     src = os.path.join(sf_dir, "nation.parquet")
-    shutil.copy(src, os.path.join(land, "part-000.parquet"))
-    with open(os.path.join(land, "part-001.parquet"), "wb") as f:
+    if os.path.isdir(src):
+        parts = sorted(
+            os.path.join(src, p)
+            for p in os.listdir(src)
+            if p.endswith(".parquet")
+        )
+    else:
+        parts = [src]
+    for i, p in enumerate(parts):
+        shutil.copy(p, os.path.join(land, f"part-{i:05d}.parquet"))
+    # planted corrupt files sort AFTER the intact parts: Spark's schema
+    # inference reads the first listed footer, and ignoreCorruptFiles
+    # does not cover the inference pass
+    with open(os.path.join(land, "part-zz-garbage.parquet"), "wb") as f:
         f.write(b"not parquet at all")
-    with open(src, "rb") as f:
+    with open(parts[0], "rb") as f:
         intact = f.read()
-    with open(os.path.join(land, "part-002.parquet"), "wb") as f:
+    with open(os.path.join(land, "part-zz-truncated.parquet"), "wb") as f:
         f.write(intact[: max(8, len(intact) // 2)])  # footer gone
 
     good, quarantined = read_parquet_quarantine(spark, land)
@@ -4165,29 +4179,41 @@ def parse_brand_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  * CAST(round(value * 100) AS BIGINT)) AS sxx
       FROM events GROUP BY event_type)
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           CAST(n * sxx - sx * sx AS BIGINT) AS var_numerator,
-           sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / n AS stddev_cents
+           CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                AS DECIMAL(38,0)) AS var_numerator,
+           sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+                     - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)
+                     AS DOUBLE)) / n AS stddev_cents
     FROM s
     """,
 )
 def value_stddev_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-exact dispersion: population stddev from INTEGER moments
-    (n*Σx² − (Σx)² over quantized cents, overflow-checked BIGINT) with
-    exactly one sqrt + one division in double — built-in stddev uses
-    Welford double accumulation and is never bit-comparable across
-    engines; the explicit-moments form is."""
+    (n*Σx² − (Σx)² over quantized cents) with exactly one sqrt + one
+    division in double — built-in stddev uses Welford double accumulation
+    and is never bit-comparable across engines; the explicit-moments form
+    is. The moment combination runs in DECIMAL(38,0) (HUGEINT in the
+    oracle): n·Σx² and (Σx)² exceed BIGINT once groups reach ~10⁷ rows of
+    ~10⁵-cent values — the sf10 extended mirror caught the r7 BIGINT
+    version overflowing at exactly that point (ANSI long-overflow error,
+    queries would have silently wrapped pre-Spark-4)."""
     ev = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("bigint")
+    dec = "decimal(38,0)"
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("sx"),
         F.sum(cents * cents).alias("sxx"),
     )
-    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_num = (
+        F.col("n").cast(dec) * F.col("sxx").cast(dec)
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    ).cast(dec)
     return s.select(
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        var_num.cast("bigint").alias("var_numerator"),
+        var_num.alias("var_numerator"),
         (F.sqrt(var_num.cast("double")) / F.col("n")).alias("stddev_cents"),
     )
 
