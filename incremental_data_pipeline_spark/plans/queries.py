@@ -8934,25 +8934,25 @@ def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min/max rules), and member count. Singletons are their own golden
     record.
 
-    Scale shape: candidate pairs are blocking-bounded (brand buckets),
-    the closure is the checkpointed pointer-jumping fixpoint (O(log n)
-    rounds), and survivorship is one key-grouped aggregation. The oracle
-    replays the closure as a recursive CTE."""
+    Scale shape: candidate pairs come from the LOSSLESS q-gram prefix
+    join (``dedup.qgram_edit_pairs`` — value-clique collapse + ED-Join
+    prefixes), NOT a brand-blocked self-join: a brand block has ~25
+    values forever, so within-block pairs grow quadratically with the
+    table (the r8 sf10 mirror found the old self-join version stuck at
+    ~8e10 levenshtein evaluations — the same corpus-quadratic failure
+    the r7 sf10 mirror caught in fuzzy_part_name_pairs). The closure is
+    the checkpointed pointer-jumping fixpoint (O(log n) rounds), and
+    survivorship is one key-grouped aggregation. The oracle replays the
+    quadratic definition + closure as a recursive CTE."""
     p = load_table(spark, sf_dir, "part")
-    pairs = (
-        p.select(F.col("p_partkey").alias("part_a"), "p_brand", F.col("p_name").alias("__na"))
-        .join(
-            p.select(F.col("p_partkey").alias("part_b"), "p_brand", F.col("p_name").alias("__nb")),
-            "p_brand",
-        )
-        .filter(
-            (F.col("part_a") < F.col("part_b"))
-            & (F.levenshtein("__na", "__nb") <= 3)
-        )
-        .select(
-            F.col("part_a").alias("doc_a"), F.col("part_b").alias("doc_b")
-        )
-    )
+    pairs = _dedup.qgram_edit_pairs(
+        p.select("p_partkey", "p_brand", "p_name"),
+        "p_partkey",
+        "p_name",
+        max_dist=3,
+        q=3,
+        group_cols=("p_brand",),
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
     clusters = _dedup.duplicate_clusters(
         p.select(F.col("p_partkey")), pairs, "p_partkey"
     ).withColumnRenamed("p_partkey", "__k")
