@@ -1123,7 +1123,14 @@ def qgram_edit_pairs(
     # NULL text never pairs: the reference definition (levenshtein) is
     # NULL on NULL input, so a NULL-valued clique must NOT emit
     # distance-0 pairs — drop those rows before the clique groupBy.
+    # NULL group values likewise never pair: the quadratic reference
+    # definition blocks on a group equi-join, and SQL equality never
+    # matches NULL = NULL — without this filter the clique groupBy
+    # (which treats NULLs as equal) would emit distance-0 pairs the
+    # stage-3 equi-join and the oracle both exclude.
     df = df.filter(F.col(text_col).isNotNull())
+    for g in gcols:
+        df = df.filter(F.col(g).isNotNull())
     cliq = df.groupBy(*gcols, text_col).agg(
         F.array_sort(F.collect_list(id_col)).alias("__ids"),
         F.count(F.lit(1)).alias("__n"),

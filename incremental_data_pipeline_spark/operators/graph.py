@@ -26,6 +26,8 @@ probe, no checkpoint barrier needed at small depth).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -120,8 +122,44 @@ def pagerank_oracle_sql(
     return "WITH " + ",\n".join(parts) + f"\nSELECT node, rank FROM r{iterations}"
 
 
+# Pivot-batched triangle fallback tuning (see TRIANGLE_SCALE.md): wedge
+# rows are 3 BIGINTs (~24 B raw); shuffle write + the closing join's sort
+# spill roughly doubles the live on-disk footprint, so budget 48 B/row
+# against half the free scratch space before splitting pivots into
+# hash-bucket batches.
+WEDGE_BYTES_PER_ROW = 48
+SCRATCH_FRACTION = 0.5
+MAX_TRIANGLE_BATCHES = 64
+
+
+def _free_scratch_bytes(spark) -> int:
+    """Free bytes on the shuffle scratch volume (first spark.local.dir)."""
+    import shutil
+
+    local = spark.conf.get("spark.local.dir", None) or os.environ.get(
+        "SPARK_LOCAL_DIRS", "/tmp"
+    )
+    path = local.split(",")[0]
+    try:
+        return shutil.disk_usage(path).free
+    except OSError:
+        return shutil.disk_usage("/tmp").free
+
+
+def _wedge_per_node(tri: DataFrame) -> DataFrame:
+    return (
+        tri.select(F.explode(F.array("p", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+
+
 def triangle_count(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_batches: int | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED edge list (duplicate and
     reversed edges tolerated; self-loops dropped).
@@ -136,6 +174,23 @@ def triangle_count(
     per node by sqrt(m) even on power-law graphs where a hub's undirected
     degree is huge. Two shuffles: the wedge join on the pivot, the closing
     check as an equi-join against the oriented edge list.
+
+    Scale shape / pivot batching: wedge volume is linear in m (see
+    TRIANGLE_SCALE.md — exactly 10.00x across a fixture decade), but ONE
+    job's live wedge shuffle can exceed a single host's scratch disk. When
+    ``n_batches`` is None the operator estimates wedge rows from the
+    oriented out-degree histogram (one edges-scale aggregate over the
+    persisted oriented list) and, if the estimated live shuffle footprint
+    exceeds half the free scratch space, splits the PIVOT set into K hash
+    buckets and runs the wedge+closing join per bucket as K sequential
+    jobs. Each triangle is counted at exactly one pivot, and pivot buckets
+    partition the pivots, so the per-bucket counts are disjoint and their
+    per-node sums exact — shuffle footprint / K, no approximation. Batch
+    partials land as node-sized parquet in ``scratch_dir`` (a temp dir by
+    default; point it at shared storage on a cluster) so each batch fully
+    completes — and its wedge shuffle files become collectable — before
+    the next starts. Pass ``n_batches=1`` to force the single-job plan or
+    an explicit K to override the estimate.
 
     Returns (node, n_triangles) for every node of the graph, zeros
     included."""
@@ -165,21 +220,84 @@ def triangle_count(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
     )
-    e1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
-    e2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
-    wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+
+    if n_batches is None or n_batches > 1:
+        # oriented feeds three consumers (wedge e1/e2, closing) and, in
+        # batched mode, K+1 jobs — persist it once (lineage retained, so an
+        # executor loss on a real cluster recomputes rather than fails).
+        oriented = oriented.persist()
+        if n_batches is None:
+            wedge_rows = (
+                oriented.groupBy("u")
+                .agg(F.count(F.lit(1)).alias("d"))
+                .agg(F.sum(F.expr("d * (d - 1) div 2")).alias("w"))
+                .collect()[0]["w"]
+            ) or 0  # control-plane scalar: one value sizes the batch count
+            budget = max(1, int(_free_scratch_bytes(edges.sparkSession) * SCRATCH_FRACTION))
+            n_batches = min(
+                MAX_TRIANGLE_BATCHES,
+                max(1, -(-(wedge_rows * WEDGE_BYTES_PER_ROW) // budget)),
+            )
+
     closing = oriented.select(
         F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
     )
-    tri = wedges.join(closing, ["x", "y"])  # one row per triangle (p, x, y)
-    per_node = (
-        tri.select(F.explode(F.array("p", "x", "y")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
-    )
     all_nodes = deg.select("node")
-    return all_nodes.join(per_node, "node", "left").select(
-        "node", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+
+    if n_batches <= 1:
+        e1 = oriented.select(F.col("u").alias("p"), F.col("v").alias("x"))
+        e2 = oriented.select(F.col("u").alias("p"), F.col("v").alias("y"))
+        wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+        tri = wedges.join(closing, ["x", "y"])  # one row per triangle (p, x, y)
+        per_node = _wedge_per_node(tri)
+        return all_nodes.join(per_node, "node", "left").select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+
+    # --- pivot-batched path: K sequential jobs, shuffle footprint / K ---
+    import gc
+    import tempfile
+
+    spark = edges.sparkSession
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="idps_tri_")
+    nodes_path = os.path.join(scratch_dir, "nodes")
+    all_nodes.write.mode("overwrite").parquet(nodes_path)
+    for i in range(n_batches):
+        bucket = oriented.filter(
+            F.pmod(F.xxhash64(F.col("u")), F.lit(n_batches)) == i
+        )
+        e1 = bucket.select(F.col("u").alias("p"), F.col("v").alias("x"))
+        e2 = bucket.select(F.col("u").alias("p"), F.col("v").alias("y"))
+        wedges = e1.join(e2, "p").filter(F.col("x") < F.col("y"))
+        tri = wedges.join(closing, ["x", "y"])
+        # the write is the action that bounds this batch's live shuffle
+        _wedge_per_node(tri).write.mode("overwrite").parquet(
+            os.path.join(scratch_dir, f"part_{i}")
+        )
+        # nudge the ContextCleaner so batch i's wedge shuffle files are
+        # reclaimed before batch i+1 allocates its own (local-mode disk
+        # hygiene; harmless no-op concern on a multi-disk cluster)
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    oriented.unpersist()
+    partials = spark.read.parquet(
+        *[os.path.join(scratch_dir, f"part_{i}") for i in range(n_batches)]
+    )
+    per_node = partials.groupBy("node").agg(
+        F.sum("n_triangles").cast("long").alias("n_triangles")
+    )
+    return (
+        spark.read.parquet(nodes_path)
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
     )
 
 

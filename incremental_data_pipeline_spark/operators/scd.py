@@ -36,11 +36,13 @@ def _range_boundaries(df: DataFrame, order_by: list[str], n_rows: int) -> list[t
     yields CORRECT keys (bucketing only has to be monotone w.r.t. the
     global sort order); sampling quality only affects balance. Tuples
     containing NULLs are excluded from the boundary set so that the
-    bucket comparison's NULL semantics reduce exactly to NULLS FIRST
-    (a NULL reached mid-comparison makes ``key >= boundary`` NULL, which
-    the when-tree treats as "left of the boundary" — correct, because
-    under NULLS FIRST a NULL field does sort before every non-NULL
-    boundary value once the prefix fields are equal).
+    bucket comparison's NULL semantics reduce exactly to NULLS FIRST:
+    Spark compares structs with its interpreted total ordering, in which
+    an inner NULL field sorts BEFORE every non-NULL value (the
+    comparison returns a non-NULL boolean, not NULL), so once the prefix
+    fields are equal a NULL-bearing key evaluates ``key >= boundary`` to
+    false against every all-non-NULL boundary — left of the boundary,
+    exactly where NULLS FIRST row_number ordering puts it.
     """
     import math
 
@@ -166,6 +168,18 @@ def assign_surrogate_keys(
     n_rows = df.count()
     boundaries = _range_boundaries(df, order_by, n_rows)
     if not boundaries:
+        if n_rows > SCALABLE_KEY_THRESHOLD:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "assign_surrogate_keys: %d rows requested the scalable path "
+                "but sampling found <2 distinct non-NULL %s tuples — falling "
+                "back to the single-task global window. Heavily duplicated "
+                "or mostly-NULL order keys cannot be range-split; expect one "
+                "straggler task at this size.",
+                n_rows,
+                order_by,
+            )
         w = Window.orderBy(*order_by)
         return df.withColumn(key_col, (F.lit(base) + F.row_number().over(w)).cast("long"))
     bucketed = df.withColumn("__bkt", _bucket_expr(df, order_by, boundaries))

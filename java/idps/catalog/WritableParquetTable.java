@@ -120,33 +120,42 @@ public class WritableParquetTable implements Table, SupportsRead, SupportsWrite 
 
     @Override
     public Write build() {
-      if (truncate) {
-        try {
-          Path p = new Path(location);
-          Configuration conf = SparkSession.active().sessionState().newHadoopConf();
-          FileSystem fs = p.getFileSystem(conf);
-          if (fs.exists(p)) {
-            for (FileStatus st : fs.listStatus(p)) {
-              fs.delete(st.getPath(), true);
-            }
-          }
-        } catch (IOException e) {
-          throw new UncheckedIOException("truncate of " + location + " failed", e);
-        }
-      }
-      return new RefreshingWrite(inner.build(), refreshName);
+      return new RefreshingWrite(inner.build(), refreshName, location, truncate);
     }
   }
 
-  /** Forwards the write; on successful commit, drops the session
-   * catalog's cached V1 relation + file listing for this table. */
+  /** Forwards the write; performs a requested truncate at EXECUTION
+   * start (first createBatchWriterFactory call), not at plan time — a
+   * write that fails planning or is aborted before execution must leave
+   * the table intact, matching V1 overwrite's delete-then-write timing.
+   * On successful commit, drops the session catalog's cached V1
+   * relation + file listing for this table. */
   private static final class RefreshingWrite implements Write {
     private final Write inner;
     private final String refreshName;
+    private final String location;
+    private final boolean truncate;
 
-    RefreshingWrite(Write inner, String refreshName) {
+    RefreshingWrite(Write inner, String refreshName, String location, boolean truncate) {
       this.inner = inner;
       this.refreshName = refreshName;
+      this.location = location;
+      this.truncate = truncate;
+    }
+
+    private void truncateLocation() {
+      try {
+        Path p = new Path(location);
+        Configuration conf = SparkSession.active().sessionState().newHadoopConf();
+        FileSystem fs = p.getFileSystem(conf);
+        if (fs.exists(p)) {
+          for (FileStatus st : fs.listStatus(p)) {
+            fs.delete(st.getPath(), true);
+          }
+        }
+      } catch (IOException e) {
+        throw new UncheckedIOException("truncate of " + location + " failed", e);
+      }
     }
 
     @Override
@@ -158,9 +167,18 @@ public class WritableParquetTable implements Table, SupportsRead, SupportsWrite 
     public BatchWrite toBatch() {
       BatchWrite b = inner.toBatch();
       String name = refreshName;
+      boolean wantTruncate = truncate;
       return new BatchWrite() {
+        private boolean truncated = false;
+
         @Override
         public DataWriterFactory createBatchWriterFactory(PhysicalWriteInfo info) {
+          synchronized (this) {
+            if (wantTruncate && !truncated) {
+              truncateLocation();
+              truncated = true;
+            }
+          }
           return b.createBatchWriterFactory(info);
         }
 

@@ -338,6 +338,32 @@ def test_qgram_edit_pairs_null_text_never_pairs(spark):
     assert got == {(3, 4): 1}
 
 
+def test_qgram_edit_pairs_null_group_never_pairs(spark):
+    """NULL group values match the reference definition (the quadratic
+    block is a group equi-join; NULL = NULL is never true in SQL): rows
+    whose group key is NULL pair with nothing — neither as distance-0
+    cliques nor through the prefix join."""
+    from incremental_data_pipeline_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (1, None, "same text"),
+            (2, None, "same text"),   # NULL-group clique: must NOT pair
+            (3, None, "same texx"),   # NULL-group near-dup: must NOT pair
+            (4, "g", "same text"),
+            (5, "g", "same text"),    # real group: distance-0 pair
+        ],
+        "pid long, grp string, name string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in dd.qgram_edit_pairs(
+            df, "pid", "name", max_dist=2, group_cols=("grp",)
+        ).collect()
+    }
+    assert got == {(4, 5): 0}
+
+
 def test_qgram_edit_pairs_matches_quadratic_reference(spark):
     """Lossless vs the brute-force definition, including the prefix
     theorem's blind spot: strings with <= k*q grams (short names) only

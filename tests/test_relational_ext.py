@@ -248,6 +248,39 @@ def test_headline_plan_shapes_no_extra_shuffles(spark):
         assert plan.count("SortMergeJoin") <= max_smj, (name, plan[:2000])
 
 
+def test_golden_record_pairs_plan_is_qgram_prefix_join(spark):
+    """Plan-shape pin for golden_record_parts' candidate stage: pairs
+    MUST come from the q-gram prefix join, never a brand-blocked
+    quadratic self-join. A brand block has ~25 values forever, so
+    within-block pairs grow corpus-quadratically — the r8 sf10 mirror
+    found the old self-join version stuck at ~8e10 levenshtein calls.
+    Two pins: (a) the query source routes through qgram_edit_pairs;
+    (b) the physical plan of that stage joins on the gram column __g
+    (the quadratic shape has no gram column anywhere) with no
+    cartesian / nested-loop join."""
+    import inspect
+
+    from incremental_data_pipeline_spark.operators import dedup as dd
+    from incremental_data_pipeline_spark.plans import queries as q
+
+    src = inspect.getsource(q.golden_record_parts)
+    assert "qgram_edit_pairs" in src, "golden_record_parts no longer uses the prefix join"
+
+    p = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    pairs = dd.qgram_edit_pairs(
+        p.select("p_partkey", "p_brand", "p_name"),
+        "p_partkey",
+        "p_name",
+        max_dist=3,
+        q=3,
+        group_cols=("p_brand",),
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "__g" in plan, plan[:2000]  # gram-keyed join present
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+
+
 def test_observation_result_probe_and_timeout(spark):
     """observation_result returns metrics once an action ran over the
     observed frame, and None (no unbounded block) when none ever did."""

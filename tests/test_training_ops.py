@@ -422,6 +422,45 @@ def test_triangle_count_known_graph_and_orientation_bound(spark):
     assert tri_total == 59 * 3  # 59 triangles, 3 nodes each
 
 
+def test_triangle_count_pivot_batched_equals_single(spark, tmp_path):
+    """The pivot-batched fallback (TRIANGLE_SCALE.md) must be EXACT: hash
+    buckets partition the pivot set and every triangle is counted at its
+    unique pivot, so K sequential batches sum to the single-job answer.
+    Run on the fixture-scale part co-purchase graph (the same graph the
+    sf10 mirror exercises) at several K, including K > distinct pivots."""
+    from incremental_data_pipeline_spark.operators import graph
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    co = li.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    )
+    edges = co.select(
+        F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+    )
+    single = sorted(
+        (r["node"], r["n_triangles"])
+        for r in graph.triangle_count(edges, n_batches=1).collect()
+    )
+    assert sum(c for _, c in single) > 0  # fixture graph has triangles
+    for k in (3, 7):
+        batched = sorted(
+            (r["node"], r["n_triangles"])
+            for r in graph.triangle_count(
+                edges, n_batches=k, scratch_dir=str(tmp_path / f"k{k}")
+            ).collect()
+        )
+        assert batched == single, f"K={k} diverged"
+    # auto mode on a tiny input resolves to the single-job plan and matches
+    auto = sorted(
+        (r["node"], r["n_triangles"]) for r in graph.triangle_count(edges).collect()
+    )
+    assert auto == single
+
+
 def test_cms_never_undercounts_and_merges(spark):
     """CMS guarantees est >= exact for every key; and counters built on two
     disjoint halves, merged by summing cells, must equal counters built on
