@@ -1052,3 +1052,217 @@ def test_rocksdb_state_store_provider_equivalent(spark):
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_kill_and_restart_from_checkpoint_matches_uninterrupted(spark):
+    """Crash-recovery pin for the exactly-once gold rollup: the query is
+    KILLED after epoch 2's gold swap commits (data + _applied_epoch
+    sidecar inside one atomic rename) but BEFORE Spark commits epoch 2's
+    offsets — the exact replay window the sidecar exists for. A restart
+    on the SAME checkpoint and SAME gold store re-delivers epoch 2; the
+    sidecar must skip it (a second merge would double-count) and the
+    drained result must hash-match an uninterrupted run of the same
+    source."""
+    from pyspark.sql import Window
+
+    from incremental_data_pipeline_spark.operators import cdc
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    base = tempfile.mkdtemp(prefix="stream_kill_restart_")
+
+    class DeliberateKill(Exception):
+        pass
+
+    try:
+        events = load_table(spark, SF_DIR, "events").select(
+            "user_id", "event_type", "value", "ts"
+        )
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        chunked = events.withColumn(
+            "__chunk", F.ntile(4).over(Window.orderBy("ts"))
+        )
+        for i in (1, 2, 3, 4):
+            tmp = os.path.join(base, f"tmp{i}")
+            chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
+                1
+            ).write.parquet(tmp)
+            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+            os.rename(os.path.join(tmp, part), os.path.join(src, f"chunk{i}.parquet"))
+            shutil.rmtree(tmp)
+
+        keys = ["user_id", "event_type"]
+        sums = {
+            "sum_cents": F.sum(
+                F.round(F.col("value") * 100).cast("bigint")
+            ).cast("bigint"),
+            "n_events": F.count(F.lit(1)).cast("bigint"),
+        }
+
+        def make_apply(gold_path, kill_after_epoch):
+            def apply_batch(batch, epoch):
+                if os.path.exists(gold_path):
+                    marker = os.path.join(gold_path, "_applied_epoch")
+                    if os.path.exists(marker):
+                        with open(marker) as f:
+                            if epoch <= int(f.read().strip()):
+                                return  # replayed epoch: already committed
+                    merged = cdc.merge_partial_aggs(
+                        spark.read.parquet(gold_path), batch, keys, sums
+                    )
+                else:
+                    merged = batch.groupBy(*keys).agg(
+                        *[c.alias(nm) for nm, c in sums.items()]
+                    )
+                atomic_overwrite(
+                    merged, gold_path, extra_files={"_applied_epoch": str(epoch)}
+                )
+                if kill_after_epoch is not None and epoch == kill_after_epoch:
+                    # gold (incl. the epoch sidecar) is committed; dying
+                    # HERE means Spark never commits this epoch's offsets
+                    raise DeliberateKill(f"kill after epoch {epoch} commit")
+
+            return apply_batch
+
+        def run(gold_path, ckpt, kill_after_epoch=None):
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    make_apply(gold_path, kill_after_epoch)
+                )
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            except Exception:
+                # the deliberate kill surfaces as a StreamingQueryException
+                # whose message truncates the Python traceback — the
+                # post-kill state asserts below prove WHERE it died
+                return False
+            finally:
+                q.stop()
+                try:
+                    q.awaitTermination()
+                except Exception:
+                    pass
+            return True
+
+        gold_a = os.path.join(base, "gold_killed")
+        ckpt_a = os.path.join(base, "ckpt_killed")
+        survived = run(gold_a, ckpt_a, kill_after_epoch=2)
+        assert not survived, "the kill never fired"
+        # epoch 2's data committed, its offsets did not: the sidecar
+        # already records epoch 2
+        with open(os.path.join(gold_a, "_applied_epoch")) as f:
+            assert int(f.read().strip()) == 2
+        # restart on the SAME checkpoint + store: epoch 2 is re-delivered
+        # and must be skipped, epochs 3+ applied once
+        assert run(gold_a, ckpt_a)
+        with open(os.path.join(gold_a, "_applied_epoch")) as f:
+            assert int(f.read().strip()) == 3  # all four chunks applied
+
+        gold_b = os.path.join(base, "gold_clean")
+        assert run(gold_b, os.path.join(base, "ckpt_clean"))
+
+        got = sorted(map(tuple, spark.read.parquet(gold_a).collect()))
+        want = sorted(map(tuple, spark.read.parquet(gold_b).collect()))
+        assert got == want and len(got) > 0
+        # and both equal the from-scratch batch aggregate
+        full = sorted(
+            map(
+                tuple,
+                events.groupBy(*keys)
+                .agg(*[c.alias(nm) for nm, c in sums.items()])
+                .collect(),
+            )
+        )
+        assert got == full
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_kill_and_restart_ledger_applies_each_epoch_once(spark):
+    """Crash-recovery pin for the batch-id ledger: the query dies at the
+    START of epoch 2 (epochs 0-1 fully committed — side effects, ledger
+    markers, offsets). A restart on the same checkpoint + ledger must
+    apply epochs 2-3 exactly once each, never re-running 0-1, and the
+    non-idempotent applied-log must end with one entry per epoch."""
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    base = tempfile.mkdtemp(prefix="stream_kill_ledger_")
+
+    class DeliberateKill(Exception):
+        pass
+
+    try:
+        events = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        for i in range(4):
+            tmp = os.path.join(base, f"tmp{i}")
+            events.filter(F.pmod(F.col("user_id"), F.lit(4)) == i).coalesce(
+                1
+            ).write.parquet(tmp)
+            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+            os.rename(os.path.join(tmp, part), os.path.join(src, f"chunk{i}.parquet"))
+            shutil.rmtree(tmp)
+
+        ledger = os.path.join(base, "ledger")
+        os.makedirs(ledger)
+        applied = []  # (epoch, rows): NOT idempotent by construction
+        kill_armed = [True]
+
+        def wrapper(batch, epoch):
+            if kill_armed[0] and epoch == 2:
+                raise DeliberateKill("kill at trigger start of epoch 2")
+            marker = os.path.join(ledger, f"epoch={epoch}")
+            if os.path.exists(marker):
+                return
+            applied.append((epoch, batch.count()))
+            with open(marker, "x") as f:
+                f.write("applied\n")
+
+        def run(ckpt):
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(wrapper)
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            except Exception:
+                # the deliberate kill surfaces as a StreamingQueryException
+                # whose message truncates the Python traceback — the
+                # post-kill state asserts below prove WHERE it died
+                return False
+            finally:
+                q.stop()
+                try:
+                    q.awaitTermination()
+                except Exception:
+                    pass
+            return True
+
+        ckpt = os.path.join(base, "ckpt")
+        assert not run(ckpt), "the kill never fired"
+        assert sorted(e for e, _ in applied) == [0, 1]
+        kill_armed[0] = False
+        assert run(ckpt)
+        # epochs 2 and 3 applied exactly once; 0 and 1 never re-ran
+        assert sorted(e for e, _ in applied) == [0, 1, 2, 3]
+        assert sum(n for _, n in applied) == events.count()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
