@@ -66,12 +66,17 @@ def probe(spark, sf_dir: str) -> dict:
 
 
 def main() -> None:
+    import os
+
+    # 24g suffices through sf10; the sf30 point's support-count hash
+    # aggregate needs more (measured OOM at 24g, round 9)
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark(
         app_name="basket_lift_probe",
         extra_conf={
-            "spark.driver.memory": "24g",
+            "spark.driver.memory": mem,
             "spark.driver.extraJavaOptions": (
-                "-Xms24g -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g"
+                f"-Xms{mem} -XX:+AlwaysPreTouch -XX:ReservedCodeCacheSize=1g"
             ),
         },
     )
