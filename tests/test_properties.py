@@ -297,6 +297,43 @@ def test_surrogate_keys_auto_selects_by_size(spark, monkeypatch):
     assert [r["sk"] for r in small.orderBy("nk").collect()] == list(range(1, 101))
 
 
+def test_surrogate_keys_degenerate_keys_warn_and_stay_correct(spark, monkeypatch, caplog):
+    """When the input is over the scalable threshold but every order key
+    is identical (no range boundaries exist), the operator must fall back
+    to the single-window sort WITH a logged warning — the degradation has
+    to be visible at scale — and the keys must still be dense and
+    correct (ties take unspecified order, so only the key SET is
+    pinned)."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from incremental_data_pipeline_spark.operators import scd
+
+    monkeypatch.setattr(scd, "SCALABLE_KEY_THRESHOLD", 10)
+    df = spark.range(50).select(F.lit("same").alias("nk"), F.col("id").alias("v"))
+    with caplog.at_level(logging.WARNING, logger="incremental_data_pipeline_spark.operators.scd"):
+        out = scd.assign_surrogate_keys(df, "sk", ["nk"])
+        got = sorted(r["sk"] for r in out.collect())
+    assert got == list(range(1, 51))
+    assert any("single-task global window" in r.message for r in caplog.records)
+
+
+def test_triangle_auto_batching_engages_on_tight_scratch(spark, monkeypatch):
+    """The auto estimator must pick K > 1 when free scratch is small
+    relative to the estimated wedge shuffle, and the batched result must
+    still match the forced single-job run."""
+    from incremental_data_pipeline_spark.operators import graph
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    df = spark.createDataFrame(k4 + [(5, 1)], "src long, dst long")
+    single = sorted(map(tuple, graph.triangle_count(df, n_batches=1).collect()))
+    # pretend the scratch volume is 16 bytes: any wedge estimate exceeds it
+    monkeypatch.setattr(graph, "_free_scratch_bytes", lambda _spark: 32)
+    auto = sorted(map(tuple, graph.triangle_count(df).collect()))
+    assert auto == single
+
+
 def test_surrogate_keys_scalable_multi_bucket_with_nulls_and_strings(spark, monkeypatch):
     """Scalable keygen on a composite (string, int) key with NULL-bearing
     rows matches the single-window global row_number exactly (NULLS FIRST
