@@ -483,3 +483,213 @@ def dyadic_rank_estimate(
     return per_node.groupBy(probe_alias).agg(
         F.sum("node_est").cast("long").alias("rank_est")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (deterministic, cross-engine reproducible)
+# ---------------------------------------------------------------------------
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from Flajolet et al. 2007 §4 (the m >= 128
+    closed form plus the small-m table). Computed ONCE in Python and
+    embedded verbatim (repr) into both the Spark plan and the DuckDB
+    oracle, so the two engines multiply by the identical double."""
+    if m >= 128:
+        return 0.7213 / (1.0 + 1.079 / m)
+    return {16: 0.673, 32: 0.697, 64: 0.709}[m]
+
+
+def hll_registers(df: DataFrame, cols: list[str], p: int = 10) -> DataFrame:
+    """HyperLogLog register table [Flajolet et al. 2007] over the values
+    of ``cols``: bucket = top ``p`` bits of the public md5-prefix hash,
+    register = max over the bucket's hashes of rho(w) = leading zeros of
+    the remaining 32-p bits, plus one. Spark's own
+    ``approx_count_distinct`` IS HLL++, but its estimate is
+    implementation-private; this sketch is rebuilt bit-for-bit by any
+    engine (rho via ``length(bin(w))`` — exact integer string length, no
+    floating log2), the same cross-engine discipline as the KMV and CMS
+    sketches above.
+
+    NULL-bearing keys are dropped (both engines), so the sketch counts
+    distinct non-NULL tuples.
+
+    Scale shape: NO distinct pre-aggregation is needed — max is
+    idempotent, so duplicates fold away in the map-side partial of ONE
+    groupBy over at most 2^p buckets. The register table is a fixed-size
+    (≤ 2^p rows) mergeable summary: union two sketches by per-bucket max
+    (see ``hll_merge``), the property the streaming fold and the
+    union-estimate query rely on."""
+    bits = 32 - p
+    hv = hash64(cols)
+    notnull = df
+    for c in cols:
+        notnull = notnull.filter(F.col(c).isNotNull())
+    w = (hv % F.lit(1 << bits)).alias("w")
+    rho = F.when(F.col("w") == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits + 1) - F.length(F.bin(F.col("w")))
+    )
+    return (
+        fan_out(notnull)
+        .select(F.shiftright(hv, bits).cast("int").alias("bucket"), w)
+        .select("bucket", rho.cast("int").alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+
+
+def hll_registers_by_group(
+    df: DataFrame, group_cols: list[str], cols: list[str], p: int = 10
+) -> DataFrame:
+    """One HLL register table per group key — the per-dimension-cell
+    sketch a rollup store keeps (≤ 2^p rows per cell, mergeable up the
+    dimension hierarchy by per-bucket max; see ``hll_merge``).
+
+    Scale shape: same single map-side-combined groupBy as the global
+    sketch, keyed on (group, bucket)."""
+    bits = 32 - p
+    hv = hash64(cols)
+    notnull = df
+    for c in cols:
+        notnull = notnull.filter(F.col(c).isNotNull())
+    w = (hv % F.lit(1 << bits)).alias("w")
+    rho = F.when(F.col("w") == 0, F.lit(bits + 1)).otherwise(
+        F.lit(bits + 1) - F.length(F.bin(F.col("w")))
+    )
+    return (
+        fan_out(notnull)
+        .select(*group_cols, F.shiftright(hv, bits).cast("int").alias("bucket"), w)
+        .select(*group_cols, "bucket", rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Union of HLL sketches: per-bucket max over all inputs — exactly
+    the register table of the concatenated inputs, because max is
+    associative and commutative. Control-plane sized (≤ 2^p rows each)."""
+    merged = register_tables[0]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("bucket").agg(
+        F.max("register").cast("int").alias("register")
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
+    """One-row cardinality estimate from an HLL register table.
+
+    The harmonic mean is computed in EXACT integer arithmetic: each
+    register r contributes 2^(bits+1-r) (an integer, since
+    r <= bits+1), absent buckets contribute 2^(bits+1), so
+    ``sum_scaled`` = 2^(bits+1) * sum_j 2^(-M_j) is a BIGINT — immune to
+    float summation-order drift across engines. The raw estimate
+    alpha·m²/Z then needs ONE double division; the small-range
+    (linear counting, E <= 5m/2 with empty buckets) and large-range
+    (32-bit hash saturation) corrections pass their ln() through
+    DECIMAL(18,8) so a last-ulp libm difference cannot change the hash.
+
+    Output: ``m``, ``zero_buckets``, ``sum_scaled``, ``est_distinct``."""
+    bits = 32 - p
+    m = 1 << p
+    scale2 = 1 << (bits + 1)
+    alpha_m2s = _hll_alpha(m) * float(m) * float(m) * float(scale2)
+    two32 = float(1 << 32)
+    agg = registers.agg(
+        F.count(F.lit(1)).cast("long").alias("filled"),
+        F.sum(
+            F.pow(F.lit(2.0), (F.lit(bits + 1) - F.col("register"))).cast("long")
+        ).cast("long")
+        .alias("filled_sum"),
+    ).select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("filled")).cast("long").alias("zero_buckets"),
+        (
+            F.coalesce(F.col("filled_sum"), F.lit(0))
+            + (F.lit(m) - F.col("filled")) * F.lit(scale2)
+        ).cast("long").alias("sum_scaled"),
+    )
+    e_raw = F.lit(alpha_m2s) / F.col("sum_scaled").cast("double")
+    ln_small = F.log(
+        F.lit(float(m)) / F.col("zero_buckets").cast("double")
+    )
+    ln_large = F.log(F.lit(1.0) - e_raw / F.lit(two32))
+    est = (
+        F.when(
+            (e_raw <= F.lit(2.5 * m)) & (F.col("zero_buckets") > 0),
+            (F.lit(float(m)) * ln_small).cast("decimal(18,8)").cast("double"),
+        )
+        .when(
+            e_raw > F.lit(two32 / 30.0),
+            (F.lit(-two32) * ln_large).cast("decimal(18,8)").cast("double"),
+        )
+        .otherwise(e_raw)
+    )
+    return agg.select("m", "zero_buckets", "sum_scaled", est.alias("est_distinct"))
+
+
+def hll_registers_sql(inner: str, value_expr: str, p: int = 10) -> str:
+    """DuckDB twin of ``hll_registers`` over one expression: same
+    md5-prefix hash, same shift/mod bucket split, same bin()-length rho.
+    ``inner`` must already exclude NULL values of ``value_expr``."""
+    bits = 32 - p
+    mask = 1 << bits
+    hv = f"('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, 8))::BIGINT"
+    return f"""
+      SELECT CAST(hv // {mask} AS INTEGER) AS bucket,
+             CAST(max(CASE WHEN hv % {mask} = 0 THEN {bits + 1}
+                           ELSE {bits + 1} - length(bin(hv % {mask}))
+                      END) AS INTEGER) AS register
+      FROM (SELECT {hv} AS hv FROM ({inner}))
+      GROUP BY 1
+    """
+
+
+def hll_agg_sql(registers_rel: str, p: int = 10) -> str:
+    """SELECT text computing (m, zero_buckets, sum_scaled) from a
+    register relation — the exact-integer harmonic-sum step of
+    ``hll_estimate`` in the DuckDB dialect."""
+    m = 1 << p
+    bits = 32 - p
+    scale2 = 1 << (bits + 1)
+    return f"""
+        SELECT CAST({m} AS BIGINT) AS m,
+               CAST({m} - count(*) AS BIGINT) AS zero_buckets,
+               CAST(COALESCE(CAST(sum(CAST(2.0 ** ({bits + 1} - register) AS BIGINT)) AS BIGINT), 0)
+                    + ({m} - count(*)) * {scale2} AS BIGINT) AS sum_scaled
+        FROM {registers_rel}"""
+
+
+def hll_est_expr_sql(p: int = 10) -> str:
+    """The ``est_distinct`` CASE expression over (zero_buckets,
+    sum_scaled) columns — constants embedded from the same Python doubles
+    the Spark plan uses, ln() quantized through DECIMAL(18,8)."""
+    m = 1 << p
+    bits = 32 - p
+    scale2 = 1 << (bits + 1)
+    alpha_m2s = _hll_alpha(m) * float(m) * float(m) * float(scale2)
+    two32 = float(1 << 32)
+    return f"""CASE
+               WHEN ({alpha_m2s!r} / CAST(sum_scaled AS DOUBLE)) <= {2.5 * m!r}
+                    AND zero_buckets > 0
+                 THEN CAST(CAST({float(m)!r} * ln({float(m)!r} / CAST(zero_buckets AS DOUBLE))
+                           AS DECIMAL(18,8)) AS DOUBLE)
+               WHEN ({alpha_m2s!r} / CAST(sum_scaled AS DOUBLE)) > {two32 / 30.0!r}
+                 THEN CAST(CAST({-two32!r} * ln(1.0 - ({alpha_m2s!r} / CAST(sum_scaled AS DOUBLE)) / {two32!r})
+                           AS DECIMAL(18,8)) AS DOUBLE)
+               ELSE {alpha_m2s!r} / CAST(sum_scaled AS DOUBLE)
+             END"""
+
+
+def hll_estimate_sql(registers_sql: str, p: int = 10) -> str:
+    """DuckDB twin of ``hll_estimate`` over a registers subquery with
+    (bucket, register) columns — one composed WITH, columns
+    (m, zero_buckets, sum_scaled, est_distinct)."""
+    return f"""
+      WITH __reg AS ({registers_sql}),
+      __agg AS ({hll_agg_sql('__reg', p)})
+      SELECT m, zero_buckets, sum_scaled,
+             {hll_est_expr_sql(p)} AS est_distinct
+      FROM __agg
+    """

@@ -13346,3 +13346,171 @@ def stream_rank_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_est").cast("bigint").alias("rank_est"),
         (F.col("rank_est") - F.col("exact_rank")).cast("bigint").alias("overcount"),
     )
+
+
+@query(
+    "hll_registers_users",
+    _sketches.hll_registers_sql(
+        "SELECT user_id FROM events WHERE user_id IS NOT NULL", "user_id", p=10
+    ),
+)
+def hll_registers_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table (p=10, 1024 buckets) over distinct
+    event users [Flajolet et al. 2007]. Spark ships HLL++ as
+    ``approx_count_distinct``, but its registers are private; this sketch
+    is rebuilt bit-for-bit by the DuckDB oracle (md5-prefix hash, rho via
+    exact ``length(bin())`` — no floating log2), extending the KMV/CMS
+    cross-engine determinism discipline to the industry-standard
+    cardinality sketch.
+
+    Scale shape: NO distinct pre-shuffle — max-of-rho is idempotent, so
+    duplicate users fold away in the map-side partial of one groupBy
+    over ≤ 1024 buckets; the result is a fixed-size mergeable summary
+    regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    return _sketches.hll_registers(ev, ["user_id"], p=10)
+
+
+@query(
+    "hll_distinct_users",
+    _sketches.hll_estimate_sql(
+        _sketches.hll_registers_sql(
+            "SELECT user_id FROM events WHERE user_id IS NOT NULL", "user_id", p=10
+        ),
+        p=10,
+    ),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row HLL cardinality estimate for distinct event users, with
+    the full Flajolet correction ladder (linear counting under 2.5m with
+    empty buckets; 32-bit saturation above 2^32/30). The harmonic mean is
+    EXACT integer arithmetic (each register r contributes the integer
+    2^(23-r), empty buckets 2^23), so ``sum_scaled`` is immune to float
+    summation order across engines; the corrections' ln() is quantized
+    through DECIMAL(18,8) in both plans.
+
+    Scale shape: everything after the ≤1024-bucket groupBy is one-row
+    arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    return _sketches.hll_estimate(
+        _sketches.hll_registers(ev, ["user_id"], p=10), p=10
+    )
+
+
+_HLL_UNION_ORACLE = f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    pt AS (
+      SELECT event_type, CAST(hv // 4194304 AS INTEGER) AS bucket,
+             CAST(max(CASE WHEN hv % 4194304 = 0 THEN 23
+                           ELSE 23 - length(bin(hv % 4194304)) END) AS INTEGER)
+               AS register
+      FROM h GROUP BY 1, 2),
+    merged AS (
+      SELECT bucket, CAST(max(register) AS INTEGER) AS register
+      FROM pt GROUP BY 1),
+    direct AS ({_sketches.hll_registers_sql(
+        "SELECT user_id FROM events WHERE user_id IS NOT NULL", "user_id", p=10
+    )}),
+    mm AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_mismatch_buckets
+      FROM merged m FULL JOIN direct d USING (bucket)
+      WHERE m.register IS DISTINCT FROM d.register),
+    agg AS ({_sketches.hll_agg_sql("merged", p=10)})
+    SELECT mm.n_mismatch_buckets,
+           {_sketches.hll_est_expr_sql(p=10)} AS est_distinct
+    FROM mm CROSS JOIN agg
+"""
+
+
+@query("hll_union_by_type", _HLL_UNION_ORACLE)
+def hll_union_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability, proven in-band: per-event-type sketches (the
+    per-dimension-cell summaries a rollup store keeps) merged by
+    per-bucket max must equal the sketch built directly over all events
+    — max is associative — so ``n_mismatch_buckets`` is 0 and the union
+    estimate needs NO rescan of history. This is the property that lets
+    1000 executors sketch their partitions independently and a
+    coordinator fold 1000×1024 integers.
+
+    Scale shape: one (type, bucket) map-side-combined groupBy, then
+    control-plane-sized register folds."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = _sketches.hll_registers_by_group(
+        ev, ["event_type"], ["user_id"], p=10
+    )
+    merged = per_type.groupBy("bucket").agg(
+        F.max("register").cast("int").alias("register")
+    )
+    direct = _sketches.hll_registers(ev, ["user_id"], p=10)
+    mm = (
+        merged.withColumnRenamed("register", "reg_m")
+        .join(
+            direct.withColumnRenamed("register", "reg_d"), "bucket", "full_outer"
+        )
+        .agg(
+            F.sum(
+                F.when(~F.col("reg_m").eqNullSafe(F.col("reg_d")), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_mismatch_buckets")
+        )
+    )
+    est = _sketches.hll_estimate(merged, p=10).select("est_distinct")
+    return mm.crossJoin(F.broadcast(est))
+
+
+@query(
+    "stream_hll_fold",
+    _sketches.hll_estimate_sql(
+        _sketches.hll_registers_sql(
+            "SELECT user_id FROM events WHERE user_id IS NOT NULL", "user_id", p=10
+        ),
+        p=10,
+    ),
+)
+def stream_hll_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL user-cardinality sketch maintained as a STREAM: events
+    arrive in micro-batches (maxFilesPerTrigger=1 over a 4-way split),
+    each batch's registers fold into the persisted sketch by per-bucket
+    MAX. Unlike the dyadic sketch's sum-fold (`stream_rank_sketch`,
+    which needs an epoch marker because summing double-counts replays),
+    max-fold is IDEMPOTENT — an at-least-once file source can replay a
+    batch and the registers cannot move — so the fold needs no replay
+    guard at all, the operational advantage HLL has over additive
+    sketches under relaxed delivery semantics. The oracle is the
+    one-shot batch sketch: merged-across-batches must land
+    bit-identically on built-in-one-pass, estimate included.
+
+    Scale shape: per micro-batch one ≤1024-bucket map-side-combined
+    groupBy over the batch only plus a ≤1024-row register merge; history
+    is never rescanned."""
+    from incremental_data_pipeline_spark.operators import sketches as _sk
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    base = scratch_dir("stream_hll_")
+    src_dir = os.path.join(base, "events_split")
+    store = os.path.join(base, "registers")
+
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4, "user_id").write.mode("overwrite").parquet(src_dir)
+
+    def apply_batch(batch: DataFrame, epoch: int) -> None:
+        br = _sk.hll_registers(batch, ["user_id"], p=10)
+        if os.path.exists(store):
+            merged = _sk.hll_merge(spark.read.parquet(store), br)
+        else:
+            merged = br
+        atomic_overwrite(merged, store)
+
+    raw_schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    _stream.foreach_batch_scd1(stream, apply_batch, os.path.join(base, "ckpt"))
+
+    return _sk.hll_estimate(spark.read.parquet(store), p=10)

@@ -551,3 +551,54 @@ def test_upsert_scd1_evolving_null_fills_both_ways(spark):
     assert rows[3]["name"] == "c" and rows[3]["bal"] is None
     with _pytest.raises(ValueError):
         upsert_scd1_evolving(target, source, ["missing_key"])
+
+
+def test_hll_accuracy_and_merge(spark):
+    from incremental_data_pipeline_spark.operators import sketches
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    exact = ev.filter(F.col("user_id").isNotNull()).select("user_id").distinct().count()
+    reg = sketches.hll_registers(ev, ["user_id"], p=10)
+    row = sketches.hll_estimate(reg, p=10).collect()[0]
+    # HLL relative stderr ~ 1.04/sqrt(1024) = 3.25%; allow ~5 sigma.
+    assert abs(row["est_distinct"] - exact) / exact < 0.17
+    assert row["m"] == 1024
+    assert row["sum_scaled"] > 0
+    # mergeability: sketches of two disjoint halves, folded by per-bucket
+    # max, ARE the sketch of the whole (max is associative).
+    lo = ev.filter(F.col("event_id") % 2 == 0)
+    hi = ev.filter(F.col("event_id") % 2 == 1)
+    folded = sketches.hll_merge(
+        sketches.hll_registers(lo, ["user_id"], p=10),
+        sketches.hll_registers(hi, ["user_id"], p=10),
+    )
+    direct = {(r["bucket"], r["register"]) for r in reg.collect()}
+    assert {(r["bucket"], r["register"]) for r in folded.collect()} == direct
+
+
+def test_hll_exact_small_via_linear_counting(spark):
+    from incremental_data_pipeline_spark.operators import sketches
+
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "v long")
+    row = sketches.hll_estimate(
+        sketches.hll_registers(df, ["v"], p=10), p=10
+    ).collect()[0]
+    # 7 distinct values, 1024 buckets: linear counting m*ln(m/(m-7)) is
+    # within rounding of the truth for tiny cardinalities.
+    assert abs(row["est_distinct"] - 7.0) < 0.5
+    assert row["zero_buckets"] == 1024 - 7  # no bucket collisions among 7
+
+
+def test_hll_nulls_dropped_and_empty_input(spark):
+    from incremental_data_pipeline_spark.operators import sketches
+
+    df = spark.createDataFrame([(None,), (1,), (None,)], "v long")
+    reg = sketches.hll_registers(df, ["v"], p=10)
+    assert reg.count() == 1  # only the non-NULL value sketched
+    empty = df.filter(F.col("v") > 99)
+    row = sketches.hll_estimate(
+        sketches.hll_registers(empty, ["v"], p=10), p=10
+    ).collect()[0]
+    assert row["est_distinct"] == 0.0
+    assert row["zero_buckets"] == 1024
