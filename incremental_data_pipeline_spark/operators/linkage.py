@@ -1,0 +1,189 @@
+"""Probabilistic record linkage (Fellegi & Sunter 1969) over
+sorted-neighborhood candidates (Hernandez & Stolfo 1995).
+
+The two classic ER ingredients the similarity-threshold operators in
+``dedup.py`` don't cover:
+
+- **Candidate generation that is LINEAR by construction.** Fixed-key
+  blocking is quadratic within blocks as the corpus grows (every block's
+  population scales with N); the sorted-neighborhood method instead
+  sorts each block by a discriminating key and pairs every record with
+  only its next ``window`` neighbors — exactly n×window candidate pairs
+  no matter how large the blocks get. At 100 TB the block key is the
+  shuffle key, the in-block sort rides the shuffle's secondary sort, and
+  the lead() window never materializes more than ``window`` extra rows
+  per record.
+
+- **Principled scoring instead of a hand-tuned distance cutoff.** Each
+  compared field contributes a log-likelihood-ratio weight:
+  ln(m/u) when the pair AGREES on the field, ln((1-m)/(1-u)) when it
+  disagrees, where m = P(agree | same entity) (a declared prior) and
+  u = P(agree | different entities) — estimated EXACTLY from the data as
+  the collision probability of a random pair,
+  u_f = Σ_v c_v(c_v-1) / (N(N-1)) over the field's value counts. Rare
+  fields therefore earn large agreement weights and common fields small
+  ones, with no per-field tuning.
+
+Determinism discipline (the repo's standard): u-probabilities are exact
+integer-count ratios with ONE double division; the ln() of each weight is
+quantized through DECIMAL(18,8) in both engines; the pair score sums the
+per-field weights in a FIXED textual order, so DuckDB reproduces every
+score bit-for-bit. Agreement is null-safe equality (NULL = NULL agrees),
+and u counts NULL as an ordinary value, so both sides treat missing data
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fs_sorted_neighborhood(
+    df: DataFrame,
+    id_col: str,
+    block_cols: list[str],
+    sort_cols: list[str],
+    fields: list[str],
+    window: int = 3,
+    m_prob: float = 0.95,
+    min_score: float | None = None,
+) -> DataFrame:
+    """Fellegi–Sunter-scored sorted-neighborhood pairs.
+
+    Output: (id_a, id_b, agree_<field>... BOOLEAN, score DOUBLE), one row
+    per (record, k-th next neighbor) candidate with k <= ``window``,
+    optionally filtered to ``score >= min_score``.
+
+    Scale shape: one window shuffle on the block key (in-block order by
+    ``sort_cols`` + id is the window's sort, not a global sort), lead()
+    up to ``window`` — candidates are exactly n×window rows. The
+    u-probability aggregates are one tiny groupBy per field whose
+    single-row results broadcast onto the candidate frame. No pair
+    explosion, no cross-block pairs, no driver-side loop over data."""
+    n_ids = [id_col] + fields
+    w = Window.partitionBy(*block_cols).orderBy(*sort_cols, id_col)
+    led = df.select(*block_cols, *sort_cols, *n_ids)
+    for k in range(1, window + 1):
+        led = led.withColumn(f"__id_{k}", F.lead(id_col, k).over(w))
+        for f_ in fields:
+            led = led.withColumn(f"__{f_}_{k}", F.lead(f_, k).over(w))
+    pairs = None
+    for k in range(1, window + 1):
+        sel = led.filter(F.col(f"__id_{k}").isNotNull()).select(
+            F.col(id_col).alias("id_a"),
+            F.col(f"__id_{k}").alias("id_b"),
+            *[
+                F.col(f_).eqNullSafe(F.col(f"__{f_}_{k}")).alias(f"agree_{f_}")
+                for f_ in fields
+            ],
+        )
+        pairs = sel if pairs is None else pairs.unionByName(sel)
+
+    # Exact u-probabilities: collision probability of a uniform random
+    # pair, from integer value counts (NULL counted as a value).
+    n_total = df.count()  # control-plane scalar
+    denom = float(n_total) * float(n_total - 1)
+    weights = None
+    for f_ in fields:
+        wf = (
+            df.groupBy(f_)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                (
+                    F.sum(F.col("c").cast("double") * (F.col("c") - F.lit(1)).cast("double"))
+                    / F.lit(denom)
+                ).alias(f"u_{f_}")
+            )
+        )
+        weights = wf if weights is None else weights.crossJoin(wf)
+    quant = lambda c: c.cast("decimal(18,8)").cast("double")  # noqa: E731
+    weights = weights.select(
+        *[
+            quant(F.log(F.lit(m_prob) / F.col(f"u_{f_}"))).alias(f"wa_{f_}")
+            for f_ in fields
+        ],
+        *[
+            quant(
+                F.log((F.lit(1.0) - F.lit(m_prob)) / (F.lit(1.0) - F.col(f"u_{f_}")))
+            ).alias(f"wd_{f_}")
+            for f_ in fields
+        ],
+    )
+    scored = pairs.crossJoin(F.broadcast(weights))
+    score = None
+    for f_ in fields:  # FIXED textual order — fp-sum reproducible
+        term = F.when(F.col(f"agree_{f_}"), F.col(f"wa_{f_}")).otherwise(
+            F.col(f"wd_{f_}")
+        )
+        score = term if score is None else score + term
+    out = scored.select(
+        "id_a", "id_b", *[f"agree_{f_}" for f_ in fields], score.alias("score")
+    )
+    if min_score is not None:
+        out = out.filter(F.col("score") >= F.lit(min_score))
+    return out
+
+
+def fs_sorted_neighborhood_sql(
+    table: str,
+    id_col: str,
+    block_cols: list[str],
+    sort_cols: list[str],
+    fields: list[str],
+    window: int = 3,
+    m_prob: float = 0.95,
+    min_score: float | None = None,
+) -> str:
+    """DuckDB twin of ``fs_sorted_neighborhood``: same lead() candidates,
+    same exact-integer u-probabilities, same DECIMAL(18,8)-quantized
+    weights, same fixed-order score sum."""
+    order = ", ".join([*sort_cols, id_col])
+    part = ", ".join(block_cols)
+    lead_cols = []
+    for k in range(1, window + 1):
+        lead_cols.append(f"lead({id_col}, {k}) OVER win AS __id_{k}")
+        for f_ in fields:
+            lead_cols.append(f"lead({f_}, {k}) OVER win AS __{f_}_{k}")
+    unions = []
+    for k in range(1, window + 1):
+        agrees = ", ".join(
+            f"({f_} IS NOT DISTINCT FROM __{f_}_{k}) AS agree_{f_}" for f_ in fields
+        )
+        unions.append(
+            f"SELECT {id_col} AS id_a, __id_{k} AS id_b, {agrees} "
+            f"FROM led WHERE __id_{k} IS NOT NULL"
+        )
+    u_ctes = []
+    for f_ in fields:
+        u_ctes.append(
+            f"u_{f_} AS (SELECT sum(CAST(c AS DOUBLE) * CAST(c - 1 AS DOUBLE))"
+            f" / (CAST((SELECT count(*) FROM {table}) AS DOUBLE)"
+            f" * CAST((SELECT count(*) FROM {table}) - 1 AS DOUBLE)) AS u"
+            f" FROM (SELECT count(*) AS c FROM {table} GROUP BY {f_}))"
+        )
+    wa = ", ".join(
+        f"CAST(CAST(ln({m_prob!r} / (SELECT u FROM u_{f_})) AS DECIMAL(18,8)) AS DOUBLE) AS wa_{f_}"
+        for f_ in fields
+    )
+    wd = ", ".join(
+        f"CAST(CAST(ln((1.0 - {m_prob!r}) / (1.0 - (SELECT u FROM u_{f_}))) AS DECIMAL(18,8)) AS DOUBLE) AS wd_{f_}"
+        for f_ in fields
+    )
+    score = " + ".join(
+        f"(CASE WHEN agree_{f_} THEN wa_{f_} ELSE wd_{f_} END)" for f_ in fields
+    )
+    agree_out = ", ".join(f"agree_{f_}" for f_ in fields)
+    where = f"WHERE ({score}) >= {min_score!r}" if min_score is not None else ""
+    return f"""
+    WITH led AS (
+      SELECT {id_col}, {', '.join(fields)}, {', '.join(lead_cols)}
+      FROM {table}
+      WINDOW win AS (PARTITION BY {part} ORDER BY {order})),
+    cand AS ({' UNION ALL '.join(unions)}),
+    {', '.join(u_ctes)},
+    w AS (SELECT {wa}, {wd})
+    SELECT id_a, id_b, {agree_out}, {score} AS score
+    FROM cand CROSS JOIN w
+    {where}
+    """

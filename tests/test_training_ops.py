@@ -602,3 +602,62 @@ def test_hll_nulls_dropped_and_empty_input(spark):
     ).collect()[0]
     assert row["est_distinct"] == 0.0
     assert row["zero_buckets"] == 1024
+
+
+def test_fs_sorted_neighborhood_candidates_and_nulls(spark):
+    from incremental_data_pipeline_spark.operators import linkage
+
+    rows = [
+        # block g1: 4 records sorted by name a,b,c,d
+        (1, "g1", "a", "x", 10),
+        (2, "g1", "b", "x", 10),
+        (3, "g1", "c", "y", 20),
+        (4, "g1", "d", None, 20),
+        # block g2: 2 records, one NULL field
+        (5, "g2", "a", None, 30),
+        (6, "g2", "b", None, 30),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, blk string, nm string, f1 string, f2 int"
+    )
+    out = linkage.fs_sorted_neighborhood(
+        df, "id", ["blk"], ["nm"], ["f1", "f2"], window=2, m_prob=0.9
+    ).collect()
+    # candidates per block: sum over k in 1..2 of max(0, size-k)
+    assert len(out) == (3 + 2) + (1 + 0)
+    by_pair = {(r["id_a"], r["id_b"]): r for r in out}
+    # NULL = NULL agrees (null-safe), NULL vs value does not
+    assert by_pair[(5, 6)]["agree_f1"] is True
+    assert by_pair[(3, 4)]["agree_f1"] is False
+    # agreement on a field must strictly raise the score
+    assert by_pair[(1, 2)]["score"] > by_pair[(1, 3)]["score"]
+
+
+def test_fs_rare_field_outweighs_common(spark):
+    from incremental_data_pipeline_spark.operators import linkage
+
+    # f_rare: 50 distinct values; f_common: 2 distinct values
+    rows = [(i, "b", f"n{i:03d}", f"v{i % 50}", i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, blk string, nm string, f_rare string, f_common int")
+    out = linkage.fs_sorted_neighborhood(
+        df, "id", ["blk"], ["nm"], ["f_rare", "f_common"], window=1
+    )
+    a = out.filter(F.col("agree_f_rare") & ~F.col("agree_f_common")).limit(1).collect()
+    b = out.filter(~F.col("agree_f_rare") & F.col("agree_f_common")).limit(1).collect()
+    if a and b:  # both agreement patterns occur in this layout
+        assert a[0]["score"] > b[0]["score"]
+
+
+def test_fs_min_score_filters(spark):
+    from incremental_data_pipeline_spark.operators import linkage
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    part = load_table(spark, SF_DIR, "part").withColumn(
+        "name_head", F.split(F.col("p_name"), " ")[0]
+    )
+    out = linkage.fs_sorted_neighborhood(
+        part, "p_partkey", ["p_brand"], ["p_name"],
+        ["name_head", "p_type", "p_size"], window=3, min_score=0.0,
+    )
+    rows = out.collect()
+    assert all(r["score"] >= 0.0 for r in rows)
