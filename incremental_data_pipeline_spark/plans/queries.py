@@ -17,7 +17,9 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 import os
+import shutil
 from collections.abc import Callable
+from urllib.parse import urlparse
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -13562,3 +13564,81 @@ def er_fs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         "name_head", F.split(F.col("p_name"), " ")[0]
     )
     return _linkage.fs_sorted_neighborhood(part, **_FS_ARGS)
+
+
+@query(
+    "bucketed_join_pricing",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           TRUE AS join_exchange_free,
+           TRUE AS bucketed_scan
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via WRITE-TIME bucketing: both sides are persisted
+    with `write_bucketed` (hash-partitioned into matching bucket files on
+    the join key), so the equi-join's Exchange disappears — Catalyst
+    reuses the on-disk partitioning. This is the 100 TB design for fact
+    tables joined repeatedly on the same key: pay one shuffle at write
+    time, amortized across every downstream join; nothing else in the
+    registry demonstrates the bucketed-scan path end-to-end.
+
+    The plan properties are audited IN-BAND, same discipline as
+    `sketch_stats`: ``join_exchange_free`` ("Exchange" absent from the
+    join's physical plan, probed with broadcast disabled so the
+    shuffle-join path is what's exercised) and ``bucketed_scan``
+    ("Bucketed: true" in the scan) are emitted as columns hashed against
+    a literal-TRUE oracle — if a regression re-introduces the shuffle,
+    the correctness gate goes red, not just a unit test.
+
+    Values are the plain join aggregate (revenue per order priority),
+    decimal-cast for cross-engine sum parity."""
+    from incremental_data_pipeline_spark.sources.sinks import write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    # Idempotent re-run across sessions: DROP clears the catalog entry,
+    # but a FRESH in-memory catalog doesn't know about a previous
+    # session's managed-table location — remove the physical dir too or
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+    for t in ("bktq_lineitem", "bktq_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh.path or wh.geturl(), t), ignore_errors=True)
+    write_bucketed(li, "bktq_lineitem", ["l_orderkey"], num_buckets=16)
+    write_bucketed(o, "bktq_orders", ["l_orderkey"], num_buckets=16)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bktq_lineitem").join(
+            spark.table("bktq_orders"), "l_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        exchange_free = "Exchange" not in plan
+        bucketed = "Bucketed: true" in plan
+        return (
+            joined.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_items"),
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("revenue"),
+            )
+            .select(
+                "o_orderpriority",
+                "n_items",
+                "revenue",
+                F.lit(exchange_free).alias("join_exchange_free"),
+                F.lit(bucketed).alias("bucketed_scan"),
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
