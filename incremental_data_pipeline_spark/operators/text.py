@@ -557,3 +557,155 @@ def bm25_rank_per_term(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def nb_unigram_confusion(
+    df: DataFrame,
+    labels: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    test_mod: int = 5,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier, trained AND scored in-frame
+    (McCallum & Nigam 1998): deterministic hash split (id % test_mod == 0
+    is the test fold), word-unigram likelihoods with Laplace smoothing
+    ln((c_lw + 1)/(T_l + V)) and class priors ln(n_l / n_train) learned
+    from the train fold, argmax posterior per test document, confusion
+    matrix (label, pred, n_docs) out.
+
+    Exactness discipline: every ln() is quantized to DECIMAL(18,8) and
+    the per-document log-posterior is a DECIMAL sum — fixed-point integer
+    arithmetic, so the sum is order-independent and the oracle reproduces
+    every score (hence every argmax) bit-for-bit. Ties break to the first
+    label in ``labels``. Train-fold scalars (per-class token totals T_l,
+    vocabulary size V, class counts) are control-plane sized and embedded
+    as INTEGER literals; both engines take ln() of the same integers.
+
+    Scale shape: training is ONE map-side-combined (word × class) count
+    (the pivot) — the classic one-pass distributed NB; inference is an
+    exploded-token equi-join against the vocab-sized likelihood table
+    (broadcast when small) and a per-document decimal sum. No iteration,
+    no driver loop over data, no UDFs."""
+    toks = F.split(F.col(text_col), " ")
+    train = df.filter(F.col(id_col) % test_mod != 0)
+    test = df.filter(F.col(id_col) % test_mod == 0)
+    tr = train.select(label_col, F.explode(toks).alias("w"))
+
+    # Control-plane scalars (|labels| + 2 numbers), embedded as integers.
+    t_l = {
+        r[label_col]: r["n"]
+        for r in tr.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_l = {
+        r[label_col]: r["n"]
+        for r in train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    v = tr.select("w").distinct().count()
+    n_train = train.count()
+
+    quant = lambda c: c.cast("decimal(18,8)")  # noqa: E731
+    cw = tr.groupBy("w").pivot(label_col, list(labels)).count()
+    ll = cw.select(
+        "w",
+        *[
+            quant(
+                F.log(
+                    (F.coalesce(F.col(f"`{l}`"), F.lit(0)) + F.lit(1)).cast("double")
+                    / F.lit(float(t_l.get(l, 0) + v))
+                )
+            ).alias(f"ll_{i}")
+            for i, l in enumerate(labels)
+        ],
+    )
+    unseen = {
+        l: quant(F.log(F.lit(1.0) / F.lit(float(t_l.get(l, 0) + v))))
+        for l in labels
+    }
+    prior = {
+        l: quant(F.log(F.lit(float(n_l.get(l, 0))) / F.lit(float(n_train))))
+        for l in labels
+    }
+    tt = test.select(id_col, label_col, F.explode(toks).alias("w"))
+    j = tt.join(ll, "w", "left")
+    sc = j.groupBy(id_col, label_col).agg(
+        *[
+            (F.sum(F.coalesce(F.col(f"ll_{i}"), unseen[l])) + prior[l]).alias(
+                f"s_{i}"
+            )
+            for i, l in enumerate(labels)
+        ]
+    )
+    case = None
+    for i, l in enumerate(labels):
+        cond = None
+        for k in range(len(labels)):
+            c = F.col(f"s_{i}") >= F.col(f"s_{k}")
+            cond = c if cond is None else (cond & c)
+        case = (
+            F.when(cond, F.lit(l)) if case is None else case.when(cond, F.lit(l))
+        )
+    pred = sc.select(label_col, case.alias("pred"))
+    return pred.groupBy(label_col, "pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+def nb_unigram_confusion_sql(
+    labels: tuple[str, ...],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    test_mod: int = 5,
+) -> str:
+    """DuckDB twin of ``nb_unigram_confusion``: identical split, Laplace
+    likelihoods, DECIMAL(18,8)-quantized ln, decimal posterior sums and
+    tie-break order; the train-fold scalars the Spark side embeds as
+    collected integers are re-derived here as scalar subqueries."""
+    tv = "(SELECT t FROM tl WHERE lang_k = '{l}') + (SELECT v FROM vv)"
+    cw_cols = ", ".join(
+        f"sum(CASE WHEN lang_k = '{l}' THEN 1 ELSE 0 END) AS c_{i}"
+        for i, l in enumerate(labels)
+    )
+    ll_cols = ", ".join(
+        f"CAST(ln(CAST(c_{i} + 1 AS DOUBLE) / CAST({tv.format(l=l)} AS DOUBLE))"
+        f" AS DECIMAL(18,8)) AS ll_{i}"
+        for i, l in enumerate(labels)
+    )
+    j_cols = ", ".join(
+        f"COALESCE(ll_{i}, CAST(ln(1.0 / CAST({tv.format(l=l)} AS DOUBLE))"
+        f" AS DECIMAL(18,8))) AS ll_{i}"
+        for i, l in enumerate(labels)
+    )
+    s_cols = ", ".join(
+        f"sum(ll_{i}) + CAST(ln(CAST((SELECT n FROM nl WHERE lang_k = '{l}') AS DOUBLE)"
+        f" / CAST((SELECT n FROM ntr) AS DOUBLE)) AS DECIMAL(18,8)) AS s_{i}"
+        for i, l in enumerate(labels)
+    )
+    case = "CASE"
+    for i, l in enumerate(labels):
+        conds = " AND ".join(f"s_{i} >= s_{k}" for k in range(len(labels)))
+        case += f" WHEN {conds} THEN '{l}'"
+    case += " END"
+    return f"""
+    WITH train AS (
+      SELECT {id_col}, {label_col}, string_split({text_col}, ' ') AS toks
+      FROM {table} WHERE {id_col} % {test_mod} <> 0),
+    test AS (
+      SELECT {id_col}, {label_col}, string_split({text_col}, ' ') AS toks
+      FROM {table} WHERE {id_col} % {test_mod} = 0),
+    tr AS (SELECT {label_col} AS lang_k, unnest(toks) AS w FROM train),
+    tl AS (SELECT lang_k, count(*) AS t FROM tr GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w) AS v FROM tr),
+    nl AS (SELECT {label_col} AS lang_k, count(*) AS n FROM train GROUP BY 1),
+    ntr AS (SELECT count(*) AS n FROM train),
+    cw AS (SELECT w, {cw_cols} FROM tr GROUP BY w),
+    ll AS (SELECT w, {ll_cols} FROM cw),
+    tt AS (SELECT {id_col}, {label_col}, unnest(toks) AS w FROM test),
+    j AS (SELECT tt.{id_col}, tt.{label_col}, {j_cols}
+          FROM tt LEFT JOIN ll USING (w)),
+    sc AS (SELECT {id_col}, {label_col}, {s_cols} FROM j GROUP BY 1, 2)
+    SELECT {label_col}, {case} AS pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM sc GROUP BY 1, 2
+    """

@@ -13642,3 +13642,84 @@ def bucketed_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@query(
+    "target_encode_loo",
+    """
+    WITH g AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_orderpriority) AS s,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER () AS s_all,
+             CAST(count(*) OVER () AS BIGINT) AS n_all
+      FROM orders)
+    SELECT o_orderkey, o_orderpriority,
+           CASE WHEN n > 1 THEN CAST(s - x AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+                ELSE CAST(s_all - x AS DOUBLE) / CAST(n_all - 1 AS DOUBLE)
+           END AS loo_enc
+    FROM g
+    """,
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe way to turn a
+    categorical feature into a numeric one for tabular ML: each row's
+    encoding is the mean target (order totalprice) of its category
+    (order priority) EXCLUDING the row itself, so the feature never
+    memorizes its own label; singleton categories fall back to the
+    global LOO mean. Exact decimal arithmetic until the single final
+    division, so the oracle reproduces every encoding bit-for-bit.
+
+    Scale shape: one window shuffle on the category key (sum and count
+    ride the same partition pass — no join back), plus a broadcast-sized
+    global aggregate. No per-category driver loop; category cardinality
+    is irrelevant to the plan."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    wp = W.partitionBy("o_orderpriority")
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    # Global sums via a broadcast 1-row aggregate, NOT an empty-partition
+    # window — OVER () would funnel the whole table through one task.
+    glob = o.agg(
+        F.sum(x).alias("s_all"),
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+    )
+    g = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        x.alias("x"),
+        F.sum(x).over(wp).alias("s"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    ).crossJoin(F.broadcast(glob))
+    enc = F.when(
+        F.col("n") > 1,
+        (F.col("s") - F.col("x")).cast("double")
+        / (F.col("n") - F.lit(1)).cast("double"),
+    ).otherwise(
+        (F.col("s_all") - F.col("x")).cast("double")
+        / (F.col("n_all") - F.lit(1)).cast("double")
+    )
+    return g.select("o_orderkey", "o_orderpriority", enc.alias("loo_enc"))
+
+
+_NB_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query("nb_lang_confusion", _text.nb_unigram_confusion_sql(_NB_LANGS))
+def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier trained and scored
+    in-frame — see ``text.nb_unigram_confusion``: deterministic 80/20
+    doc_id split, one-pass (word × class) count training (the classic
+    distributed NB), Laplace-smoothed DECIMAL-exact log-posteriors,
+    confusion matrix out, reproduced bit-for-bit by the oracle including
+    every argmax. Complements the rule-based `text_lang_id` (fixed
+    stopword lists) with the TRAINED path a curation pipeline uses when
+    labels exist. The fixture's lang labels are only weakly coupled to
+    its synthetic token stream, so the matrix is dominated by the
+    majority class — the audited artifact is the train/infer computation,
+    not fixture accuracy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.nb_unigram_confusion(docs, _NB_LANGS)

@@ -661,3 +661,61 @@ def test_fs_min_score_filters(spark):
     )
     rows = out.collect()
     assert all(r["score"] >= 0.0 for r in rows)
+
+
+def test_nb_learns_separable_vocab(spark):
+    from incremental_data_pipeline_spark.operators import text as t
+
+    rows = []
+    for i in range(60):
+        lab = ("aa", "bb")[i % 2]
+        word = {"aa": "apple", "bb": "banana"}[lab]
+        rows.append((i, f"{word} {word} common", lab))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    conf = {
+        (r["lang"], r["pred"]): r["n_docs"]
+        for r in t.nb_unigram_confusion(df, ("aa", "bb")).collect()
+    }
+    # test fold = doc_id % 5 == 0 -> 12 docs, perfectly classifiable
+    assert conf.get(("aa", "aa"), 0) + conf.get(("bb", "bb"), 0) == 12
+    assert all(k[0] == k[1] for k in conf)
+
+
+def test_nb_unseen_words_and_tiebreak(spark):
+    from incremental_data_pipeline_spark.operators import text as t
+
+    rows = [
+        (0, "zzz zzz", "aa"),   # test doc: all tokens unseen in train
+        (5, "zzz", "bb"),       # test doc: unseen token
+        (1, "apple", "aa"),
+        (2, "banana", "bb"),
+        (3, "apple", "aa"),
+        (4, "banana", "bb"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = t.nb_unigram_confusion(df, ("aa", "bb")).collect()
+    # unseen-only docs: likelihoods equal across classes, priors equal
+    # (2 train docs each) -> decimal tie -> first label in tuple wins
+    preds = {r["lang"]: r["pred"] for r in out}
+    assert preds["aa"] == "aa" and preds["bb"] == "aa"
+
+
+def test_target_encode_loo_excludes_self(spark):
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+
+    rows = QUERIES["target_encode_loo"](spark, SF_DIR).collect()
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    o = load_table(spark, SF_DIR, "orders").collect()
+    import collections
+    tot = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for r in o:
+        tot[r["o_orderpriority"]] += r["o_totalprice"]
+        cnt[r["o_orderpriority"]] += 1
+    by_key = {r["o_orderkey"]: r for r in o}
+    for r in rows[:50]:
+        src = by_key[r["o_orderkey"]]
+        p = src["o_orderpriority"]
+        if cnt[p] > 1:
+            expect = (tot[p] - src["o_totalprice"]) / (cnt[p] - 1)
+            assert abs(r["loo_enc"] - expect) < 1e-6
