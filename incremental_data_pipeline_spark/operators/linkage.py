@@ -55,30 +55,73 @@ def fs_sorted_neighborhood(
     per (record, k-th next neighbor) candidate with k <= ``window``,
     optionally filtered to ``score >= min_score``.
 
-    Scale shape: one window shuffle on the block key (in-block order by
-    ``sort_cols`` + id is the window's sort, not a global sort), lead()
-    up to ``window`` — candidates are exactly n×window rows. The
-    u-probability aggregates are one tiny groupBy per field whose
-    single-row results broadcast onto the candidate frame. No pair
-    explosion, no cross-block pairs, no driver-side loop over data."""
+    Two candidate layouts:
+
+    - ``block_cols`` non-empty: lead() within each block — right when the
+      blocks are semantic (records in different blocks can't match). The
+      window's parallelism is capped at the BLOCK-KEY CARDINALITY, so a
+      coarse key (tens of values) serializes at cluster scale.
+    - ``block_cols`` empty: canonical GLOBAL sorted neighborhood — an
+      exact global rank from ``scd.assign_surrogate_keys`` (driver-frozen
+      range buckets; no single-task sort, parallelism scales with the
+      cluster, not with any key's cardinality), then rank+k equi-joins.
+      This is the 100 TB layout; the blocked mode remains for declared
+      semantic blocks.
+
+    Scale shape: one range-bucketed window shuffle (or one block-key
+    window shuffle), candidates exactly n×window rows, u-probability
+    aggregates broadcast-sized. No pair explosion, no driver-side loop
+    over data."""
     n_ids = [id_col] + fields
-    w = Window.partitionBy(*block_cols).orderBy(*sort_cols, id_col)
-    led = df.select(*block_cols, *sort_cols, *n_ids)
-    for k in range(1, window + 1):
-        led = led.withColumn(f"__id_{k}", F.lead(id_col, k).over(w))
-        for f_ in fields:
-            led = led.withColumn(f"__{f_}_{k}", F.lead(f_, k).over(w))
-    pairs = None
-    for k in range(1, window + 1):
-        sel = led.filter(F.col(f"__id_{k}").isNotNull()).select(
+    if block_cols:
+        w = Window.partitionBy(*block_cols).orderBy(*sort_cols, id_col)
+        led = df.select(*block_cols, *sort_cols, *n_ids)
+        for k in range(1, window + 1):
+            led = led.withColumn(f"__id_{k}", F.lead(id_col, k).over(w))
+            for f_ in fields:
+                led = led.withColumn(f"__{f_}_{k}", F.lead(f_, k).over(w))
+        pairs = None
+        for k in range(1, window + 1):
+            sel = led.filter(F.col(f"__id_{k}").isNotNull()).select(
+                F.col(id_col).alias("id_a"),
+                F.col(f"__id_{k}").alias("id_b"),
+                *[
+                    F.col(f_).eqNullSafe(F.col(f"__{f_}_{k}")).alias(f"agree_{f_}")
+                    for f_ in fields
+                ],
+            )
+            pairs = sel if pairs is None else pairs.unionByName(sel)
+    else:
+        from incremental_data_pipeline_spark.operators.scd import (
+            assign_surrogate_keys,
+        )
+
+        # sort_cols + id is a UNIQUE ordering, so the scalable keygen's
+        # result IS the exact global row_number (its documented contract).
+        ranked = assign_surrogate_keys(
+            df.select(*sort_cols, *n_ids), "__rn", [*sort_cols, id_col]
+        )
+        left = ranked.select(
             F.col(id_col).alias("id_a"),
-            F.col(f"__id_{k}").alias("id_b"),
+            *[F.col(f_).alias(f"__a_{f_}") for f_ in fields],
+            F.explode(
+                F.array(*[F.lit(k) for k in range(1, window + 1)])
+            ).alias("__k"),
+            "__rn",
+        ).withColumn("__rn_b", F.col("__rn") + F.col("__k"))
+        right = ranked.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f_).alias(f"__b_{f_}") for f_ in fields],
+            F.col("__rn").alias("__rn_b"),
+        )
+        pairs = left.join(right, "__rn_b").select(
+            "id_a",
+            "id_b",
             *[
-                F.col(f_).eqNullSafe(F.col(f"__{f_}_{k}")).alias(f"agree_{f_}")
+                F.col(f"__a_{f_}").eqNullSafe(F.col(f"__b_{f_}")).alias(f"agree_{f_}")
                 for f_ in fields
             ],
         )
-        pairs = sel if pairs is None else pairs.unionByName(sel)
 
     # Exact u-probabilities: collision probability of a uniform random
     # pair, from integer value counts (NULL counted as a value).
@@ -135,11 +178,15 @@ def fs_sorted_neighborhood_sql(
     m_prob: float = 0.95,
     min_score: float | None = None,
 ) -> str:
-    """DuckDB twin of ``fs_sorted_neighborhood``: same lead() candidates,
-    same exact-integer u-probabilities, same DECIMAL(18,8)-quantized
-    weights, same fixed-order score sum."""
+    """DuckDB twin of ``fs_sorted_neighborhood``: same lead() candidates
+    (a plain global window when ``block_cols`` is empty — the engine's
+    rank+k equi-join produces the identical pair set because the scalable
+    rank IS the global row_number), same exact-integer u-probabilities,
+    same DECIMAL(18,8)-quantized weights, same fixed-order score sum."""
     order = ", ".join([*sort_cols, id_col])
-    part = ", ".join(block_cols)
+    part = (
+        "PARTITION BY " + ", ".join(block_cols) + " " if block_cols else ""
+    )
     lead_cols = []
     for k in range(1, window + 1):
         lead_cols.append(f"lead({id_col}, {k}) OVER win AS __id_{k}")
@@ -179,7 +226,7 @@ def fs_sorted_neighborhood_sql(
     WITH led AS (
       SELECT {id_col}, {', '.join(fields)}, {', '.join(lead_cols)}
       FROM {table}
-      WINDOW win AS (PARTITION BY {part} ORDER BY {order})),
+      WINDOW win AS ({part}ORDER BY {order})),
     cand AS ({' UNION ALL '.join(unions)}),
     {', '.join(u_ctes)},
     w AS (SELECT {wa}, {wd})

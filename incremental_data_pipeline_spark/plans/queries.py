@@ -13522,8 +13522,8 @@ from incremental_data_pipeline_spark.operators import linkage as _linkage  # noq
 
 _FS_ARGS = dict(
     id_col="p_partkey",
-    block_cols=["p_brand"],
-    sort_cols=["p_name"],
+    block_cols=[],  # global sorted neighborhood — the 100 TB layout
+    sort_cols=["p_brand", "p_name"],
     fields=["name_head", "p_type", "p_size"],
     window=3,
     m_prob=0.95,
@@ -13541,25 +13541,33 @@ _FS_PART_SQL = (
     _linkage.fs_sorted_neighborhood_sql(table=_FS_PART_SQL, **_FS_ARGS),
 )
 def er_fs_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probabilistic record linkage [Fellegi & Sunter 1969] over
+    """Probabilistic record linkage [Fellegi & Sunter 1969] over GLOBAL
     sorted-neighborhood candidates [Hernandez & Stolfo 1995]: parts are
-    sorted by name within each brand block, each record pairs with its
-    next 3 neighbors (exactly n×3 candidates — LINEAR in corpus size,
-    unlike fixed-key blocking whose in-block pair count grows
-    quadratically), and each pair is scored by summed log-likelihood-
-    ratio field weights ln(m/u) / ln((1-m)/(1-u)) with u estimated
-    EXACTLY from the data as the random-pair collision probability of
-    each field. Rare fields (p_type, ~150 values) thus out-weigh common
-    ones (p_size, ~50) with no hand tuning — the scoring half of ER that
-    `er_blocked_match`'s fixed distance cutoff doesn't cover.
+    sorted by (brand, name), each record pairs with its next 3 neighbors
+    (exactly n×3 candidates — LINEAR in corpus size, unlike fixed-key
+    blocking whose in-block pair count grows quadratically), and each
+    pair is scored by summed log-likelihood-ratio field weights
+    ln(m/u) / ln((1-m)/(1-u)) with u estimated EXACTLY from the data as
+    the random-pair collision probability of each field. Rare fields
+    (p_type, ~150 values) thus out-weigh common ones (p_size, ~50) with
+    no hand tuning — the scoring half of ER that `er_blocked_match`'s
+    fixed distance cutoff doesn't cover.
+
+    The global order comes from `scd.assign_surrogate_keys` (driver-
+    frozen range buckets), NOT a block-partitioned window: a window
+    keyed on p_brand would cap parallelism at 25 partitions forever,
+    while range buckets scale with the cluster. Candidates are then
+    rank+k equi-joins, reproduced by the oracle's plain global lead()
+    window — the scalable rank IS the global row_number.
 
     Pairs scoring >= 0 (agreement evidence outweighs disagreement) are
     emitted with their per-field agreement vector, oracle-reproduced
     bit-for-bit (exact-integer u ratios, DECIMAL(18,8)-quantized ln,
     fixed-order fp sum).
 
-    Scale shape: one window shuffle on the block key + 3 broadcast-sized
-    frequency aggregates; no pair explosion, no cross-block pairs."""
+    Scale shape: one range-bucketed window shuffle + 3 broadcast-sized
+    frequency aggregates; no pair explosion, no cardinality-capped
+    partitioning."""
     part = load_table(spark, sf_dir, "part").withColumn(
         "name_head", F.split(F.col("p_name"), " ")[0]
     )

@@ -719,3 +719,33 @@ def test_target_encode_loo_excludes_self(spark):
         if cnt[p] > 1:
             expect = (tot[p] - src["o_totalprice"]) / (cnt[p] - 1)
             assert abs(r["loo_enc"] - expect) < 1e-6
+
+
+def test_fs_global_mode_matches_window_reference(spark):
+    from pyspark.sql import Window as W
+
+    from incremental_data_pipeline_spark.operators import linkage
+
+    rows = [(i, f"n{(i * 7) % 40:03d}", f"v{i % 5}", i % 3) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, nm string, f1 string, f2 int")
+    out = linkage.fs_sorted_neighborhood(
+        df, "id", [], ["nm"], ["f1", "f2"], window=3
+    )
+    got = sorted((r["id_a"], r["id_b"], r["score"]) for r in out.collect())
+    # reference: plain global lead() window (single partition, fine at
+    # test scale) must produce the identical pair set and scores
+    w = W.orderBy("nm", "id")
+    ref_pairs = []
+    led = df
+    for k in (1, 2, 3):
+        led = (
+            led.withColumn(f"i{k}", F.lead("id", k).over(w))
+            .withColumn(f"a{k}", F.lead("f1", k).over(w))
+            .withColumn(f"b{k}", F.lead("f2", k).over(w))
+        )
+    for r in led.collect():
+        for k in (1, 2, 3):
+            if r[f"i{k}"] is not None:
+                ref_pairs.append((r["id"], r[f"i{k}"]))
+    assert len(got) == sum(40 - k for k in (1, 2, 3))
+    assert sorted(p[:2] for p in got) == sorted(ref_pairs)
