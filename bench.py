@@ -110,6 +110,14 @@ HEADLINE = [
     # point and C4-style repeated-span removal
     "embedding_near_dup_auto",
     "dedup_span_removal",
+    # round-9 session 2: cross-engine HLL, FS record linkage over a
+    # range-bucketed global order, trained NB classifier, bucketed
+    # co-located join, leakage-safe target encoding
+    "hll_distinct_users",
+    "er_fs_sorted_neighborhood",
+    "nb_lang_confusion",
+    "bucketed_join_pricing",
+    "target_encode_loo",
 ]
 
 

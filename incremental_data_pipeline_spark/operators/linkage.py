@@ -99,7 +99,7 @@ def fs_sorted_neighborhood(
         # sort_cols + id is a UNIQUE ordering, so the scalable keygen's
         # result IS the exact global row_number (its documented contract).
         ranked = assign_surrogate_keys(
-            df.select(*sort_cols, *n_ids), "__rn", [*sort_cols, id_col]
+            df.select(*sort_cols, *n_ids), "__fs_rn", [*sort_cols, id_col]
         )
         left = ranked.select(
             F.col(id_col).alias("id_a"),
@@ -107,12 +107,12 @@ def fs_sorted_neighborhood(
             F.explode(
                 F.array(*[F.lit(k) for k in range(1, window + 1)])
             ).alias("__k"),
-            "__rn",
-        ).withColumn("__rn_b", F.col("__rn") + F.col("__k"))
+            "__fs_rn",
+        ).withColumn("__rn_b", F.col("__fs_rn") + F.col("__k"))
         right = ranked.select(
             F.col(id_col).alias("id_b"),
             *[F.col(f_).alias(f"__b_{f_}") for f_ in fields],
-            F.col("__rn").alias("__rn_b"),
+            F.col("__fs_rn").alias("__rn_b"),
         )
         pairs = left.join(right, "__rn_b").select(
             "id_a",

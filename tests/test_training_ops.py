@@ -749,3 +749,20 @@ def test_fs_global_mode_matches_window_reference(spark):
                 ref_pairs.append((r["id"], r[f"i{k}"]))
     assert len(got) == sum(40 - k for k in (1, 2, 3))
     assert sorted(p[:2] for p in got) == sorted(ref_pairs)
+
+
+def test_keygen_rejects_reserved_names_and_scalable_rank_is_exact(spark):
+    import pytest as _pytest
+
+    from incremental_data_pipeline_spark.operators.scd import assign_surrogate_keys
+
+    df = spark.createDataFrame([(i, f"n{i:02d}") for i in range(20)], "id long, nm string")
+    # reserved scratch names fail loudly instead of being silently dropped
+    # by the scalable path's cleanup (the sf10 FS-linkage lesson)
+    for bad in ("__rn", "__bkt", "__off"):
+        with _pytest.raises(ValueError):
+            assign_surrogate_keys(df, bad, ["nm", "id"])
+    # forced-scalable rank with a non-reserved name == exact row_number
+    out = assign_surrogate_keys(df, "__fs_rn", ["nm", "id"], scalable=True)
+    rows = sorted((r["nm"], r["__fs_rn"]) for r in out.collect())
+    assert [r[1] for r in rows] == list(range(1, 21))
