@@ -1163,3 +1163,92 @@ def ivf_index_probe(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def jl_project_q(qcol: Column, signs: list[list[int]]) -> Column:
+    """Johnson–Lindenstrauss projection of an integer-quantized vector:
+    y_j = sum_i signs[j][i] * v_i, one BIGINT per output dimension —
+    EXACT integer arithmetic (same determinism as the LSH sign bits,
+    which use the same ±1 matrices), so both engines compute identical
+    projected coordinates. The sign matrix enters the plan as one nested
+    literal."""
+    m = F.lit(signs).cast("array<array<bigint>>")
+    return F.transform(
+        m,
+        lambda row: F.aggregate(
+            F.zip_with(row, qcol, lambda s, x: s * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, t: acc + t,
+        ),
+    )
+
+
+def sq_dist_q(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance between quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
+    )
+
+
+def jl_distortion_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    probe_mod: int = 41,
+    offsets: tuple[int, ...] = (1, 17),
+) -> DataFrame:
+    """Distance-preservation audit of the JL ±1 projection [Achlioptas
+    2003]: deterministic probe vectors (id % probe_mod == 0) pair with
+    the vectors at id+offset (an EQUI-join — the pair population stays
+    LINEAR in corpus size, unlike mod×mod sampling which is quadratic),
+    and each pair reports its original and projected squared distances
+    plus the distortion ratio (||y_a - y_b||² / k) / ||v_a - v_b||²,
+    which the JL lemma concentrates around 1. Distances and projections
+    are exact BIGINT arithmetic on micro-unit-quantized vectors; the
+    ratio is the single double division — bit-identical cross-engine.
+
+    Scale shape: one narrow projection per row (k×dim multiply-adds,
+    no shuffle), one equi-join on the probe ids; pairs ~= corpus /
+    probe_mod × |offsets|."""
+    from incremental_data_pipeline_spark.functions.vector import quantize
+
+    signs = hyperplanes(k, 64)
+    vecs = df.select(F.col(id_col).alias("vid"), quantize(vec_col).alias("v"))
+    probes = (
+        vecs.filter(F.col("vid") % probe_mod == 0)
+        .select(
+            F.col("vid").alias("id_a"),
+            F.col("v").alias("va"),
+            F.explode(F.array(*[F.lit(o) for o in offsets])).alias("off"),
+        )
+        .withColumn("id_b", F.col("id_a") + F.col("off"))
+    )
+    joined = probes.join(
+        vecs.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b"
+    )
+    d2o = sq_dist_q(F.col("va"), F.col("vb"))
+    d2p = sq_dist_q(
+        jl_project_q(F.col("va"), signs), jl_project_q(F.col("vb"), signs)
+    )
+    return (
+        joined.select(
+            "id_a",
+            "id_b",
+            d2o.alias("d2_orig"),
+            d2p.alias("d2_proj"),
+        )
+        .filter(F.col("d2_orig") > 0)
+        .select(
+            "id_a",
+            "id_b",
+            "d2_orig",
+            "d2_proj",
+            (
+                F.col("d2_proj").cast("double")
+                / (F.lit(float(k)) * F.col("d2_orig").cast("double"))
+            ).alias("distortion"),
+        )
+    )

@@ -13731,3 +13731,65 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     not fixture accuracy."""
     docs = load_table(spark, sf_dir, "documents")
     return _text.nb_unigram_confusion(docs, _NB_LANGS)
+
+
+def _jl_oracle(k: int = 16, probe_mod: int = 41, offsets=(1, 17)) -> str:
+    signs = _sim.hyperplanes(k, 64)
+    s_lit = "[" + ", ".join(
+        "[" + ", ".join(str(v) for v in row) + "]" for row in signs
+    ) + "]"
+    proj = (
+        f"list_transform(range(1, {k + 1}), j -> "
+        f"list_sum(list_transform(range(1, 65), i -> ({s_lit})[j][i] * {{v}}[i])))"
+    )
+    d2 = (
+        "list_sum(list_transform(range(1, 65), i ->"
+        " (va[i] - vb[i]) * (va[i] - vb[i])))"
+    )
+    d2p = (
+        f"list_sum(list_transform(range(1, {k + 1}), j ->"
+        " (pa[j] - pb[j]) * (pa[j] - pb[j])))"
+    )
+    offs = ", ".join(str(o) for o in offsets)
+    return f"""
+    WITH vecs AS (SELECT vec_id AS vid, {_QV} AS v FROM embeddings),
+    probes AS (
+      SELECT vid AS id_a, v AS va, unnest([{offs}]) AS off
+      FROM vecs WHERE vid % {probe_mod} = 0),
+    pairs AS (
+      SELECT id_a, b.vid AS id_b, va, b.v AS vb
+      FROM probes JOIN vecs b ON b.vid = id_a + off),
+    proj AS (
+      SELECT id_a, id_b, va, vb,
+             {proj.format(v='va')} AS pa, {proj.format(v='vb')} AS pb
+      FROM pairs),
+    d AS (
+      SELECT id_a, id_b,
+             CAST({d2} AS BIGINT) AS d2_orig,
+             CAST({d2p} AS BIGINT) AS d2_proj
+      FROM proj)
+    SELECT id_a, id_b, d2_orig, d2_proj,
+           CAST(d2_proj AS DOUBLE) / ({float(k)!r} * CAST(d2_orig AS DOUBLE))
+             AS distortion
+    FROM d WHERE d2_orig > 0
+    """
+
+
+@query("jl_distortion_audit", _jl_oracle())
+def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection (64 → 16 dims) with an
+    in-band distance-preservation audit — see
+    ``similarity.jl_distortion_pairs``: deterministic probe pairs report
+    exact-integer original/projected squared distances and the
+    distortion ratio the JL lemma concentrates around 1. The
+    dimensionality-reduction primitive upstream of every ANN index here
+    (shrink vectors 4× before LSH/IVF at 100 TB), shipped with its own
+    quality evidence instead of a bare transform, the same discipline as
+    `ann_ivf_recall`.
+
+    Scale shape: projection is a narrow per-row map (k×64 integer
+    multiply-adds, no shuffle, no UDF); the audit joins probes to their
+    id+offset partners by equi-join, so pair volume stays linear in the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _sim.jl_distortion_pairs(emb)

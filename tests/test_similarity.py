@@ -544,3 +544,30 @@ def test_ivf_index_upsert_allow_moves_drops_emptied_cell(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, f"cell={lone_cell}"))
     assert idx.count() == corpus.count()
     assert idx.select("vec_id").distinct().count() == corpus.count()
+
+
+def test_jl_projection_exact_and_distortion_concentrates(spark):
+    from incremental_data_pipeline_spark.operators import similarity as sim
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    # hand-check the integer projection on a tiny vector
+    signs = sim.hyperplanes(4, 64)
+    vec = [0.0] * 64
+    vec[0], vec[3], vec[10] = 1.0, -2.0, 0.5
+    df = spark.createDataFrame([(1, vec)], "vec_id long, embedding array<float>")
+    from incremental_data_pipeline_spark.functions.vector import quantize
+    row = df.select(
+        sim.jl_project_q(quantize("embedding"), signs).alias("y")
+    ).collect()[0]
+    q = [round(x * 1_000_000) for x in vec]
+    expect = [sum(s * v for s, v in zip(srow, q)) for srow in signs]
+    assert list(row["y"]) == expect
+
+    # JL lemma: distortion ratios concentrate around 1 (k=16 -> sd ~0.35)
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sim.jl_distortion_pairs(emb).collect()
+    if len(rows) >= 3:
+        ratios = [r["distortion"] for r in rows]
+        mean = sum(ratios) / len(ratios)
+        assert 0.7 < mean < 1.3, ratios
+        assert max(ratios) < 3.0 and min(ratios) > 0.1
