@@ -118,6 +118,7 @@ HEADLINE = [
     "nb_lang_confusion",
     "bucketed_join_pricing",
     "target_encode_loo",
+    "jl_distortion_audit",
 ]
 
 
