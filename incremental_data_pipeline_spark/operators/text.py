@@ -709,3 +709,136 @@ def nb_unigram_confusion_sql(
     SELECT {label_col}, {case} AS pred, CAST(count(*) AS BIGINT) AS n_docs
     FROM sc GROUP BY 1, 2
     """
+
+
+def chi2_top_terms(
+    df: DataFrame,
+    labels: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    test_mod: int = 5,
+    k: int = 5,
+) -> DataFrame:
+    """Chi-squared feature selection (one-vs-rest, document presence):
+    for each class l and word w over the SAME train fold the NB
+    classifier uses, build the 2×2 contingency table
+    (a = docs of l containing w, b = other docs containing w,
+    c = docs of l without w, d = other docs without w) and rank words by
+    chi² = N(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)) — the classic selector
+    that surfaces each class's most discriminative vocabulary before
+    training. chi² is SYMMETRIC: perfect negative indicators (words a
+    class never uses but every other class does) score as high as
+    positive ones — both are maximally informative features. Words
+    present in every train doc (or none) are excluded (their table has
+    a zero margin).
+
+    Determinism: the contingency cells are exact integers; chi² is ONE
+    fixed-shape double expression over them (products can exceed BIGINT
+    at corpus scale, so each factor is cast to double first — both
+    engines evaluate the identical tree), and ties break on the word.
+
+    Scale shape: one distinct (doc, word) projection (array_distinct
+    before explode — presence, not frequency), one (word × class)
+    map-side-combined count, per-class top-k via a |labels|-partition
+    window over the word-level aggregate (vocabulary-sized, not
+    corpus-sized). Output: (label, word, chi2, rank)."""
+    from pyspark.sql import Window as W
+
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    train = df.filter(F.col(id_col) % test_mod != 0)
+    n_l = {
+        r[label_col]: r["n"]
+        for r in train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_total = train.count()
+    dw = train.select(label_col, F.explode(toks).alias("w"))
+    cw = dw.groupBy("w").pivot(label_col, list(labels)).count()
+    present = [F.coalesce(F.col(f"`{l}`"), F.lit(0)) for l in labels]
+    df_w = None
+    for p in present:
+        df_w = p if df_w is None else df_w + p
+    cw = cw.withColumn("__df", df_w).filter(
+        (F.col("__df") > 0) & (F.col("__df") < F.lit(n_total))
+    )
+    per_class = None
+    for i, l in enumerate(labels):
+        a = F.coalesce(F.col(f"`{l}`"), F.lit(0)).cast("double")
+        b = (F.col("__df") - F.coalesce(F.col(f"`{l}`"), F.lit(0))).cast("double")
+        c = (F.lit(n_l.get(l, 0)) - F.coalesce(F.col(f"`{l}`"), F.lit(0))).cast(
+            "double"
+        )
+        d = (
+            F.lit(n_total - n_l.get(l, 0))
+            - (F.col("__df") - F.coalesce(F.col(f"`{l}`"), F.lit(0)))
+        ).cast("double")
+        chi2 = (
+            F.lit(float(n_total))
+            * (a * d - b * c)
+            * (a * d - b * c)
+            / ((a + b) * (c + d) * (a + c) * (b + d))
+        )
+        sel = cw.select(
+            F.lit(l).alias("label"), F.col("w").alias("word"), chi2.alias("chi2")
+        )
+        per_class = sel if per_class is None else per_class.unionByName(sel)
+    w_rank = W.partitionBy("label").orderBy(F.col("chi2").desc(), F.col("word"))
+    return (
+        per_class.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("label", "word", "chi2", "rank")
+    )
+
+
+def chi2_top_terms_sql(
+    labels: tuple[str, ...],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    label_col: str = "lang",
+    test_mod: int = 5,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of ``chi2_top_terms`` — same fold, same presence
+    counts, same all-double chi² expression tree, same tie-break."""
+    cw_cols = ", ".join(
+        f"sum(CASE WHEN lang_k = '{l}' THEN 1 ELSE 0 END) AS c_{i}"
+        for i, l in enumerate(labels)
+    )
+    branches = []
+    for i, l in enumerate(labels):
+        a = f"CAST(c_{i} AS DOUBLE)"
+        b = f"CAST(df_w - c_{i} AS DOUBLE)"
+        c = f"CAST((SELECT n FROM nl WHERE lang_k = '{l}') - c_{i} AS DOUBLE)"
+        d = (
+            f"CAST((SELECT n FROM ntr) - (SELECT n FROM nl WHERE lang_k = '{l}')"
+            f" - (df_w - c_{i}) AS DOUBLE)"
+        )
+        chi2 = (
+            f"CAST((SELECT n FROM ntr) AS DOUBLE)"
+            f" * ({a} * {d} - {b} * {c}) * ({a} * {d} - {b} * {c})"
+            f" / (({a} + {b}) * ({c} + {d}) * ({a} + {c}) * ({b} + {d}))"
+        )
+        branches.append(
+            f"SELECT '{l}' AS label, w AS word, {chi2} AS chi2 FROM cw"
+        )
+    return f"""
+    WITH train AS (
+      SELECT {id_col}, {label_col} AS lang_k,
+             list_distinct(string_split({text_col}, ' ')) AS toks
+      FROM {table} WHERE {id_col} % {test_mod} <> 0),
+    nl AS (SELECT lang_k, count(*) AS n FROM train GROUP BY 1),
+    ntr AS (SELECT count(*) AS n FROM train),
+    dw AS (SELECT lang_k, unnest(toks) AS w FROM train),
+    cw AS (
+      SELECT w, {cw_cols}, count(*) AS df_w
+      FROM dw GROUP BY w
+      HAVING count(*) > 0 AND count(*) < (SELECT n FROM ntr)),
+    pc AS ({' UNION ALL '.join(branches)}),
+    ranked AS (
+      SELECT label, word, chi2,
+             CAST(row_number() OVER (PARTITION BY label
+                  ORDER BY chi2 DESC, word) AS INTEGER) AS rank
+      FROM pc)
+    SELECT label, word, chi2, rank FROM ranked WHERE rank <= {k}
+    """

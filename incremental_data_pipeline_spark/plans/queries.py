@@ -13793,3 +13793,21 @@ def jl_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     return _sim.jl_distortion_pairs(emb)
+
+
+@query("chi2_top_terms_lang", _text.chi2_top_terms_sql(_NB_LANGS))
+def chi2_top_terms_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared feature selection over the NB classifier's train fold
+    — see ``text.chi2_top_terms``: one-vs-rest 2×2 document-presence
+    contingency per (word, class), chi² ranking, top-5 discriminative
+    words per class. The standard selection step between raw vocabulary
+    and classifier training; exact-integer contingency cells feed ONE
+    fixed-shape double expression so the oracle reproduces every score
+    and every rank (ties break on the word).
+
+    Scale shape: presence (not frequency) counts via array_distinct
+    before explode, one (word × class) map-side-combined count, and a
+    |labels|-partition window over the VOCABULARY-sized aggregate —
+    nothing corpus-sized crosses the window."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _text.chi2_top_terms(docs, _NB_LANGS)

@@ -766,3 +766,32 @@ def test_keygen_rejects_reserved_names_and_scalable_rank_is_exact(spark):
     out = assign_surrogate_keys(df, "__fs_rn", ["nm", "id"], scalable=True)
     rows = sorted((r["nm"], r["__fs_rn"]) for r in out.collect())
     assert [r[1] for r in rows] == list(range(1, 21))
+
+
+def test_chi2_selects_discriminative_words(spark):
+    from incremental_data_pipeline_spark.operators import text as t
+
+    rows = []
+    for i in range(60):
+        lab = ("aa", "bb")[i % 2]
+        word = {"aa": "apple", "bb": "banana"}[lab]
+        rows.append((i, f"{word} common filler", lab))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = t.chi2_top_terms(df, ("aa", "bb"), k=3).collect()
+    # chi2 is SYMMETRIC: a perfect negative indicator scores exactly as
+    # high as a positive one (both tables are maximal-association), so
+    # each class's top-2 are {apple, banana} with identical chi2, ties
+    # broken alphabetically.
+    for lab in ("aa", "bb"):
+        ranked = sorted(
+            (r["rank"], r["word"]) for r in out if r["label"] == lab
+        )
+        assert [w for _, w in ranked[:2]] == ["apple", "banana"]
+    # words in every doc ('common', 'filler') are excluded by the margin
+    # filter, never ranked
+    assert all(r["word"] not in ("common", "filler") for r in out)
+    # the perfect indicator's chi2 equals N (maximal association)
+    n_train = sum(1 for i in range(60) if i % 5 != 0)
+    for r in out:
+        if r["rank"] == 1:
+            assert abs(r["chi2"] - n_train) < 1e-9
