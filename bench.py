@@ -119,6 +119,7 @@ HEADLINE = [
     "bucketed_join_pricing",
     "target_encode_loo",
     "jl_distortion_audit",
+    "chi2_top_terms_lang",
 ]
 
 
