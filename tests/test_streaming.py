@@ -1266,3 +1266,96 @@ def test_kill_and_restart_ledger_applies_each_epoch_once(spark):
         assert sum(n for _, n in applied) == events.count()
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_hll_fold_survives_replay_with_no_epoch_guard(spark):
+    """Crash-recovery pin for the HLL max-fold's ADVERTISED property: the
+    fold is idempotent, so unlike the sum-fold golds above it carries NO
+    epoch sidecar — and a kill after epoch 2's register store commits but
+    before its offsets commit makes the restart REPLAY epoch 2 into the
+    store a second time. The replayed merge must be a no-op (per-bucket
+    max cannot move), and the final registers must equal the one-shot
+    batch sketch bit-for-bit."""
+    from pyspark.sql import Window
+
+    from incremental_data_pipeline_spark.operators import sketches as sk
+    from incremental_data_pipeline_spark.sources.readers import load_table
+    from incremental_data_pipeline_spark.sources.sinks import atomic_overwrite
+
+    base = tempfile.mkdtemp(prefix="stream_hll_kill_")
+
+    class DeliberateKill(Exception):
+        pass
+
+    try:
+        events = load_table(spark, SF_DIR, "events").select("user_id", "ts")
+        src = os.path.join(base, "src")
+        os.makedirs(src)
+        chunked = events.withColumn(
+            "__chunk", F.ntile(4).over(Window.orderBy("ts"))
+        )
+        for i in (1, 2, 3, 4):
+            tmp = os.path.join(base, f"tmp{i}")
+            chunked.filter(F.col("__chunk") == i).drop("__chunk").coalesce(
+                1
+            ).write.parquet(tmp)
+            part = [p for p in os.listdir(tmp) if p.endswith(".parquet")][0]
+            os.rename(
+                os.path.join(tmp, part), os.path.join(src, f"chunk{i}.parquet")
+            )
+            shutil.rmtree(tmp)
+
+        store = os.path.join(base, "registers")
+        applied_epochs = []
+
+        def apply_batch(batch, epoch, kill_after=None):
+            br = sk.hll_registers(batch, ["user_id"], p=10)
+            if os.path.exists(store):
+                merged = sk.hll_merge(spark.read.parquet(store), br)
+            else:
+                merged = br
+            atomic_overwrite(merged, store)  # NO epoch marker, on purpose
+            applied_epochs.append(epoch)
+            if kill_after is not None and epoch == kill_after:
+                raise DeliberateKill(f"kill after epoch {epoch} store commit")
+
+        def run(kill_after=None):
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            q = (
+                stream.writeStream.foreachBatch(
+                    lambda b, e: apply_batch(b, e, kill_after)
+                )
+                .option("checkpointLocation", os.path.join(base, "ckpt"))
+                .outputMode("update")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            except Exception:
+                return False
+            finally:
+                q.stop()
+                try:
+                    q.awaitTermination()
+                except Exception:
+                    pass
+            return True
+
+        assert not run(kill_after=2), "the kill never fired"
+        assert run()  # restart: epoch 2 REPLAYS into the committed store
+        assert applied_epochs.count(2) == 2, applied_epochs  # real replay
+        got = sorted(
+            (r["bucket"], r["register"])
+            for r in spark.read.parquet(store).collect()
+        )
+        want = sorted(
+            (r["bucket"], r["register"])
+            for r in sk.hll_registers(events, ["user_id"], p=10).collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
