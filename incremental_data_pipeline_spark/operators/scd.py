@@ -150,14 +150,16 @@ def assign_surrogate_keys(
     single task, no checkpoint materialization. At extreme scale raise
     SCALABLE_KEY_MAX_BUCKETS (lookup cost grows as log2(buckets)).
     """
-    if key_col in ("__bkt", "__rn", "__off"):
+    reserved = {"__bkt", "__rn", "__off"}
+    clashes = reserved & ({key_col} | set(df.columns))
+    if clashes:
         # The scalable path uses these as scratch columns and drops them
-        # at the end — a caller's key under one of these names would be
-        # silently destroyed (the single-window path would keep it,
-        # making the bug size-dependent). Fail loudly instead.
+        # at the end — a caller's key OR input column under one of these
+        # names would be silently destroyed (the single-window path
+        # would keep it, making the bug size-dependent). Fail loudly.
         raise ValueError(
-            f"key_col {key_col!r} collides with assign_surrogate_keys "
-            "internals ('__bkt', '__rn', '__off'); pick another name"
+            f"{sorted(clashes)} collide with assign_surrogate_keys "
+            "internals ('__bkt', '__rn', '__off'); rename them first"
         )
     if scalable is None:
         probe = df.limit(SCALABLE_KEY_THRESHOLD + 1).count()

@@ -520,22 +520,7 @@ def hll_registers(df: DataFrame, cols: list[str], p: int = 10) -> DataFrame:
     (≤ 2^p rows) mergeable summary: union two sketches by per-bucket max
     (see ``hll_merge``), the property the streaming fold and the
     union-estimate query rely on."""
-    bits = 32 - p
-    hv = hash64(cols)
-    notnull = df
-    for c in cols:
-        notnull = notnull.filter(F.col(c).isNotNull())
-    w = (hv % F.lit(1 << bits)).alias("w")
-    rho = F.when(F.col("w") == 0, F.lit(bits + 1)).otherwise(
-        F.lit(bits + 1) - F.length(F.bin(F.col("w")))
-    )
-    return (
-        fan_out(notnull)
-        .select(F.shiftright(hv, bits).cast("int").alias("bucket"), w)
-        .select("bucket", rho.cast("int").alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").cast("int").alias("register"))
-    )
+    return hll_registers_by_group(df, [], cols, p)
 
 
 def hll_registers_by_group(
@@ -615,14 +600,26 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
         F.lit(float(m)) / F.col("zero_buckets").cast("double")
     )
     ln_large = F.log(F.lit(1.0) - e_raw / F.lit(two32))
+    # Branch totality at saturation: with p=10 the raw estimate can
+    # exceed 2^32 (min sum_scaled = m), where ln(1 - e/2^32) has a
+    # NON-POSITIVE argument — Spark's log would yield NULL while DuckDB
+    # RAISES, breaking the cross-engine contract exactly in the
+    # correction branch. Clamp e_raw >= 2^32 to the SENTINEL 2^32
+    # (the hash space is exhausted; no finite estimate is meaningful —
+    # the sentinel marks "beyond 32-bit domain", and is deliberately a
+    # constant, so it can sit below large-branch outputs),
+    # and quantize the large branch through DECIMAL(28,8) — its output
+    # tops out near 3e12 (ln of the smallest positive double), which
+    # overflows DECIMAL(18,8)'s 1e10 cap NULL-vs-raise inconsistently.
     est = (
         F.when(
             (e_raw <= F.lit(2.5 * m)) & (F.col("zero_buckets") > 0),
             (F.lit(float(m)) * ln_small).cast("decimal(18,8)").cast("double"),
         )
+        .when(e_raw >= F.lit(two32), F.lit(two32))
         .when(
             e_raw > F.lit(two32 / 30.0),
-            (F.lit(-two32) * ln_large).cast("decimal(18,8)").cast("double"),
+            (F.lit(-two32) * ln_large).cast("decimal(28,8)").cast("double"),
         )
         .otherwise(e_raw)
     )
@@ -675,9 +672,11 @@ def hll_est_expr_sql(p: int = 10) -> str:
                     AND zero_buckets > 0
                  THEN CAST(CAST({float(m)!r} * ln({float(m)!r} / CAST(zero_buckets AS DOUBLE))
                            AS DECIMAL(18,8)) AS DOUBLE)
+               WHEN ({alpha_m2s!r} / CAST(sum_scaled AS DOUBLE)) >= {two32!r}
+                 THEN {two32!r}
                WHEN ({alpha_m2s!r} / CAST(sum_scaled AS DOUBLE)) > {two32 / 30.0!r}
                  THEN CAST(CAST({-two32!r} * ln(1.0 - ({alpha_m2s!r} / CAST(sum_scaled AS DOUBLE)) / {two32!r})
-                           AS DECIMAL(18,8)) AS DOUBLE)
+                           AS DECIMAL(28,8)) AS DOUBLE)
                ELSE {alpha_m2s!r} / CAST(sum_scaled AS DOUBLE)
              END"""
 

@@ -602,7 +602,7 @@ def nb_unigram_confusion(
         for r in train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
     v = tr.select("w").distinct().count()
-    n_train = train.count()
+    n_train = sum(n_l.values())  # == train.count(); zero extra scan jobs
 
     quant = lambda c: c.cast("decimal(18,8)")  # noqa: E731
     cw = tr.groupBy("w").pivot(label_col, list(labels)).count()
@@ -746,12 +746,18 @@ def chi2_top_terms(
     from pyspark.sql import Window as W
 
     toks = F.array_distinct(F.split(F.col(text_col), " "))
-    train = df.filter(F.col(id_col) % test_mod != 0)
+    # Declared-domain contract: rows whose label is OUTSIDE ``labels``
+    # are excluded from the universe entirely — otherwise the 2×2 tables
+    # are inconsistent (N would count docs the per-class pivot can never
+    # attribute) and the SQL twin's unfiltered count(*) would diverge.
+    train = df.filter(F.col(id_col) % test_mod != 0).filter(
+        F.col(label_col).isin(*labels)
+    )
     n_l = {
         r[label_col]: r["n"]
         for r in train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    n_total = train.count()
+    n_total = sum(n_l.values())  # same integer, zero extra scan jobs
     dw = train.select(label_col, F.explode(toks).alias("w"))
     cw = dw.groupBy("w").pivot(label_col, list(labels)).count()
     present = [F.coalesce(F.col(f"`{l}`"), F.lit(0)) for l in labels]
@@ -826,7 +832,9 @@ def chi2_top_terms_sql(
     WITH train AS (
       SELECT {id_col}, {label_col} AS lang_k,
              list_distinct(string_split({text_col}, ' ')) AS toks
-      FROM {table} WHERE {id_col} % {test_mod} <> 0),
+      FROM {table}
+      WHERE {id_col} % {test_mod} <> 0
+        AND {label_col} IN ({', '.join(f"'{l}'" for l in labels)})),
     nl AS (SELECT lang_k, count(*) AS n FROM train GROUP BY 1),
     ntr AS (SELECT count(*) AS n FROM train),
     dw AS (SELECT lang_k, unnest(toks) AS w FROM train),

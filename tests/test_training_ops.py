@@ -636,16 +636,29 @@ def test_fs_sorted_neighborhood_candidates_and_nulls(spark):
 def test_fs_rare_field_outweighs_common(spark):
     from incremental_data_pipeline_spark.operators import linkage
 
-    # f_rare: 50 distinct values; f_common: 2 distinct values
-    rows = [(i, "b", f"n{i:03d}", f"v{i % 50}", i % 2) for i in range(100)]
-    df = spark.createDataFrame(rows, "id long, blk string, nm string, f_rare string, f_common int")
+    # f_rare: almost all distinct (low collision probability u), with ONE
+    # engineered adjacent agreement; f_common: 2 values, with one
+    # engineered adjacent agreement where f_rare disagrees. Both
+    # agreement patterns exist BY CONSTRUCTION (asserted below), so the
+    # property cannot silently go untested.
+    rows = []
+    for i in range(40):
+        f_rare = "shared" if i in (10, 11) else f"r{i}"
+        f_common = 0 if i in (20, 21) else i % 2
+        rows.append((i, "b", f"n{i:02d}", f_rare, f_common))
+    df = spark.createDataFrame(
+        rows, "id long, blk string, nm string, f_rare string, f_common int"
+    )
     out = linkage.fs_sorted_neighborhood(
         df, "id", ["blk"], ["nm"], ["f_rare", "f_common"], window=1
     )
-    a = out.filter(F.col("agree_f_rare") & ~F.col("agree_f_common")).limit(1).collect()
-    b = out.filter(~F.col("agree_f_rare") & F.col("agree_f_common")).limit(1).collect()
-    if a and b:  # both agreement patterns occur in this layout
-        assert a[0]["score"] > b[0]["score"]
+    a = out.filter(F.col("agree_f_rare") & ~F.col("agree_f_common")).collect()
+    b = out.filter(~F.col("agree_f_rare") & F.col("agree_f_common")).collect()
+    assert a, "engineered rare-agree pair (10,11) missing"
+    assert b, "engineered common-agree pair (20,21) missing"
+    # agreeing on the rare field is stronger evidence than agreeing on
+    # the common one
+    assert min(r["score"] for r in a) > max(r["score"] for r in b)
 
 
 def test_fs_min_score_filters(spark):
@@ -795,3 +808,45 @@ def test_chi2_selects_discriminative_words(spark):
     for r in out:
         if r["rank"] == 1:
             assert abs(r["chi2"] - n_train) < 1e-9
+
+
+def test_hll_estimate_saturation_branches_cross_engine(spark):
+    """The large-range/saturation branches can't be reached from fixture
+    data (they need ~1e8+ distinct values), so pin them on SYNTHETIC
+    register tables: every bucket at rho=22 exercises the large-range
+    ln correction (whose argument is a small positive number), every
+    bucket at rho=23 drives e_raw past 2^32 where ln's argument would be
+    non-positive — Spark would NULL while DuckDB raises, so the operator
+    clamps to the 2^32 domain bound. Both engines must agree exactly in
+    both branches."""
+    import duckdb
+
+    from incremental_data_pipeline_spark.operators import sketches as sk
+
+    for rho, branch in ((22, "large_ln"), (23, "saturated_clamp")):
+        regs = spark.createDataFrame(
+            [(b, rho) for b in range(1024)], "bucket int, register int"
+        )
+        row = sk.hll_estimate(regs, p=10).collect()[0]
+        est_spark = row["est_distinct"]
+        assert est_spark is not None, branch
+        con = duckdb.connect()
+        sql = f"""
+        WITH __reg AS (
+          SELECT CAST(range AS INTEGER) AS bucket, CAST({rho} AS INTEGER) AS register
+          FROM range(1024)),
+        __agg AS ({sk.hll_agg_sql('__reg', 10)})
+        SELECT {sk.hll_est_expr_sql(10)} AS est FROM __agg
+        """
+        est_duck = con.execute(sql).fetchone()[0]
+        assert est_spark == est_duck, (branch, est_spark, est_duck)
+        if branch == "saturated_clamp":
+            assert est_spark == float(1 << 32)  # documented sentinel
+        else:
+            # the large-range correction legitimately extrapolates PAST
+            # the hash domain (it models collisions); just require a
+            # finite positive value strictly above the raw estimate
+            import math
+
+            e_raw = 6.3e12 / 2048  # alpha*m^2*2^23 / sum_scaled, roughly
+            assert est_spark > e_raw and math.isfinite(est_spark)
