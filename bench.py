@@ -120,6 +120,7 @@ HEADLINE = [
     "target_encode_loo",
     "jl_distortion_audit",
     "chi2_top_terms_lang",
+    "hll_rollup_users_by_type",
 ]
 
 

@@ -576,18 +576,33 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
     DECIMAL(18,8) so a last-ulp libm difference cannot change the hash.
 
     Output: ``m``, ``zero_buckets``, ``sum_scaled``, ``est_distinct``."""
+    return hll_estimate_by_group(registers, [], p)
+
+
+def hll_estimate_by_group(
+    registers: DataFrame, group_cols: list[str], p: int = 10
+) -> DataFrame:
+    """``hll_estimate`` per group key — one estimate row per dimension
+    cell from a (group..., bucket, register) table, the read side of the
+    per-cell rollup sketches ``hll_registers_by_group`` writes. Same
+    exact-integer harmonic sum and correction ladder as the global
+    estimate (which delegates here with ``group_cols=[]``)."""
     bits = 32 - p
     m = 1 << p
     scale2 = 1 << (bits + 1)
     alpha_m2s = _hll_alpha(m) * float(m) * float(m) * float(scale2)
     two32 = float(1 << 32)
-    agg = registers.agg(
+    grouped = (
+        registers.groupBy(*group_cols) if group_cols else registers.groupBy()
+    )
+    agg = grouped.agg(
         F.count(F.lit(1)).cast("long").alias("filled"),
         F.sum(
             F.pow(F.lit(2.0), (F.lit(bits + 1) - F.col("register"))).cast("long")
         ).cast("long")
         .alias("filled_sum"),
     ).select(
+        *group_cols,
         F.lit(m).cast("long").alias("m"),
         (F.lit(m) - F.col("filled")).cast("long").alias("zero_buckets"),
         (
@@ -623,7 +638,9 @@ def hll_estimate(registers: DataFrame, p: int = 10) -> DataFrame:
         )
         .otherwise(e_raw)
     )
-    return agg.select("m", "zero_buckets", "sum_scaled", est.alias("est_distinct"))
+    return agg.select(
+        *group_cols, "m", "zero_buckets", "sum_scaled", est.alias("est_distinct")
+    )
 
 
 def hll_registers_sql(inner: str, value_expr: str, p: int = 10) -> str:

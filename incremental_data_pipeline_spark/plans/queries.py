@@ -13811,3 +13811,66 @@ def chi2_top_terms_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing corpus-sized crosses the window."""
     docs = load_table(spark, sf_dir, "documents")
     return _text.chi2_top_terms(docs, _NB_LANGS)
+
+
+def _hll_rollup_oracle(p: int = 10) -> str:
+    m = 1 << p
+    bits = 32 - p
+    mask = 1 << bits
+    scale2 = 1 << (bits + 1)
+    est = _sketches.hll_est_expr_sql(p)
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+      FROM events WHERE user_id IS NOT NULL),
+    pt AS (
+      SELECT event_type, CAST(hv // {mask} AS INTEGER) AS bucket,
+             CAST(max(CASE WHEN hv % {mask} = 0 THEN {bits + 1}
+                           ELSE {bits + 1} - length(bin(hv % {mask})) END)
+                  AS INTEGER) AS register
+      FROM h GROUP BY 1, 2),
+    aggt AS (
+      SELECT event_type AS key, CAST({m} AS BIGINT) AS m,
+             CAST({m} - count(*) AS BIGINT) AS zero_buckets,
+             CAST(COALESCE(CAST(sum(CAST(2.0 ** ({bits + 1} - register) AS BIGINT)) AS BIGINT), 0)
+                  + ({m} - count(*)) * {scale2} AS BIGINT) AS sum_scaled
+      FROM pt GROUP BY 1),
+    merged AS (
+      SELECT bucket, CAST(max(register) AS INTEGER) AS register
+      FROM pt GROUP BY 1),
+    aggm AS ({_sketches.hll_agg_sql("merged", p)})
+    SELECT 'type' AS level, key, {est} AS est_distinct FROM aggt
+    UNION ALL
+    SELECT 'all' AS level, '*' AS key, {est} AS est_distinct FROM aggm
+    """
+
+
+@query("hll_rollup_users_by_type", _hll_rollup_oracle())
+def hll_rollup_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rollup-store pattern on HLL sketches: per-event-type distinct-
+    user estimates from per-cell register tables, plus the ALL-types
+    estimate obtained by MERGING those cells (per-bucket max) — history
+    is never rescanned to roll a level up the dimension hierarchy, the
+    property additive rollup stores get from summing counters, delivered
+    here for the non-additive distinct-count measure. Cross-engine exact
+    like the rest of the HLL family (integer harmonic sums, quantized
+    correction ln).
+
+    Scale shape: ONE (type, bucket) map-side-combined groupBy over the
+    facts; every level above it is arithmetic over ≤ |types|×1024
+    register rows."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = _sketches.hll_registers_by_group(
+        ev, ["event_type"], ["user_id"], p=10
+    )
+    est_t = _sketches.hll_estimate_by_group(per_type, ["event_type"], p=10).select(
+        F.lit("type").alias("level"),
+        F.col("event_type").alias("key"),
+        "est_distinct",
+    )
+    merged = _sketches.hll_merge(per_type)
+    est_all = _sketches.hll_estimate(merged, p=10).select(
+        F.lit("all").alias("level"), F.lit("*").alias("key"), "est_distinct"
+    )
+    return est_t.unionByName(est_all)

@@ -850,3 +850,23 @@ def test_hll_estimate_saturation_branches_cross_engine(spark):
 
             e_raw = 6.3e12 / 2048  # alpha*m^2*2^23 / sum_scaled, roughly
             assert est_spark > e_raw and math.isfinite(est_spark)
+
+
+def test_hll_rollup_levels_consistent(spark):
+    from incremental_data_pipeline_spark.operators import sketches as sk
+    from incremental_data_pipeline_spark.plans.queries import QUERIES
+    from incremental_data_pipeline_spark.sources.readers import load_table
+
+    rows = QUERIES["hll_rollup_users_by_type"](spark, SF_DIR).collect()
+    per_type = {r["key"]: r["est_distinct"] for r in rows if r["level"] == "type"}
+    total = [r["est_distinct"] for r in rows if r["level"] == "all"]
+    assert len(total) == 1 and per_type
+    # the merged-cells estimate must equal the direct global sketch's
+    ev = load_table(spark, SF_DIR, "events")
+    direct = sk.hll_estimate(
+        sk.hll_registers(ev, ["user_id"], p=10), p=10
+    ).collect()[0]["est_distinct"]
+    assert total[0] == direct
+    # distinct users overall <= sum of per-type distincts (set union),
+    # within sketch error
+    assert total[0] <= sum(per_type.values()) * 1.2
