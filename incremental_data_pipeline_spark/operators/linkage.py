@@ -73,9 +73,15 @@ def fs_sorted_neighborhood(
     aggregates broadcast-sized. No pair explosion, no driver-side loop
     over data."""
     n_ids = [id_col] + fields
+    # Sorting (or blocking) by a compared field is a natural SNM
+    # parameterization, so the projection lists may overlap — dedupe them
+    # (first occurrence wins) or the duplicated names make later F.col
+    # references ambiguous and the query fails with AnalysisException.
+    blocked_proj = list(dict.fromkeys([*block_cols, *sort_cols, *n_ids]))
+    global_proj = list(dict.fromkeys([*sort_cols, *n_ids]))
     if block_cols:
         w = Window.partitionBy(*block_cols).orderBy(*sort_cols, id_col)
-        led = df.select(*block_cols, *sort_cols, *n_ids)
+        led = df.select(*blocked_proj)
         for k in range(1, window + 1):
             led = led.withColumn(f"__id_{k}", F.lead(id_col, k).over(w))
             for f_ in fields:
@@ -99,7 +105,7 @@ def fs_sorted_neighborhood(
         # sort_cols + id is a UNIQUE ordering, so the scalable keygen's
         # result IS the exact global row_number (its documented contract).
         ranked = assign_surrogate_keys(
-            df.select(*sort_cols, *n_ids), "__fs_rn", [*sort_cols, id_col]
+            df.select(*global_proj), "__fs_rn", [*sort_cols, id_col]
         )
         left = ranked.select(
             F.col(id_col).alias("id_a"),

@@ -643,13 +643,28 @@ def hll_estimate_by_group(
     )
 
 
-def hll_registers_sql(inner: str, value_expr: str, p: int = 10) -> str:
-    """DuckDB twin of ``hll_registers`` over one expression: same
-    md5-prefix hash, same shift/mod bucket split, same bin()-length rho.
-    ``inner`` must already exclude NULL values of ``value_expr``."""
+def hll_registers_sql(
+    inner: str, value_expr: str | list[str], p: int = 10
+) -> str:
+    """DuckDB twin of ``hll_registers``: same md5-prefix hash, same
+    shift/mod bucket split, same bin()-length rho. ``inner`` must already
+    exclude NULL values of the hashed columns.
+
+    ``value_expr`` as a LIST of column names mirrors the Spark side's
+    multi-column key exactly (``concat_ws('|', CAST(c AS VARCHAR)...)``
+    — the ``hash64`` preimage). A plain string is hashed as
+    ``md5(CAST(expr AS VARCHAR))``, which matches ``hash64([col])`` for
+    a SINGLE column only; a caller sketching multiple columns must pass
+    the list form (or the concat_ws equivalent), otherwise the two
+    engines' registers silently diverge."""
     bits = 32 - p
     mask = 1 << bits
-    hv = f"('0x' || substring(md5(CAST({value_expr} AS VARCHAR)), 1, 8))::BIGINT"
+    if isinstance(value_expr, list):
+        casts = ", ".join(f"CAST({c} AS VARCHAR)" for c in value_expr)
+        preimage = f"concat_ws('|', {casts})"
+    else:
+        preimage = f"CAST({value_expr} AS VARCHAR)"
+    hv = f"('0x' || substring(md5({preimage}), 1, 8))::BIGINT"
     return f"""
       SELECT CAST(hv // {mask} AS INTEGER) AS bucket,
              CAST(max(CASE WHEN hv % {mask} = 0 THEN {bits + 1}

@@ -601,6 +601,15 @@ def nb_unigram_confusion(
         r[label_col]: r["n"]
         for r in train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # Declared-domain validation: a label with zero train docs would need
+    # ln(0) priors — Spark yields NULL where DuckDB yields -inf, so the
+    # degenerate configuration is rejected loudly instead of diverging.
+    missing = [l for l in labels if n_l.get(l, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"nb_unigram_confusion: declared label(s) {missing} have no "
+            f"documents in the train fold; priors would be ln(0)"
+        )
     v = tr.select("w").distinct().count()
     n_train = sum(n_l.values())  # == train.count(); zero extra scan jobs
 
@@ -662,8 +671,14 @@ def nb_unigram_confusion_sql(
     """DuckDB twin of ``nb_unigram_confusion``: identical split, Laplace
     likelihoods, DECIMAL(18,8)-quantized ln, decimal posterior sums and
     tie-break order; the train-fold scalars the Spark side embeds as
-    collected integers are re-derived here as scalar subqueries."""
-    tv = "(SELECT t FROM tl WHERE lang_k = '{l}') + (SELECT v FROM vv)"
+    collected integers are re-derived here as scalar subqueries (wrapped
+    in COALESCE(..., 0) so a declared label absent from the train fold
+    yields the same integer 0 the Spark side's ``.get(l, 0)`` embeds —
+    the Spark twin additionally rejects that configuration early)."""
+    tv = (
+        "COALESCE((SELECT t FROM tl WHERE lang_k = '{l}'), 0)"
+        " + (SELECT v FROM vv)"
+    )
     cw_cols = ", ".join(
         f"sum(CASE WHEN lang_k = '{l}' THEN 1 ELSE 0 END) AS c_{i}"
         for i, l in enumerate(labels)
@@ -679,7 +694,8 @@ def nb_unigram_confusion_sql(
         for i, l in enumerate(labels)
     )
     s_cols = ", ".join(
-        f"sum(ll_{i}) + CAST(ln(CAST((SELECT n FROM nl WHERE lang_k = '{l}') AS DOUBLE)"
+        f"sum(ll_{i}) + CAST(ln(CAST(COALESCE((SELECT n FROM nl WHERE"
+        f" lang_k = '{l}'), 0) AS DOUBLE)"
         f" / CAST((SELECT n FROM ntr) AS DOUBLE)) AS DECIMAL(18,8)) AS s_{i}"
         for i, l in enumerate(labels)
     )
@@ -757,6 +773,15 @@ def chi2_top_terms(
         r[label_col]: r["n"]
         for r in train.groupBy(label_col).agg(F.count(F.lit(1)).alias("n")).collect()
     }
+    # Same declared-domain validation as nb_unigram_confusion: an absent
+    # label makes the (a+c) margin 0 for every word — division by zero
+    # (Spark NaN vs DuckDB error). Reject loudly instead of diverging.
+    missing = [l for l in labels if n_l.get(l, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"chi2_top_terms: declared label(s) {missing} have no "
+            f"documents in the train fold; every 2x2 table degenerates"
+        )
     n_total = sum(n_l.values())  # same integer, zero extra scan jobs
     dw = train.select(label_col, F.explode(toks).alias("w"))
     cw = dw.groupBy("w").pivot(label_col, list(labels)).count()
@@ -815,9 +840,10 @@ def chi2_top_terms_sql(
     for i, l in enumerate(labels):
         a = f"CAST(c_{i} AS DOUBLE)"
         b = f"CAST(df_w - c_{i} AS DOUBLE)"
-        c = f"CAST((SELECT n FROM nl WHERE lang_k = '{l}') - c_{i} AS DOUBLE)"
+        nl_l = f"COALESCE((SELECT n FROM nl WHERE lang_k = '{l}'), 0)"
+        c = f"CAST({nl_l} - c_{i} AS DOUBLE)"
         d = (
-            f"CAST((SELECT n FROM ntr) - (SELECT n FROM nl WHERE lang_k = '{l}')"
+            f"CAST((SELECT n FROM ntr) - {nl_l}"
             f" - (df_w - c_{i}) AS DOUBLE)"
         )
         chi2 = (

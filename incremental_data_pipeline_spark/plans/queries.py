@@ -5165,11 +5165,25 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket array via nested array transforms, so pair generation costs
     C(basket_size, 2) per order with NO self-join and no second shuffle
     of the facts — the max basket (13 here) bounds the fan-out, never
-    corpus². Per-part counts re-derive from the exploded baskets, and
-    the 1-row order total broadcasts onto the pair aggregate. Lift is
+    corpus². Per-part counts re-derive from the exploded baskets. Lift is
     computed exactly: integer numerator (support × n_orders) and integer
     denominator (n_a × n_b) with ONE double division — IEEE-identical in
-    both engines."""
+    both engines.
+
+    Pair-aggregate memory (the r9 lesson, BASKET_LIFT_SCALE.md): the
+    pair keys are NEARLY UNIQUE (at sf30, ~360M keys of which 600 reach
+    support ≥ 3), so a map-side partial aggregate combines almost
+    nothing while its hash state grows with the DATA on a fixed heap —
+    past the fit point, spill cost turned the 3× step into 3.5–4.6×.
+    Restructured: the exploded pairs are hash-REPARTITIONED on the pair
+    key to an adaptively-sized partition count (Σ C(sz,2) is computed
+    exactly from the basket-size histogram in the same cheap pass that
+    counts orders, ~1.5M keys per partition) BEFORE the aggregate, so
+    both aggregate operators run post-shuffle on bounded slices and no
+    hash map ever holds more than partition-sized state. Combining
+    wasn't helping; the shuffle moves the same ~nearly-unique pairs it
+    always moved, now into right-sized reducers — the cluster version
+    of "executor memory scales with the corpus"."""
     li = load_table(spark, sf_dir, "lineitem")
     baskets = (
         li.groupBy("l_orderkey")
@@ -5179,7 +5193,16 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
         "l_partkey"
     ).agg(F.count(F.lit(1)).alias("n"))
-    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    # One control-plane pass: order total (exact, embedded as a literal)
+    # and the exact pair volume Σ C(sz,2) that sizes the pair shuffle.
+    sz = F.size("parts").cast("long")
+    totals = baskets.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(sz * (sz - F.lit(1)) / F.lit(2)).cast("long").alias("n_pairs"),
+    ).collect()[0]
+    n_orders, n_pairs = totals["n_orders"], totals["n_pairs"] or 0
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    agg_parts = max(default_parts, min(4096, int(n_pairs // 1_500_000) + 1))
     pair_structs = F.flatten(
         F.transform(
             "parts",
@@ -5192,6 +5215,7 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         baskets.select(F.explode(pair_structs).alias("p"))
         .select("p.part_a", "p.part_b")
+        .repartition(agg_parts, "part_a", "part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= 3)
@@ -5201,13 +5225,12 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ca), "part_a")
         .join(F.broadcast(cb), "part_b")
-        .crossJoin(F.broadcast(tot))
         .select(
             "part_a",
             "part_b",
             "support",
             (
-                (F.col("support") * F.col("n_orders")).cast("double")
+                (F.col("support") * F.lit(n_orders)).cast("double")
                 / (F.col("na") * F.col("nb")).cast("double")
             ).alias("lift"),
         )
@@ -13601,10 +13624,16 @@ def bucketed_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-join path is what's exercised) and ``bucketed_scan``
     ("Bucketed: true" in the scan) are emitted as columns hashed against
     a literal-TRUE oracle — if a regression re-introduces the shuffle,
-    the correctness gate goes red, not just a unit test.
+    the correctness gate goes red, not just a unit test. The plan-string
+    probes ("Exchange", "Bucketed: true") are validated against Spark
+    4.1; a major-version bump may rename them — the in-band hash gate is
+    exactly what would catch that (red with values green).
 
     Values are the plain join aggregate (revenue per order priority),
     decimal-cast for cross-engine sum parity."""
+    import time
+    import uuid
+
     from incremental_data_pipeline_spark.sources.sinks import write_bucketed
 
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -13613,22 +13642,36 @@ def bucketed_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
     )
-    # Idempotent re-run across sessions: DROP clears the catalog entry,
-    # but a FRESH in-memory catalog doesn't know about a previous
-    # session's managed-table location — remove the physical dir too or
-    # saveAsTable fails with LOCATION_ALREADY_EXISTS.
+    # Per-invocation table names: two concurrent sessions (bench + tests)
+    # sharing a warehouse dir must not clobber each other's tables
+    # mid-query, so the names carry a uuid suffix. Stale bktq_* dirs from
+    # previous runs are swept only when old enough (>1 h mtime) that they
+    # cannot belong to a live concurrent query; a FRESH in-memory catalog
+    # doesn't know about a previous session's managed-table location, so
+    # the physical dir must go too or saveAsTable fails with
+    # LOCATION_ALREADY_EXISTS.
+    token = uuid.uuid4().hex[:10]
+    t_li, t_o = f"bktq_lineitem_{token}", f"bktq_orders_{token}"
     wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
-    for t in ("bktq_lineitem", "bktq_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")
-        shutil.rmtree(os.path.join(wh.path or wh.geturl(), t), ignore_errors=True)
-    write_bucketed(li, "bktq_lineitem", ["l_orderkey"], num_buckets=16)
-    write_bucketed(o, "bktq_orders", ["l_orderkey"], num_buckets=16)
+    wh_path = wh.path or wh.geturl()
+    try:
+        for entry in os.listdir(wh_path):
+            full = os.path.join(wh_path, entry)
+            if (
+                entry.startswith("bktq_")
+                and os.path.isdir(full)
+                and time.time() - os.path.getmtime(full) > 3600
+            ):
+                spark.sql(f"DROP TABLE IF EXISTS {entry}")
+                shutil.rmtree(full, ignore_errors=True)
+    except OSError:
+        pass  # warehouse dir not materialized yet — nothing to sweep
+    write_bucketed(li, t_li, ["l_orderkey"], num_buckets=16)
+    write_bucketed(o, t_o, ["l_orderkey"], num_buckets=16)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = spark.table("bktq_lineitem").join(
-            spark.table("bktq_orders"), "l_orderkey"
-        )
+        joined = spark.table(t_li).join(spark.table(t_o), "l_orderkey")
         plan = joined._jdf.queryExecution().executedPlan().toString()
         exchange_free = "Exchange" not in plan
         bucketed = "Bucketed: true" in plan

@@ -764,9 +764,12 @@ def test_fs_global_mode_matches_window_reference(spark):
     assert sorted(p[:2] for p in got) == sorted(ref_pairs)
 
 
-def test_keygen_rejects_reserved_names_and_scalable_rank_is_exact(spark):
+def test_keygen_rejects_reserved_names_and_scalable_rank_is_exact(
+    spark, monkeypatch
+):
     import pytest as _pytest
 
+    from incremental_data_pipeline_spark.operators import scd
     from incremental_data_pipeline_spark.operators.scd import assign_surrogate_keys
 
     df = spark.createDataFrame([(i, f"n{i:02d}") for i in range(20)], "id long, nm string")
@@ -775,7 +778,12 @@ def test_keygen_rejects_reserved_names_and_scalable_rank_is_exact(spark):
     for bad in ("__rn", "__bkt", "__off"):
         with _pytest.raises(ValueError):
             assign_surrogate_keys(df, bad, ["nm", "id"])
-    # forced-scalable rank with a non-reserved name == exact row_number
+    # forced-scalable rank with a non-reserved name == exact row_number,
+    # through the MULTI-BUCKET prefix-sum path: at the default 1M
+    # rows-per-bucket the boundary sampler returns no split points on 20
+    # rows and the assertion would only cover the single-window fallback,
+    # so shrink the bucket size until real range buckets engage.
+    monkeypatch.setattr(scd, "SCALABLE_KEY_ROWS_PER_BUCKET", 5)
     out = assign_surrogate_keys(df, "__fs_rn", ["nm", "id"], scalable=True)
     rows = sorted((r["nm"], r["__fs_rn"]) for r in out.collect())
     assert [r[1] for r in rows] == list(range(1, 21))
@@ -870,3 +878,71 @@ def test_hll_rollup_levels_consistent(spark):
     # distinct users overall <= sum of per-type distincts (set union),
     # within sketch error
     assert total[0] <= sum(per_type.values()) * 1.2
+
+
+def test_nb_and_chi2_reject_absent_declared_label(spark):
+    """A declared label with zero train-fold documents would need ln(0)
+    priors (NB) or a zero (a+c) margin (chi²) — Spark NULL/NaN where
+    DuckDB raises. Both operators reject the configuration loudly; the
+    SQL twins carry COALESCE(..., 0) so even an un-validated caller sees
+    the same integers in both engines."""
+    import pytest as _pytest
+
+    from incremental_data_pipeline_spark.operators import text as t
+
+    rows = [(i, "hello world", "en") for i in range(1, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with _pytest.raises(ValueError, match="zz"):
+        t.nb_unigram_confusion(df, ("en", "zz"))
+    with _pytest.raises(ValueError, match="zz"):
+        t.chi2_top_terms(df, ("en", "zz"))
+    # the SQL twins embed the COALESCE guard
+    assert "COALESCE((SELECT t FROM tl" in t.nb_unigram_confusion_sql(("en", "zz"))
+    assert "COALESCE((SELECT n FROM nl" in t.chi2_top_terms_sql(("en", "zz"))
+
+
+def test_hll_registers_sql_multicolumn_matches_spark(spark):
+    """The list form of ``hll_registers_sql`` must reproduce the Spark
+    side's multi-column key (concat_ws('|', ...) preimage) register for
+    register — the r9 ADVICE latent divergence, now pinned."""
+    import duckdb
+
+    from incremental_data_pipeline_spark.operators import sketches as sk
+
+    rows = [(i % 7, f"u{i % 13}") for i in range(200)]
+    df = spark.createDataFrame(rows, "a int, b string")
+    got = sorted(
+        (r["bucket"], r["register"])
+        for r in sk.hll_registers(df, ["a", "b"], p=10).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT range % 7 AS a, 'u' || (range % 13) AS b"
+        " FROM range(200)"
+    )
+    inner = "SELECT a, b FROM t WHERE a IS NOT NULL AND b IS NOT NULL"
+    want = sorted(
+        tuple(r)
+        for r in con.execute(sk.hll_registers_sql(inner, ["a", "b"], p=10)).fetchall()
+    )
+    assert got == want
+
+
+def test_fs_sorted_neighborhood_sort_cols_overlap_fields(spark):
+    """Sorting by a compared field (the natural SNM parameterization)
+    must not blow up on duplicate projection names — r9 ADVICE."""
+    from incremental_data_pipeline_spark.operators import linkage as lk
+
+    rows = [(i, f"n{i % 5}", f"c{i % 3}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, nm string, city string")
+    # global branch: sort key IS a compared field
+    out = lk.fs_sorted_neighborhood(
+        df, "id", [], ["nm"], ["nm", "city"], window=2
+    )
+    assert out.count() == 40 * 2 - (1 + 2)
+    # blocked branch: block key AND sort key overlap the fields
+    out_b = lk.fs_sorted_neighborhood(
+        df, "id", ["city"], ["nm"], ["nm", "city"], window=1
+    )
+    assert out_b.count() > 0
+    assert set(out_b.columns) == {"id_a", "id_b", "agree_nm", "agree_city", "score"}
