@@ -1591,7 +1591,11 @@ def stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         [F.count("*").alias("n_events"), dec_sum("value", "sum_value", 4)],
     )
-    return _stream.run_to_memory(agg, "complete")
+    return _stream.run_to_memory(
+        agg,
+        "complete",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
+    )
 
 
 @query(
@@ -1624,7 +1628,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = _stream.session_window_agg(
         stream, "ts", "6 hours", ["user_id"], [F.count("*").alias("n_events")]
     )
-    return _stream.run_to_memory(agg, "complete")
+    return _stream.run_to_memory(
+        agg,
+        "complete",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
+    )
 
 
 @query(
@@ -1638,6 +1646,7 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stream.run_to_memory(
         _stream.streaming_dedup(stream, ["user_id", "event_type"], "ts", "35 days"),
         "append",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
     )
 
 
@@ -1756,7 +1765,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").cast("bigint").alias("sum_cents"),
     )
-    return _stream.run_to_memory(agg, "complete")
+    return _stream.run_to_memory(
+        agg,
+        "complete",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
+    )
 
 
 @query(
@@ -1838,7 +1851,11 @@ def stream_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     max over emissions = the final state regardless of how the source was
     split into batches (batch-count-invariant, hence oracle-stable)."""
     stream = _stream.read_stream(spark, sf_dir, "events").select("user_id", "value", "ts")
-    updates = _stream.run_to_memory(_stream.running_user_stats(stream), "update")
+    updates = _stream.run_to_memory(
+        _stream.running_user_stats(stream),
+        "update",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
+    )
     return updates.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value")
     )
@@ -2979,7 +2996,11 @@ def stream_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    return _stream.run_to_memory(agg, "complete")
+    return _stream.run_to_memory(
+        agg,
+        "complete",
+        state_partitions=_stream.adaptive_state_partitions(drop_dir),
+    )
 
 
 @query(
@@ -3057,7 +3078,11 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = _stream.stream_interval_join(
         clicks, purchases, "user_id", "ts", "p_ts", within="1 hour"
     )
-    pairs = _stream.run_to_memory(joined, "append")
+    pairs = _stream.run_to_memory(
+        joined,
+        "append",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
+    )
     return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
@@ -5566,7 +5591,11 @@ def stream_click_purchase_timeout(spark: SparkSession, sf_dir: str) -> DataFrame
         delay="0 seconds",
         how="left_outer",
     )
-    pairs = _stream.run_to_memory(joined, "append")
+    pairs = _stream.run_to_memory(
+        joined,
+        "append",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
+    )
     return pairs.groupBy("user_id").agg(
         F.count("p_ts").alias("n_matched"),
         F.sum(F.col("p_ts").isNull().cast("long")).alias("n_expired"),
@@ -9193,7 +9222,11 @@ def stream_click_purchase_full_outer(spark: SparkSession, sf_dir: str) -> DataFr
         delay="0 seconds",
         how="full_outer",
     )
-    pairs = _stream.run_to_memory(joined, "append")
+    pairs = _stream.run_to_memory(
+        joined,
+        "append",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
+    )
     return pairs.groupBy("user_id").agg(
         F.sum(
             (F.col("ts").isNotNull() & F.col("p_ts").isNotNull()).cast("long")
@@ -10534,7 +10567,9 @@ def stream_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
     updates = _stream.run_to_memory(
-        _stream.cusum_per_key(stream, "event_type", 6000, 60000), "update"
+        _stream.cusum_per_key(stream, "event_type", 6000, 60000),
+        "update",
+        state_partitions=_stream.adaptive_state_partitions(sf_dir, "events"),
     )
     final = updates.groupBy("event_type").agg(
         F.max(F.struct("n_steps", "cusum", "n_alarms")).alias("st")

@@ -31,6 +31,53 @@ from pyspark.sql import functions as F
 
 from incremental_data_pipeline_spark.sources.readers import load_table
 
+# Stateful-query partition sizing (r10 optimization): every shuffle
+# partition of a stateful streaming operator IS a state store, and each
+# store pays a fixed per-micro-batch commit (delta file write + snapshot
+# maintenance) REGARDLESS of how many rows it holds — measured locally at
+# ~40-50 ms per store per batch, so a 2 MB source draining through 32
+# partitions spends ~13 s/query in pure state-store bookkeeping where 4
+# partitions spend ~2 s for the same answer. The store count must
+# therefore track STATE VOLUME, not a static session conf: we size it
+# from the streamed source's on-disk bytes (state for watermarked
+# joins/windows is a bounded fraction of input). Env-tunable for other
+# deployments; the rule — not a constant — is what ships to a cluster
+# (100 TB source → the 4096 cap, thousands of stores, same code path).
+STREAM_STATE_BYTES_PER_PARTITION = int(
+    os.environ.get("SPARK_GRAFT_STREAM_STATE_BPP", 8 * 1024 * 1024)
+)
+_STREAM_STATE_MIN_PARTITIONS = 4  # keep cross-partition watermark/min paths exercised
+_STREAM_STATE_MAX_PARTITIONS = 4096
+
+
+def _path_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+        )
+    return os.path.getsize(path) if os.path.exists(path) else 0
+
+
+def adaptive_state_partitions(sf_dir: str, *tables: str) -> int:
+    """Shuffle-partition (= state store) count for a stateful streaming
+    query over the named fixture tables: ceil(source_bytes / BPP),
+    clamped to [4, 4096]. Scale-adaptive per the sizing rule above —
+    derived from data, never from the local core count. With no table
+    names, ``sf_dir`` itself is sized (ad-hoc drop directories)."""
+    if tables:
+        total = sum(
+            _path_bytes(os.path.join(sf_dir, f"{t}.parquet")) for t in tables
+        )
+    else:
+        total = _path_bytes(sf_dir)
+    want = -(-total // STREAM_STATE_BYTES_PER_PARTITION)  # ceil
+    return max(
+        _STREAM_STATE_MIN_PARTITIONS,
+        min(_STREAM_STATE_MAX_PARTITIONS, int(want)),
+    )
+
 
 def read_stream(spark: SparkSession, sf_dir: str, name: str, ts_col: str = "ts") -> DataFrame:
     """File-source readStream over one fixture table.
@@ -60,30 +107,48 @@ def read_stream(spark: SparkSession, sf_dir: str, name: str, ts_col: str = "ts")
     return stream.select(*[f.name for f in batch.schema])
 
 
-def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame, output_mode: str, state_partitions: int | None = None
+) -> DataFrame:
     """Drain a bounded stream into a memory sink and return the result.
 
     Synchronous: processAllAvailable() blocks until every available input
     file is consumed and all resulting state transitions have been emitted.
     Test-only sink — see module docstring.
+
+    ``state_partitions`` (usually ``adaptive_state_partitions(...)``)
+    overrides ``spark.sql.shuffle.partitions`` for THIS stream only: the
+    value is pinned into the query's offset log at batch 0, so it is set
+    before ``start()`` and the session value restored after the drain.
+    Results are partitioning-independent; only the state-store count (and
+    its per-batch commit cost) changes.
     """
+    spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    prev_parts: str | None = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
 
 
 def run_to_memory_with_state_metrics(
-    stream_df: DataFrame, output_mode: str
+    stream_df: DataFrame, output_mode: str, state_partitions: int | None = None
 ) -> tuple[DataFrame, list[dict]]:
     """`run_to_memory`, additionally returning the FINAL micro-batch's
     state-operator metrics (`StreamingQueryProgress.stateOperators`): one
@@ -95,29 +160,40 @@ def run_to_memory_with_state_metrics(
     advertises (keys for applyInPandasWithState, watermark-window rows for
     dedup/joins) rather than total input — at 100 TB "state = everything
     ever seen" is the failure mode, and these metrics are exactly what a
-    production monitor alarms on."""
+    production monitor alarms on.
+
+    ``state_partitions``: see ``run_to_memory``."""
+    spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    prev_parts: str | None = None
+    if state_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q.processAllAvailable()
-        state_ops: list[dict] = []
-        for progress in reversed(q.recentProgress):
-            ops = progress.get("stateOperators") if isinstance(progress, dict) else progress.stateOperators
-            if ops:
-                state_ops = [
-                    op if isinstance(op, dict) else json.loads(op.json)
-                    for op in ops
-                ]
-                break
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            state_ops: list[dict] = []
+            for progress in reversed(q.recentProgress):
+                ops = progress.get("stateOperators") if isinstance(progress, dict) else progress.stateOperators
+                if ops:
+                    state_ops = [
+                        op if isinstance(op, dict) else json.loads(op.json)
+                        for op in ops
+                    ]
+                    break
+        finally:
+            q.stop()
+            q.awaitTermination()
     finally:
-        q.stop()
-        q.awaitTermination()
-    return stream_df.sparkSession.table(name), state_ops
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name), state_ops
 
 
 def tumbling_window_agg(
