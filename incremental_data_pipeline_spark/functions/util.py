@@ -2,7 +2,39 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lit_array(values, sql_type: str) -> Column:
+    """One-call literal for a (possibly nested) numeric array.
+
+    ``F.lit(python_list)`` builds the literal ELEMENT BY ELEMENT over
+    py4j — a 16×64 projection matrix costs ~1k driver round-trips
+    (~1 s of pure declaration time per use, measured r10) before the
+    query is even analyzed. Rendering the same values as one SQL
+    ``array(...)`` string and CASTing to the exact target type is a
+    single round-trip and a few ms of parsing; the resulting literal
+    value is identical, so plans and results are unchanged.
+
+    Ints are emitted with the ``L`` (BIGINT) suffix and floats with the
+    ``D`` (DOUBLE) suffix via ``repr`` (shortest round-trip — Spark's
+    parser lands on the bit-identical double); the outer CAST restores
+    the caller's exact element type (e.g. array<int>).
+    """
+
+    def render(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(render(x) for x in v) + ")"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"{v}L"
+        if isinstance(v, float):
+            return f"{v!r}D"
+        raise TypeError(f"lit_array: unsupported element {type(v).__name__}")
+
+    return F.expr(f"CAST({render(list(values))} AS {sql_type})")
 
 
 def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:

@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from incremental_data_pipeline_spark.functions.util import lit_array
+
 
 def clamped_prefix(values, init: int = 0):
     """Vectorized zero-floored fold: s_i = max(0, s_{i-1} + y_i), s_0=init.
@@ -314,7 +316,7 @@ def bloom_prefilter(
     explicit and testable.
     """
     m_bits = len(bitmap) * 64
-    lit_words = F.array(*[F.lit(x).cast("long") for x in bitmap])
+    lit_words = lit_array([int(x) for x in bitmap], "array<bigint>")
     k = F.col(key_col).cast("string")
     cond = F.lit(True)
     for i in range(n_hashes):

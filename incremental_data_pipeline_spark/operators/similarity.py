@@ -30,7 +30,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from incremental_data_pipeline_spark.functions.util import fan_out
+from incremental_data_pipeline_spark.functions.util import fan_out, lit_array
 from incremental_data_pipeline_spark.functions.vector import cosine_q, dot_q, quantize
 
 
@@ -116,7 +116,7 @@ def _bucket(qcol: Column, planes: list[list[int]]) -> Column:
     and codegen stay O(1) in num_planes×dim (B×d scalar Literal nodes
     previously dominated these queries' one-shot plan-compile time; same
     fix as the IVF codebook literal)."""
-    m = F.lit(planes).cast("array<array<int>>")
+    m = lit_array(planes, "array<array<int>>")
     sums = F.transform(
         m,
         lambda row: F.aggregate(
@@ -342,8 +342,8 @@ def ivf_topk(
     # The codebook enters the plan as ONE nested-array literal (not nlist×dim
     # scalar Literal nodes): per-plan analysis/codegen stays O(1) in codebook
     # size, which is what keeps re-planning cheap as nlist grows.
-    matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
-    ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+    matrix = lit_array([vec for _, vec in centroids], "array<array<bigint>>")
+    ids_arr = lit_array([cid for cid, _ in centroids], "array<int>")
     if scaled_dot_assign:
         import math
 
@@ -501,25 +501,28 @@ def ivf2_topk(
         return math.sqrt(sum(x * x for x in vec))  # exact int, then IEEE sqrt
 
     skeys = [sid for sid, _ in supers]
-    smatrix = F.lit([v for _, v in supers]).cast("array<array<bigint>>")
-    sids = F.lit(skeys).cast("array<int>")
-    snorms = F.lit([_norm(v) for _, v in supers]).cast("array<double>")
+    smatrix = lit_array([v for _, v in supers], "array<array<bigint>>")
+    sids = lit_array(skeys, "array<int>")
+    snorms = lit_array([_norm(v) for _, v in supers], "array<double>")
     map_vecs = F.map_from_arrays(
-        F.lit(skeys).cast("array<int>"),
-        F.lit([[v for _, v in fine[sid]] for sid in skeys]).cast(
-            "array<array<array<bigint>>>"
+        lit_array(skeys, "array<int>"),
+        lit_array(
+            [[v for _, v in fine[sid]] for sid in skeys],
+            "array<array<array<bigint>>>",
         ),
     )
     map_ids = F.map_from_arrays(
-        F.lit(skeys).cast("array<int>"),
-        F.lit([[cid for cid, _ in fine[sid]] for sid in skeys]).cast(
-            "array<array<int>>"
+        lit_array(skeys, "array<int>"),
+        lit_array(
+            [[cid for cid, _ in fine[sid]] for sid in skeys],
+            "array<array<int>>",
         ),
     )
     map_norms = F.map_from_arrays(
-        F.lit(skeys).cast("array<int>"),
-        F.lit([[_norm(v) for _, v in fine[sid]] for sid in skeys]).cast(
-            "array<array<double>>"
+        lit_array(skeys, "array<int>"),
+        lit_array(
+            [[_norm(v) for _, v in fine[sid]] for sid in skeys],
+            "array<array<double>>",
         ),
     )
 
@@ -677,8 +680,8 @@ def semantic_dedup(
     """
     import math
 
-    matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
-    ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+    matrix = lit_array([vec for _, vec in centroids], "array<array<bigint>>")
+    ids_arr = lit_array([cid for cid, _ in centroids], "array<int>")
     # Per-centroid norms as literals: assignment ranks by dot(v,c)/|c|
     # (argmax-equivalent to cosine — |v| is constant within a row), one
     # integer dot per (row, centroid) instead of three.
@@ -976,8 +979,8 @@ def _cell_of(centroids: list[tuple[int, list[int]]], vcol: Column) -> Column:
     """Best cell id for a quantized vector: argmax cosine over the codebook
     (ties to the lowest centroid id) — the same single array_max over
     (cosine, -id) structs `ivf_topk` uses for its corpus side."""
-    matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
-    ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+    matrix = lit_array([vec for _, vec in centroids], "array<array<bigint>>")
+    ids_arr = lit_array([cid for cid, _ in centroids], "array<int>")
     return -F.array_max(
         F.transform(
             matrix,
@@ -1012,7 +1015,15 @@ def ivf_index_build(
         quantize(vec_col).alias("cv"),
         let(quantize(vec_col), lambda v: _cell_of(centroids, v)).alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    # Cluster by cell before the partitioned write (r10, guide §6): an
+    # unclustered dynamic write makes EVERY task open a file in every
+    # cell it sees — tasks×nlist small files (256 at local core count;
+    # unbounded on a cluster), paid again by every later read/upsert.
+    # REBALANCE(cell) is the AQE form: ~one file per cell on small
+    # inputs, advisory-size splits of big cells at scale.
+    assigned.hint("rebalance", "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(path)
 
 
 def ivf_index_upsert(
@@ -1044,11 +1055,11 @@ def ivf_index_upsert(
 
     Small-files note: no separate compaction step is needed — the dynamic
     overwrite rewrites each touched cell WHOLESALE through one cell-keyed
-    repartition, so a cell is always ~one file regardless of how many
-    upsert bursts touched it (verified: repeated upserts leave one file
-    per cell). This is deliberate: an append-based upsert would need the
-    compaction cadence `sources/maintenance.compact_table` gives plain
-    tables."""
+    REBALANCE, so a cell is always ~one advisory-sized file set
+    regardless of how many upsert bursts touched it (verified: repeated
+    upserts leave one file per cell at fixture scale). This is
+    deliberate: an append-based upsert would need the compaction cadence
+    `sources/maintenance.compact_table` gives plain tables."""
     import os
 
     batch = fan_out(new_rows).select(
@@ -1057,8 +1068,22 @@ def ivf_index_upsert(
         let(quantize("embedding"), lambda v: _cell_of(centroids, v)).alias("cell"),
     ).dropDuplicates([id_col])
     if not os.path.exists(path):  # first batch bootstraps the index
-        batch.repartition(F.col("cell")).write.partitionBy("cell").parquet(path)
+        batch.hint("rebalance", "cell").write.partitionBy("cell").parquet(path)
         return
+    # The assigned batch feeds several jobs in this call (cell collect,
+    # the allow_moves probes, the merge write); persist it for the call's
+    # lifetime so the quantize+argmax assignment runs once per batch
+    # instead of once per job (r10 — batch-sized state, freed on exit).
+    batch.persist()
+    try:
+        _ivf_upsert_merge(spark, batch, path, id_col, allow_moves)
+    finally:
+        batch.unpersist()
+
+
+def _ivf_upsert_merge(
+    spark, batch: DataFrame, path: str, id_col: str, allow_moves: bool
+) -> None:
     batch_cells = {r["cell"] for r in batch.select("cell").distinct().collect()}
     touched = set(batch_cells)
     emptied: set = set()
@@ -1093,7 +1118,7 @@ def ivf_index_upsert(
     survivors = existing.join(batch.select(id_col), id_col, "left_anti")
     merged = survivors.unionByName(batch)
     (
-        merged.repartition(F.col("cell"))
+        merged.hint("rebalance", "cell")
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("cell")
@@ -1123,8 +1148,8 @@ def ivf_index_probe(
     directories are listed/read — the scan cost is probe-local at any
     corpus size). The probed-cell collect is bounded by nlist — codebook
     -sized control plane, independent of corpus and query-batch size."""
-    matrix = F.lit([vec for _, vec in centroids]).cast("array<array<bigint>>")
-    ids_arr = F.lit([cid for cid, _ in centroids]).cast("array<int>")
+    matrix = lit_array([vec for _, vec in centroids], "array<array<bigint>>")
+    ids_arr = lit_array([cid for cid, _ in centroids], "array<int>")
 
     def top_cells(vcol: Column, n: int) -> Column:
         scores = F.reverse(
@@ -1172,7 +1197,7 @@ def jl_project_q(qcol: Column, signs: list[list[int]]) -> Column:
     which use the same ±1 matrices), so both engines compute identical
     projected coordinates. The sign matrix enters the plan as one nested
     literal."""
-    m = F.lit(signs).cast("array<array<bigint>>")
+    m = lit_array(signs, "array<array<bigint>>")
     return F.transform(
         m,
         lambda row: F.aggregate(

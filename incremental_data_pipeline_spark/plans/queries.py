@@ -12950,14 +12950,22 @@ def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contiguous at driver scale — the scale fixtures offset replica ids,
     # so [0, n/3) ranges would silently stream a SUBSET of the corpus
     # (caught by the sf1 headline mirror). Residues partition ANY id set.
+    # One write job for all three chunks (r10: was three coalesce(1)
+    # jobs): partition by the residue, then move each part file into the
+    # drop dir. Lexicographic chunk names preserve the ordered-batch
+    # contract — FileStreamSource breaks equal-mtime ties by path, and
+    # the per-batch upserts commute anyway (disjoint id residues).
+    tmp = os.path.join(base, "__chunks__")
+    (
+        emb.withColumn("chunk", F.pmod(F.col("vec_id"), F.lit(3)))
+        .repartition(F.col("chunk"))
+        .write.partitionBy("chunk")
+        .parquet(tmp)
+    )
     for i in range(3):
-        tmp = os.path.join(base, f"__c{i}__")
-        emb.filter(
-            F.pmod(F.col("vec_id"), F.lit(3)) == i
-        ).coalesce(1).write.parquet(tmp)
-        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        part = _glob.glob(os.path.join(tmp, f"chunk={i}", "part-*.parquet"))[0]
         os.rename(part, os.path.join(src, f"chunk{i}.parquet"))
-        _shutil.rmtree(tmp)
+    _shutil.rmtree(tmp)
 
     stream = (
         spark.readStream.schema(emb.schema)

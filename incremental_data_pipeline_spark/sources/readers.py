@@ -65,6 +65,40 @@ def _nanos_ts_columns(path: str) -> list[str]:
     ]
 
 
+def _scan_cache(spark: SparkSession) -> dict:
+    """Session-scoped scan-metadata cache (r10 optimization).
+
+    Driver-side schema inference (parquet footer read + DataSource
+    resolution) costs ~100-140 ms per ``spark.read.parquet`` — paid once
+    per table per QUERY DECLARATION, hundreds of times per bench run.
+    A catalog/metastore (or an Iceberg/Delta manifest) exists precisely
+    so repeated scans of the same immutable table skip that work; this
+    cache is the same idea for the path-addressed fixtures. Only the
+    resolved DataFrame HANDLE (logical plan + schema) is kept — zero
+    rows are materialized, every action still scans the parquet — and
+    entries are keyed on (abspath, mtime_ns, size) so any rewrite of
+    the file misses. Stored as an attribute of the session object, so
+    the cache dies with the session and never crosses engines."""
+    cache = getattr(spark, "_idps_scan_cache", None)
+    if cache is None:
+        cache = {}
+        spark._idps_scan_cache = cache
+    return cache
+
+
+def _stat_key(path: str) -> tuple[str, int, int] | None:
+    """Cache key for a single-file table, or None when not cacheable
+    (directories mutate in place; missing paths must raise in the
+    reader, not here)."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    if not os.path.isfile(path):
+        return None
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table (reference: silver_notebook.py:7-9 parquet scan).
 
@@ -72,6 +106,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncated to Spark's microsecond TimestampType (matching DuckDB's own
     ns→µs truncation), keeping the public schema engine-agnostic."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    cache = _scan_cache(spark)
+    key = _stat_key(path)
+    if key is not None and ("table", *key) in cache:
+        return cache[("table", *key)]
     nanos_cols = _nanos_ts_columns(path)
     if nanos_cols:
         # Runtime-settable; required even on sessions not built by
@@ -80,7 +118,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in nanos_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
-    return _normalize_ntz(df)
+    df = _normalize_ntz(df)
+    if key is not None:
+        cache[("table", *key)] = df
+    return df
 
 
 def _normalize_ntz(df: DataFrame) -> DataFrame:

@@ -90,7 +90,21 @@ def read_stream(spark: SparkSession, sf_dir: str, name: str, ts_col: str = "ts")
     """
     batch = load_table(spark, sf_dir, name)  # also sets nanosAsLong conf
     path = os.path.join(sf_dir, f"{name}.parquet")
-    raw_schema = spark.read.parquet(path).schema  # pre-conversion schema
+    # Pre-conversion schema, cached with the same session-scoped
+    # metadata cache load_table uses (schema inference is ~100 ms of
+    # driver-side footer reading per call — see readers._scan_cache).
+    from incremental_data_pipeline_spark.sources.readers import (
+        _scan_cache,
+        _stat_key,
+    )
+
+    cache, key = _scan_cache(spark), _stat_key(path)
+    if key is not None and ("raw_schema", *key) in cache:
+        raw_schema = cache[("raw_schema", *key)]
+    else:
+        raw_schema = spark.read.parquet(path).schema  # pre-conversion schema
+        if key is not None:
+            cache[("raw_schema", *key)] = raw_schema
     # FileStreamSource forces basePath = the source path unless the path is
     # a glob; a single-file fixture then fails ("basePath must be a
     # directory"). An exact-match {name} glob sidesteps the override and
