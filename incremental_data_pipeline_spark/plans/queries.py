@@ -901,16 +901,25 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the CC fixpoint; every stage is shuffle-bounded (hash/bucket joins,
     no quadratic step), which is the whole point at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    quality = _text.quality_score(docs).select("doc_id", "quality")
+    # Quality is a NARROW per-row score (with_token_stats withColumns), so
+    # it rides the same pass as the lang filter instead of a separate
+    # tokenize-the-corpus branch joined back semi (r10: one full text
+    # pass + one semi join removed; survivor set provably unchanged —
+    # same predicates, hash-gated). Only the repetition filter keeps its
+    # own branch: its top-gram stats are real aggregations.
     rep = _text.gopher_repetition_filter(docs).select("doc_id", "keep")
     surv = (
-        docs.filter(F.col("lang") == "en")
-        .join(quality.filter(F.col("quality") >= 0.36).select("doc_id"), "doc_id", "left_semi")
+        _text.quality_score(docs)
+        .filter((F.col("lang") == "en") & (F.col("quality") >= 0.36))
         .join(rep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
+        .select(*docs.columns)
     )
-    # Three downstream branches (pair generation, cluster labeling, the
-    # canonical join) all consume the survivor set — materialize it once
-    # instead of recomputing the filter pipeline per branch.
+    # Materialize the survivor set BEFORE exact dedup: exact_dedup
+    # consumes its input twice (hash-group + canonical semi join), and
+    # three downstream branches (pair generation, cluster labeling, the
+    # canonical join) consume the deduped set — checkpoint each level
+    # once instead of recomputing the filter pipeline per consumer.
+    surv = surv.localCheckpoint()
     exact_surv = _dedup.exact_dedup(surv, "text", "doc_id").localCheckpoint()
     pairs = _dedup.lsh_candidate_pairs(exact_surv, "doc_id", "text", 12, 3, 3)
     clusters = _dedup.duplicate_clusters(exact_surv.select("doc_id"), pairs, "doc_id")

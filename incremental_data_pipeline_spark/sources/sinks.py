@@ -349,9 +349,16 @@ def write_bucketed(
 
     Uses the session catalog (in-memory or Hive); bucketing metadata lives
     with the table, Catalyst picks it up automatically.
+
+    The pre-write repartition onto the bucket keys is the standard
+    bucketed-write discipline (r10): without it every input task opens a
+    file in every bucket it sees — tasks × num_buckets small files at
+    any scale — while one key-clustered exchange leaves ~one file per
+    bucket and the same bucket metadata.
     """
     (
-        df.write.mode("overwrite")
+        df.repartition(num_buckets, *bucket_keys)
+        .write.mode("overwrite")
         .format("parquet")
         .bucketBy(num_buckets, *bucket_keys)
         .sortBy(*bucket_keys)
