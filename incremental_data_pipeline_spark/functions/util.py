@@ -2,6 +2,9 @@
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -29,25 +32,78 @@ def lit_array(values, sql_type: str) -> Column:
         if isinstance(v, bool):
             return "true" if v else "false"
         if isinstance(v, int):
+            # Outside int64 the L suffix would be an opaque parse error
+            # downstream; fail here with the actual offending value.
+            if not -(2**63) <= v < 2**63:
+                raise ValueError(f"lit_array: int out of BIGINT range: {v}")
             return f"{v}L"
         if isinstance(v, float):
+            # repr(nan/inf) renders invalid SQL ('nanD'/'infD'); surface a
+            # descriptive error instead of Spark's parser traceback.
+            if not math.isfinite(v):
+                raise ValueError(f"lit_array: non-finite float: {v!r}")
             return f"{v!r}D"
         raise TypeError(f"lit_array: unsupported element {type(v).__name__}")
 
     return F.expr(f"CAST({render(list(values))} AS {sql_type})")
 
 
-def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
-    """Ensure at least core-count partitions before a compute-dense narrow
-    map (per-row hashing, shingling, vector math).
+# Per-task input floors for data-sized fan_out (r11): a fan-out task that
+# holds too few source bytes pays more in fixed per-task cost than its
+# compute is worth — ~50-100 ms of Python worker handshake + Arrow framing
+# for a mapInPandas task, a few ms of scheduling/codegen for a JVM
+# expression task. Sizing the repartition by ceil(input_bytes / floor)
+# instead of the core count makes the parallelism track DATA (the same
+# rule adaptive_state_partitions applies to streaming state stores): a
+# 1 MB payload table gets a handful of tasks on local[32] AND on a
+# 4000-core cluster, while a 100 TB table is untouched (its scan already
+# has more splits than any target). Env-tunable per deployment; the
+# defaults encode the measured local break-even (r10 bench: 32 Arrow
+# tasks over ~600 KB ran 3x slower than 8).
+FAN_OUT_ARROW_BPT = int(
+    os.environ.get("SPARK_GRAFT_FAN_OUT_ARROW_BPT", 128 * 1024)
+)
+FAN_OUT_CHEAP_MAP_BPT = int(
+    os.environ.get("SPARK_GRAFT_FAN_OUT_CHEAP_MAP_BPT", 256 * 1024)
+)
+
+
+def _input_bytes(df: DataFrame, files: list[str]) -> int:
+    """On-disk bytes behind a scan, from the driver-side file list."""
+    total = 0
+    for uri in files:
+        path = uri[5:] if uri.startswith("file:") else uri
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return -1  # non-local URI — caller falls back to core count
+    return total
+
+
+def fan_out(
+    df: DataFrame,
+    min_parallelism: int | None = None,
+    bytes_per_task: int | None = None,
+) -> DataFrame:
+    """Ensure enough partitions before a compute-dense narrow map
+    (per-row hashing, shingling, vector math, Arrow-batched decode).
 
     Parquet splits are byte-based (`spark.sql.files.maxPartitionBytes`), so a
     small-bytes-but-compute-heavy table (5k documents in one 600 KB file)
     scans as ONE partition and serializes the expensive map on one core. A
     round-robin repartition of the small base table is a cheap shuffle that
-    unlocks full parallelism. No-op when the scan is already parallel enough
+    unlocks parallelism. No-op when the scan is already parallel enough
     (the 100 TB case: thousands of input splits), so the extra shuffle never
     appears where it would actually hurt.
+
+    ``bytes_per_task`` caps the fan-out by data volume: the target becomes
+    min(cores, ceil(input_bytes / bytes_per_task)), so tiny inputs get few
+    tasks regardless of cluster width (per-task fixed cost otherwise
+    dominates — the r10 ``multimodal_ahash`` inverse-scaling regression).
+    Callers pick the floor by the map's per-byte cost: FAN_OUT_ARROW_BPT
+    for Python-boundary maps, FAN_OUT_CHEAP_MAP_BPT for cheap JVM hash
+    maps; omit it for maps whose per-byte compute justifies a task per
+    core even on KB-scale input (shingle explosion, vector scoring).
     """
     target = min_parallelism or df.sparkSession.sparkContext.defaultParallelism
     # Probe parallelism via the scan's file list — driver-side metadata,
@@ -56,7 +112,13 @@ def fan_out(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     # only means the repartition no-ops sooner — the 100 TB case (many
     # files) skips the shuffle either way. Non-file plans (in-memory test
     # frames) report zero files and simply take the cheap repartition.
-    if len(df.inputFiles()) >= target:
+    files = df.inputFiles()
+    if bytes_per_task and files:
+        nbytes = _input_bytes(df, files)
+        if nbytes >= 0:
+            want = max(1, -(-nbytes // bytes_per_task))  # ceil
+            target = min(target, want)
+    if len(files) >= target:
         return df
     return df.repartition(target)
 

@@ -429,11 +429,16 @@ def connected_components(
     # a join+groupBy+join+jump round. Real duplicate graphs are mostly
     # 2-3-cliques, which converge AT init — the loop then needs only the
     # single confirming round (changed == 0) instead of two full rounds.
+    # NOT checkpointed (r11): the init labels are one groupBy over the
+    # already-checkpointed edge set. Round 1 references labels twice (the
+    # neighbor join and the propagation join), so skipping the eager
+    # materialization recomputes that groupBy twice INSIDE one job —
+    # cheaper than a whole extra job barrier, and lineage still truncates
+    # at bidir. Rounds 2+ use the previous round's checkpointed jump.
     labels = (
         bidir.groupBy("u")
         .agg(F.least(F.col("u"), F.min("v")).alias("label"))
         .select(F.col("u").alias("node"), "label")
-        .localCheckpoint()
     )
     from pyspark.sql import Observation
 
@@ -695,6 +700,48 @@ def simhash_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def _ranked_shingles(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_df: int | None = None,
+) -> DataFrame:
+    """The rarity-ranked shingle relation every prefix filter consumes:
+    one row per (doc, 60-bit shingle) with its global document frequency
+    ``df``, rarity rank within the doc ``rn`` (df asc, shingle asc), and
+    doc set size ``sz`` — checkpointed once, since prefix selection,
+    full postings, and the verification arrays all read it.
+
+    Shape (r11): ``df`` and ``sz`` are WINDOW counts, not join-backs.
+    The previous ``raw.join(raw.groupBy(shingle).count())`` +
+    ``.join(raw.groupBy(id).count())`` shape executed the shingle
+    explode once per aggregation side and paid two extra join shuffles;
+    a count over ``Window.partitionBy(shingle)`` / ``(id)`` computes the
+    identical value with one explode pass and exactly two exchanges (one
+    per key), and the doc-side ``row_number`` rides the same doc-keyed
+    exchange as ``sz``. Measured at sf0.1: 3.3 → 2.5 s whole-query on
+    both prefix pairs, identical output.
+
+    ``max_df`` (capped-set semantics) filters on the window count before
+    the doc-side ranking — same post-count filter as before, so
+    surviving shingles' df values are unchanged."""
+    raw = doc_shingles(df, id_col, text_col, n).select(
+        id_col, _shingle60("shingle").alias("shingle")
+    )
+    s = raw.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    )
+    if max_df is not None:
+        s = s.filter(F.col("df") <= max_df)
+    wd = Window.partitionBy(id_col)
+    s = s.withColumn(
+        "rn",
+        F.row_number().over(wd.orderBy(F.col("df").asc(), F.col("shingle").asc())),
+    ).withColumn("sz", F.count(F.lit(1)).over(wd))
+    return s.localCheckpoint(eager=True)
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -726,27 +773,16 @@ def prefix_filter_jaccard_pairs(
     never corpus². The rarity ranking itself is two shuffles (shingle-df
     agg, per-doc row_number).
     """
-    # The shingle explode feeds five consumers (df counts, sizes, prefix
-    # ranking, and both verification sides); checkpoint it once instead of
-    # re-running the explode per consumer — linear materialization, same
-    # shared-relation discipline as corpus_curation's survivor set.
-    # Shingles become 60-bit ints at the explode (`_shingle60`): every
-    # downstream shuffle moves 8-byte keys; the string-side oracle
-    # certifies collision-freeness.
-    s = doc_shingles(df, id_col, text_col, n).select(
-        id_col, _shingle60("shingle").alias("shingle")
-    ).localCheckpoint(eager=True)
-    freq = s.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
-    ranked = (
-        s.join(freq, "shingle")
-        .withColumn("rn", F.row_number().over(w))
-        .join(sizes, id_col)
-    )
+    # The ranked shingle relation feeds four consumers (prefix postings ×2
+    # and both verification sides); `_ranked_shingles` materializes it once
+    # with window-count df/sz (r11 — see its docstring for the join-back
+    # shape this replaces). Shingles become 60-bit ints at the explode
+    # (`_shingle60`): every downstream shuffle moves 8-byte keys; the
+    # string-side oracle certifies collision-freeness.
+    s = _ranked_shingles(df, id_col, text_col, n)
     # prefix length |x| - ceil(t·|x|) + 1; a float-rounding overshoot in
     # ceil only LENGTHENS the prefix (safe direction).
-    prefix = ranked.filter(
+    prefix = s.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select(id_col, "shingle", "sz", "rn")
     pa = prefix.select(
@@ -849,31 +885,20 @@ def _prefix_containment_candidates(
     (probability ~|union|^2/2^60 per pair) would flip the hash gate red,
     so every green mirror run doubles as a collision-freeness
     certificate for the fixture corpus."""
-    raw = doc_shingles(df, id_col, text_col, n).select(
-        id_col, _shingle60("shingle").alias("shingle")
-    )
-    freq = raw.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    s = raw.join(freq, "shingle")
-    if max_df is not None:
-        # Cap as a POST-join filter on the df column, not a pre-join
-        # filter on the frequency table: filtering freq first makes the
-        # optimizer underestimate the join side and try to BROADCAST a
-        # corpus-sized shingle-df relation (measured ~2.4x the whole
-        # query at the sf10 point); as a filter here it is a free
-        # codegen predicate and both cap settings share one join shape.
-        s = s.filter(F.col("df") <= max_df)
-    s = s.localCheckpoint(eager=True)
-    sizes = s.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("shingle").asc())
-    ranked = s.withColumn("rn", F.row_number().over(w)).join(sizes, id_col)
+    # Rarity-ranked checkpointed shingle relation with window-count df/sz
+    # (r11 — the cap is a post-count filter on the df column, exactly as
+    # the previous post-join filter: surviving shingles' df values are
+    # unchanged, and no corpus-sized frequency relation ever becomes a
+    # broadcast candidate).
+    s = _ranked_shingles(df, id_col, text_col, n, max_df)
     # ceil float overshoot only LENGTHENS the prefix — safe direction.
-    prefix = ranked.filter(
+    prefix = s.filter(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select(
         F.col(id_col).alias("inner_doc"), "shingle",
         F.col("sz").alias("sz_i"), F.col("rn").alias("rn_i"),
     )
-    full = ranked.select(
+    full = s.select(
         F.col(id_col).alias("outer_doc"), "shingle",
         F.col("sz").alias("sz_o"), F.col("rn").alias("rn_o"),
     )
@@ -931,17 +956,15 @@ def prefix_filter_containment_pairs(
     sets). The prefix filter then runs losslessly ON the capped sets, so
     the result is identical to the all-pairs capped join while also
     bounding the worst posting list: belt (cap) and suspenders (prefix)."""
-    # The cap IS the s-join-freq inner join the prefix ranking needs
-    # anyway: dropping capped shingles doesn't change the df of surviving
-    # ones (df counts rows per shingle, not per co-occurring shingle), so
-    # filtering the frequency table before the join applies capped-set
-    # semantics for free — no separate semi-join pass, no second
-    # materialization of the corpus postings (the previous shape cost the
-    # capped query ~2.5x the uncapped one at the sf10 point even though
-    # the cap removed zero rows there). The joined relation feeds three
-    # consumers (sizes, ranking, verification arrays); it is the one
-    # thing worth materializing — the explode feeding it is a narrow
-    # recomputable map.
+    # The cap is a filter on the window-counted df column (see
+    # `_ranked_shingles`): dropping capped shingles doesn't change the df
+    # of surviving ones (df counts rows per shingle, not per co-occurring
+    # shingle), so capped-set semantics cost one codegen predicate — no
+    # separate semi-join pass, no second materialization of the corpus
+    # postings, and both cap settings share one plan shape. The ranked
+    # relation feeds three consumers (prefix, full postings, verification
+    # arrays); it is the one thing worth materializing — the explode
+    # feeding it is a narrow recomputable map.
     s, cand = _prefix_containment_candidates(
         df, id_col, text_col, n, threshold, max_df
     )
@@ -1322,13 +1345,21 @@ def repeated_span_removal(
             ).otherwise(F.array().cast("array<struct<s:int,h:bigint>>"))
         ).alias("__g"),
     ).select(id_col, F.col("__g.s").alias("s"), F.col("__g.h").alias("h"))
-    dup_windows = (
-        grams.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # Duplicate-window detection as ONE window count over the hash key
+    # (r11): the previous groupBy(h) + left-semi join back executed the
+    # gram explode once per side and shuffled it twice (once combined,
+    # once full); a count over Window.partitionBy(h) computes the same
+    # occurrence count with a single full shuffle of the gram relation
+    # and no join (guide §2.4 — same-keyed operations share one
+    # exchange). Identical survivor set: h kept iff corpus-wide count
+    # >= min_count.
+    dup_starts = (
+        grams.withColumn(
+            "__c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .filter(F.col("__c") >= min_count)
-        .select("h")
+        .select(id_col, "s")
     )
-    dup_starts = grams.join(dup_windows, "h", "left_semi").select(id_col, "s")
     covered = dup_starts.select(
         id_col,
         F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("j"),

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from incremental_data_pipeline_spark.functions.util import fan_out
+from incremental_data_pipeline_spark.functions.util import FAN_OUT_ARROW_BPT, fan_out
 
 DECODED_SCHEMA = "doc_id long, n_bytes long, first_byte int, content_md5 string"
 
@@ -55,7 +55,7 @@ def decode_binary_metadata(df: DataFrame, id_col: str = "doc_id", bin_col: str =
                 }
             )
 
-    return fan_out(df).select(id_col, bin_col).mapInPandas(extract, DECODED_SCHEMA)
+    return fan_out(df, bytes_per_task=FAN_OUT_ARROW_BPT).select(id_col, bin_col).mapInPandas(extract, DECODED_SCHEMA)
 
 
 PGM_WIDTH = 16
@@ -125,7 +125,7 @@ def decode_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content"
                 }
             )
 
-    return fan_out(df).select(id_col, bin_col).mapInPandas(run, IMAGE_SCHEMA)
+    return fan_out(df, bytes_per_task=FAN_OUT_ARROW_BPT).select(id_col, bin_col).mapInPandas(run, IMAGE_SCHEMA)
 
 
 RESIZED_SCHEMA = (
@@ -185,7 +185,7 @@ def resize_image(
                 }
             )
 
-    return fan_out(df).select(id_col, bin_col).mapInPandas(run, RESIZED_SCHEMA)
+    return fan_out(df, bytes_per_task=FAN_OUT_ARROW_BPT).select(id_col, bin_col).mapInPandas(run, RESIZED_SCHEMA)
 
 
 FEATURE_DIM = 16
@@ -221,7 +221,7 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "cont
                 }
             )
 
-    return fan_out(df).select(id_col, bin_col).mapInPandas(run, FEATURES_SCHEMA)
+    return fan_out(df, bytes_per_task=FAN_OUT_ARROW_BPT).select(id_col, bin_col).mapInPandas(run, FEATURES_SCHEMA)
 
 
 def frame_sample(
@@ -261,7 +261,7 @@ def frame_sample(
                 }
             )
 
-    return fan_out(df).select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)
+    return fan_out(df, bytes_per_task=FAN_OUT_ARROW_BPT).select(id_col, bin_col).mapInPandas(run, FRAMES_SCHEMA)
 
 
 WAV_SAMPLE_RATE = 8000
@@ -289,7 +289,7 @@ def attach_wav_audio(
     import numpy as np
 
     clean = F.regexp_replace(F.col(text_col), r"[^\x20-\x7E]", " ")
-    src = fan_out(df).withColumn("__clean", clean).select(id_col, "__clean")
+    src = fan_out(df, bytes_per_task=FAN_OUT_ARROW_BPT).withColumn("__clean", clean).select(id_col, "__clean")
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -381,7 +381,7 @@ def decode_wav_audio(
                 )
             yield pd.DataFrame(cols)
 
-    return fan_out(df).select(id_col, bin_col).mapInPandas(run, AUDIO_SCHEMA)
+    return fan_out(df, bytes_per_task=FAN_OUT_ARROW_BPT).select(id_col, bin_col).mapInPandas(run, AUDIO_SCHEMA)
 
 
 AHASH_SCHEMA = "doc_id long, ahash string"
@@ -440,4 +440,4 @@ def ahash_image(df: DataFrame, id_col: str = "doc_id", bin_col: str = "content")
                 }
             )
 
-    return fan_out(df).select(id_col, bin_col).mapInPandas(run, AHASH_SCHEMA)
+    return fan_out(df, bytes_per_task=FAN_OUT_ARROW_BPT).select(id_col, bin_col).mapInPandas(run, AHASH_SCHEMA)

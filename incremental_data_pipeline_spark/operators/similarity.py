@@ -905,7 +905,11 @@ def pq_topk(
     dsub = dim // m
     ksub = len(centroids)
     cb = [[vec[s * dsub : (s + 1) * dsub] for _, vec in centroids] for s in range(m)]
-    cbl = F.lit(cb).cast("array<array<array<bigint>>>")
+    # The m x ksub x dsub codebook is the largest literal in the repo;
+    # element-by-element F.lit was ~m*ksub*dsub py4j round-trips of pure
+    # driver declaration time per call (the r10 lit_array pathology, guide
+    # §4 driver boundary). One rendered SQL literal, identical value.
+    cbl = lit_array(cb, "array<array<array<bigint>>>")
 
     def sqdist(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -1087,10 +1091,15 @@ def _ivf_upsert_merge(
     batch_cells = {r["cell"] for r in batch.select("cell").distinct().collect()}
     touched = set(batch_cells)
     emptied: set = set()
+    # The index schema is exactly the batch's (same assignment projection
+    # wrote it); passing it explicitly skips a parquet footer-inference
+    # pass per read — an upsert stream otherwise re-infers the same schema
+    # every micro-batch (r11, guide §6 driver overhead).
+    read_idx = lambda: spark.read.schema(batch.schema).parquet(path)  # noqa: E731
     if allow_moves:
         # cells holding a stale copy of an updated id (id+partition cols
         # only — parquet reads no vector bytes for this)
-        idx_cols = spark.read.parquet(path).select(id_col, "cell")
+        idx_cols = read_idx().select(id_col, "cell")
         stale_cells = {
             r["cell"]
             for r in idx_cols.join(batch.select(id_col), id_col, "semi")
@@ -1114,7 +1123,7 @@ def _ivf_upsert_merge(
         }
         emptied = stale_cells - surviving_cells - batch_cells
     touched = sorted(touched)
-    existing = spark.read.parquet(path).filter(F.col("cell").isin(touched))
+    existing = read_idx().filter(F.col("cell").isin(touched))
     survivors = existing.join(batch.select(id_col), id_col, "left_anti")
     merged = survivors.unionByName(batch)
     (

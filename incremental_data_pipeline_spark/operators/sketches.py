@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from incremental_data_pipeline_spark.functions.util import fan_out
+from incremental_data_pipeline_spark.functions.util import FAN_OUT_CHEAP_MAP_BPT, fan_out
 
 HASH_SPACE = float(1 << 32)  # md5 8-hex-digit prefix domain
 
@@ -249,7 +249,7 @@ def cms_counters(
     cells = _cms_cells(cols, width, depth)
     # Parallelism floor: a small-bytes parquet scan (few splits) would
     # serialize the per-row md5 on a handful of cores; no-op at real scale.
-    pairs = fan_out(df).select(
+    pairs = fan_out(df, bytes_per_task=FAN_OUT_CHEAP_MAP_BPT).select(
         F.explode(
             F.array(
                 *[
@@ -542,7 +542,7 @@ def hll_registers_by_group(
         F.lit(bits + 1) - F.length(F.bin(F.col("w")))
     )
     return (
-        fan_out(notnull)
+        fan_out(notnull, bytes_per_task=FAN_OUT_CHEAP_MAP_BPT)
         .select(*group_cols, F.shiftright(hv, bits).cast("int").alias("bucket"), w)
         .select(*group_cols, "bucket", rho.cast("int").alias("rho"))
         .groupBy(*group_cols, "bucket")

@@ -635,8 +635,25 @@ def medallion_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_rows=False, partition_daily=True, partition_granularity="month",
         )
         silver = pipe.build_silver("events", lambda df: df)
-        pipe.build_gold_dim("dim_user", silver, ["user_id"], [], "dim_user_key")
-        pipe.build_gold_dim("dim_event_type", silver, ["event_type"], [], "dim_event_type_key")
+        # The two dims are independent read-modify-write jobs over the same
+        # silver snapshot (disjoint gold paths); submit them concurrently so
+        # the second build back-fills executor slots the first one's write
+        # tail leaves idle (guide §2.6 — actions are only sequential because
+        # the driver calls them sequentially). pool.map re-raises either
+        # build's exception, preserving the sequential failure contract.
+        from concurrent.futures import ThreadPoolExecutor
+
+        dim_specs = [
+            ("dim_user", ["user_id"], "dim_user_key"),
+            ("dim_event_type", ["event_type"], "dim_event_type_key"),
+        ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(
+                pool.map(
+                    lambda s: pipe.build_gold_dim(s[0], silver, s[1], [], s[2]),
+                    dim_specs,
+                )
+            )
 
     fact = pipe.build_gold_fact(
         "fact_events",
@@ -914,12 +931,13 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(rep.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi")
         .select(*docs.columns)
     )
-    # Materialize the survivor set BEFORE exact dedup: exact_dedup
-    # consumes its input twice (hash-group + canonical semi join), and
-    # three downstream branches (pair generation, cluster labeling, the
-    # canonical join) consume the deduped set — checkpoint each level
-    # once instead of recomputing the filter pipeline per consumer.
-    surv = surv.localCheckpoint()
+    # Materialize the deduped survivor set once: three downstream branches
+    # (pair generation, cluster labeling, the canonical join) consume it.
+    # The filter pipeline ABOVE it is deliberately NOT checkpointed
+    # (r11, reverting an r10 edit measured net-negative): exact_dedup
+    # reads its input twice, but recomputing the narrow fused filter twice
+    # inside one job is cheaper than an extra eager job that materializes
+    # every survivor row (text included) first.
     exact_surv = _dedup.exact_dedup(surv, "text", "doc_id").localCheckpoint()
     pairs = _dedup.lsh_candidate_pairs(exact_surv, "doc_id", "text", 12, 3, 3)
     clusters = _dedup.duplicate_clusters(exact_surv.select("doc_id"), pairs, "doc_id")
@@ -12636,21 +12654,40 @@ def robust_outlier_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_extendedprice"
     )
-    med = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.expr("percentile(l_extendedprice, 0.5D)").alias("med")
+    # One corpus pass (r11, guide §8 "decide with small rows"): the row
+    # scan collapses to a (group, price) -> count HISTOGRAM — one
+    # map-side-combined shuffle, bounded by the price DOMAIN, not the row
+    # count — and median, MAD, and the outlier census are all derived
+    # from the histogram via frequency-weighted exact percentiles
+    # (percentile(x, 0.5, cnt) builds the same value->count state the
+    # row-fed aggregate builds, so the interpolated result is
+    # bit-identical; verified equal at sf0.001/0.01/0.1). The previous
+    # shape scanned lineitem once per stage (med, mad, census) — 3 full
+    # passes with corpus-sized shuffles.
+    hist = (
+        li.groupBy("l_returnflag", "l_linestatus", "l_extendedprice")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    dev = li.join(F.broadcast(med), ["l_returnflag", "l_linestatus"]).withColumn(
+    med = hist.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("percentile(l_extendedprice, 0.5D, cnt)").alias("med")
+    )
+    dev = hist.join(F.broadcast(med), ["l_returnflag", "l_linestatus"]).withColumn(
         "ad", F.abs(F.col("l_extendedprice") - F.col("med"))
     )
     mad = dev.groupBy("l_returnflag", "l_linestatus").agg(
-        F.expr("percentile(ad, 0.5D)").alias("mad")
+        F.expr("percentile(ad, 0.5D, cnt)").alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), ["l_returnflag", "l_linestatus"])
         .groupBy("l_returnflag", "l_linestatus", "med", "mad")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.sum((F.col("ad") > 3 * F.col("mad")).cast("long"))
+            F.sum("cnt").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("ad") > 3 * F.col("mad"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("long")
             .alias("n_outliers"),
         )
@@ -13718,8 +13755,18 @@ def bucketed_join_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 shutil.rmtree(full, ignore_errors=True)
     except OSError:
         pass  # warehouse dir not materialized yet — nothing to sweep
-    write_bucketed(li, t_li, ["l_orderkey"], num_buckets=16)
-    write_bucketed(o, t_o, ["l_orderkey"], num_buckets=16)
+    # Independent writes to distinct tables: submit both from a 2-thread
+    # pool so the orders write back-fills the lineitem write's task tail
+    # (guide §2.6); pool.map re-raises either write's failure.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                lambda s: write_bucketed(s[0], s[1], ["l_orderkey"], num_buckets=16),
+                [(li, t_li), (o, t_o)],
+            )
+        )
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
