@@ -725,7 +725,18 @@ def _ranked_shingles(
 
     ``max_df`` (capped-set semantics) filters on the window count before
     the doc-side ranking — same post-count filter as before, so
-    surviving shingles' df values are unchanged."""
+    surviving shingles' df values are unchanged.
+
+    Skew note: a shingle-keyed WINDOW cannot be split by AQE's skew
+    handling (joins only), so the task holding the hottest posting list
+    buffers df_max rows where the old SMJ could be skew-split. Measured
+    irrelevant through the 10x point (window-df 1.6-1.7x faster than the
+    join shape at .scale/sf1, identical output) because the downstream
+    candidate join co-locates the same posting lists anyway; for corpora
+    with unbounded stopword postings the ``max_df`` capped path is the
+    production guardrail (CONTAINMENT_SCALE.md §5) — the cap bounds the
+    candidate join's work, and the one uncapped window task degrades to
+    a spilled linear count, not a quadratic step."""
     raw = doc_shingles(df, id_col, text_col, n).select(
         id_col, _shingle60("shingle").alias("shingle")
     )

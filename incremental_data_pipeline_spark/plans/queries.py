@@ -12998,9 +12998,12 @@ def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (caught by the sf1 headline mirror). Residues partition ANY id set.
     # One write job for all three chunks (r10: was three coalesce(1)
     # jobs): partition by the residue, then move each part file into the
-    # drop dir. Lexicographic chunk names preserve the ordered-batch
-    # contract — FileStreamSource breaks equal-mtime ties by path, and
-    # the per-batch upserts commute anyway (disjoint id residues).
+    # drop dir. Batch ORDER is not load-bearing: FileStreamSource sorts
+    # by modification time only (local-FS listing breaks equal-mtime ties
+    # arbitrarily), and the per-batch upserts COMMUTE — disjoint id
+    # residues touch disjoint row sets — so any delivery order converges
+    # on the same index (r10 advice: the contract rests on commutativity,
+    # not on a path tie-break).
     tmp = os.path.join(base, "__chunks__")
     (
         emb.withColumn("chunk", F.pmod(F.col("vec_id"), F.lit(3)))
@@ -13009,8 +13012,16 @@ def stream_ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(tmp)
     )
     for i in range(3):
-        part = _glob.glob(os.path.join(tmp, f"chunk={i}", "part-*.parquet"))[0]
-        os.rename(part, os.path.join(src, f"chunk{i}.parquet"))
+        # An empty residue class writes no chunk=i directory (dynamic
+        # writes emit only non-empty partitions); fail with the actual
+        # invariant instead of glob()[0]'s opaque IndexError (r10 advice).
+        parts = _glob.glob(os.path.join(tmp, f"chunk={i}", "part-*.parquet"))
+        if not parts:
+            raise RuntimeError(
+                f"stream_ivf_index_upsert: id-residue chunk {i} is empty — "
+                "the fixture must populate all 3 residue classes"
+            )
+        os.rename(parts[0], os.path.join(src, f"chunk{i}.parquet"))
     _shutil.rmtree(tmp)
 
     stream = (

@@ -136,6 +136,13 @@ def run_to_memory(
     before ``start()`` and the session value restored after the drain.
     Results are partitioning-independent; only the state-store count (and
     its per-batch commit cost) changes.
+
+    NOT reentrant/thread-safe while draining (r10 advice): the override
+    mutates the session-global conf, so any OTHER query declared or batch
+    job started on the same session inside the drain window silently
+    inherits it. Fine for the sequential harness/bench; concurrent
+    callers must scope the override via a dedicated session (or accept
+    the session default by passing ``state_partitions=None``).
     """
     spark = stream_df.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
